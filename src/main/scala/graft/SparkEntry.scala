@@ -1,13 +1,140 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.Relational
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator from SURVEY.md §2 appears as a named query
+  * here, paired (where ANSI-SQL-expressible) with an equivalent DuckDB
+  * oracle query over the same parquet tables. Column names and types are
+  * aligned on both sides because the driver's comparator sorts columns by
+  * name before hashing values.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query (SURVEY.md §7.2) on /root/testdata/sf0.001; driver
+    * smoke-checks rows>0. Exercises filter → 3 joins → derive → agg →
+    * validate → project in one plan.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+    Relational.flagship(spark, "/root/testdata/sf0.001")
+
+  type Query = (SparkSession, String) => DataFrame
+
+  private val relationalQueries: Map[String, Query] = Map(
+    "s1_scan_project"      -> Relational.s1ScanProject _,
+    "s4_filtered_scan"     -> Relational.s4FilteredScan _,
+    "p1_contains_filter"   -> Relational.p1ContainsFilter _,
+    "p2_projection"        -> Relational.p2Projection _,
+    "p4_pick_first"        -> Relational.p4PickFirst _,
+    "j1_dim_join"          -> Relational.j1DimJoin _,
+    "j2_fact_join"         -> Relational.j2FactJoin _,
+    "j3_left_join_default" -> Relational.j3LeftJoinDefault _,
+    "j5_validate_counts"   -> Relational.j5ValidateCounts _,
+    "j6_semi_join"         -> Relational.j6SemiJoin _,
+    "j7_anti_join"         -> Relational.jAntiJoin _,
+    "a1_group_count"       -> Relational.a1GroupCount _,
+    "a2_group_agg"         -> Relational.a2GroupAgg _,
+    "a3_count_distinct"    -> Relational.a3CountDistinct _,
+    "a4_rollup"            -> Relational.a4Rollup _,
+    "a5_cube"              -> Relational.a5Cube _,
+    "a6_approx_distinct"   -> Relational.aApproxDistinct _,
+    "w1_topk_per_group"    -> Relational.w1TopkPerGroup _,
+    "w2_running_total"     -> Relational.w2RunningTotal _,
+    "w3_lag_lead"          -> Relational.w3LagLead _,
+    "k5_slice"             -> Relational.k5Slice _,
+    "q_topk_global"        -> Relational.topkGlobal _,
+    "set_union"            -> Relational.setUnion _,
+    "set_intersect"        -> Relational.setIntersect _,
+    "set_except"           -> Relational.setExcept _,
+    "f1_age_label"         -> Relational.f1AgeLabel _,
+    "f2_grade_label"       -> Relational.f2GradeLabel _,
+    "f6_json_extract"      -> Relational.f6JsonExtract _,
+    "q_flagship"           -> Relational.flagship _,
+  )
+
+  def queries: Map[String, Query] = relationalQueries
+
+  // As-of date literal shared with Relational.AsOfDate — the oracle must
+  // pin the same "today" (SURVEY.md §7.4.1).
+  private val asOf = Relational.AsOfDate
+  private val ageExpr =
+    s"""year(DATE '$asOf') - year(o_orderdate) - CASE WHEN (month(DATE '$asOf') < month(o_orderdate)) OR (month(DATE '$asOf') = month(o_orderdate) AND day(DATE '$asOf') < day(o_orderdate)) THEN 1 ELSE 0 END"""
+
+  private val relationalOracle: Map[String, String] = Map(
+    "s1_scan_project" ->
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    "s4_filtered_scan" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_shipdate < TIMESTAMP '1996-01-01' ORDER BY l_orderkey, l_linenumber",
+    "p1_contains_filter" ->
+      "SELECT p_partkey, p_name, p_brand FROM part WHERE p_name LIKE '%widget%' ORDER BY p_partkey",
+    "p2_projection" ->
+      "SELECT c_custkey, c_name, upper(c_mktsegment) AS segment, CASE WHEN c_nationkey IS NULL OR c_nationkey = 0 THEN '' ELSE 'Grade ' || CAST(c_nationkey AS VARCHAR) END AS grade_label FROM customer ORDER BY c_custkey",
+    "p4_pick_first" ->
+      "SELECT o_custkey, o_orderkey AS first_orderkey, CAST(o_orderdate AS DATE) AS first_orderdate FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn FROM orders) WHERE rn = 1 ORDER BY o_custkey",
+    "j1_dim_join" ->
+      "SELECT r_name, count(*) AS n_customers, round(sum(c_acctbal), 2) AS total_acctbal FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey GROUP BY r_name ORDER BY r_name",
+    "j2_fact_join" ->
+      "SELECT o_orderpriority, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, count(*) AS n_items FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderpriority ORDER BY o_orderpriority",
+    "j3_left_join_default" ->
+      "SELECT c_custkey, coalesce(CAST(CAST(first_date AS DATE) AS VARCHAR), '') AS first_order_date, coalesce(n_orders, 0) AS n_orders FROM customer LEFT JOIN (SELECT o_custkey, min(o_orderdate) AS first_date, count(*) AS n_orders FROM orders GROUP BY o_custkey) ON c_custkey = o_custkey ORDER BY c_custkey",
+    "j5_validate_counts" ->
+      ("WITH expected AS (SELECT c_nationkey AS nation_key, count(*) AS expected_count FROM customer GROUP BY 1), " +
+        "actual AS (SELECT c_nationkey AS nation_key, count(DISTINCT c_custkey) AS actual_count FROM customer JOIN orders ON c_custkey = o_custkey GROUP BY 1) " +
+        "SELECT e.nation_key, e.expected_count, coalesce(a.actual_count, 0) AS actual_count, CASE WHEN a.actual_count = e.expected_count THEN 1 ELSE 0 END AS valid " +
+        "FROM expected e LEFT JOIN actual a ON e.nation_key = a.nation_key ORDER BY e.nation_key"),
+    "j6_semi_join" ->
+      "SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING') ORDER BY o_orderkey",
+    "j7_anti_join" ->
+      "SELECT c_custkey, c_name FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P') ORDER BY c_custkey",
+    "a1_group_count" ->
+      "SELECT o_orderpriority, count(*) AS n_orders FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority",
+    "a2_group_agg" ->
+      "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, round(sum(l_extendedprice), 2) AS sum_base_price, round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, round(avg(l_quantity), 2) AS avg_qty, count(*) AS count_order FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01' GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus",
+    "a3_count_distinct" ->
+      "SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_customers, count(*) AS n_orders FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus",
+    "a4_rollup" ->
+      "SELECT coalesce(r_name, 'ALL') AS region_name, coalesce(n_name, 'ALL') AS nation_name, count(*) AS n_customers FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey GROUP BY ROLLUP(r_name, n_name) ORDER BY region_name, nation_name",
+    "a5_cube" ->
+      "SELECT coalesce(o_orderstatus, 'ALL') AS order_status, coalesce(o_orderpriority, 'ALL') AS order_priority, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_price FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority) ORDER BY order_status, order_priority",
+    // a6_approx_distinct: intentionally no oracle — HLL estimates are
+    // engine-specific; bounded-error-vs-exact is asserted in ScalaTest.
+    "w1_topk_per_group" ->
+      "SELECT o_custkey, rk, o_orderkey, o_totalprice FROM (SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk FROM orders) WHERE rk <= 3 ORDER BY o_custkey, rk",
+    "w2_running_total" ->
+      "SELECT o_custkey, o_orderkey, round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total FROM orders ORDER BY o_custkey, o_orderkey",
+    "w3_lag_lead" ->
+      "SELECT o_custkey, o_orderkey, coalesce(lag(o_totalprice, 1) OVER w, 0.0) AS prev_price, coalesce(lead(o_totalprice, 1) OVER w, 0.0) AS next_price FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) ORDER BY o_custkey, o_orderkey",
+    "k5_slice" ->
+      "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer ORDER BY c_custkey LIMIT 498 OFFSET 1",
+    "q_topk_global" ->
+      "SELECT o_orderkey, o_custkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+    "set_union" ->
+      "SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING' UNION SELECT o_custkey FROM orders ORDER BY custkey",
+    "set_intersect" ->
+      "SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING' INTERSECT SELECT o_custkey FROM orders ORDER BY custkey",
+    "set_except" ->
+      "SELECT DISTINCT o_custkey AS custkey FROM orders EXCEPT SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING' ORDER BY custkey",
+    "f1_age_label" ->
+      s"SELECT CASE WHEN o_orderdate IS NULL THEN '' ELSE CAST($ageExpr AS VARCHAR) || ' years' END AS age_label, count(*) AS n_orders FROM orders GROUP BY age_label ORDER BY age_label",
+    "f2_grade_label" ->
+      "SELECT CASE WHEN c_nationkey IS NULL OR c_nationkey = 0 THEN '' ELSE 'Grade ' || CAST(c_nationkey AS VARCHAR) END AS grade_label, count(*) AS n_customers FROM customer GROUP BY grade_label ORDER BY grade_label",
+    "f6_json_extract" ->
+      "SELECT event_type, round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 2) AS avg_k, round(sum(value), 2) AS total_value, count(*) AS n_events FROM events GROUP BY event_type ORDER BY event_type",
+    "q_flagship" ->
+      (s"WITH dims AS (SELECT n_nationkey, n_name FROM nation JOIN region ON n_regionkey = r_regionkey WHERE r_name LIKE '%A%'), " +
+        s"joined AS (SELECT n_name, $ageExpr AS order_age, o_totalprice FROM customer JOIN dims ON c_nationkey = n_nationkey JOIN orders ON c_custkey = o_custkey), " +
+        "actual AS (SELECT n_name, count(*) AS n_orders, round(avg(order_age), 2) AS avg_order_age, round(sum(o_totalprice), 2) AS total_price FROM joined GROUP BY n_name), " +
+        "expected AS (SELECT n_name, count(*) AS n_customers FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name) " +
+        "SELECT a.n_name, a.n_orders, a.avg_order_age, a.total_price, coalesce(e.n_customers, 0) AS n_customers, " +
+        "CASE WHEN a.n_orders > 0 AND e.n_customers > 0 THEN 1 ELSE 0 END AS valid " +
+        "FROM actual a LEFT JOIN expected e ON a.n_name = e.n_name ORDER BY a.n_name"),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] = relationalOracle
 }

@@ -1,0 +1,423 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+import graft.functions.Scalars._
+
+/** Core relational operator catalog — every scan/filter/projection/join/
+  * aggregation/window/set-op/slice semantic from SURVEY.md §2, re-expressed
+  * as declarative Spark plans over the driver parquet corpus.
+  *
+  * Conventions (shared with the DuckDB oracle in [[graft.SparkEntry]]):
+  *  - every query ends in an explicit orderBy with a total tie-break, so
+  *    results are reproducible under any parallelism (the reference's row
+  *    order was API-arbitrary; SURVEY.md §2.6 documents this strengthening);
+  *  - double aggregates are round(_, 2) at the projection boundary
+  *    (SURVEY.md §7.4 float discipline);
+  *  - nulls stay internal; '' substitution happens only in final
+  *    projections (planning_center.py:65,70 semantics).
+  *
+  * Scale notes are on each query: what the plan does at 100 TB /
+  * 1000 executors, which joins broadcast, where the shuffles are.
+  */
+object Relational {
+
+  /** Pinned "today" for age math — current_date() would make results
+    * unreproducible (SURVEY.md §7.4.1).
+    */
+  val AsOfDate = "2026-06-01"
+
+  // ---------------------------------------------------------------------
+  // Scans / projections / filters (S1, S4, P1-P3)
+  // ---------------------------------------------------------------------
+
+  /** S1: plain dimension scan. At scale: metadata-only partition listing;
+    * column pruning reaches the parquet footer (ReadSchema).
+    */
+  def s1ScanProject(spark: SparkSession, dir: String): DataFrame =
+    Tables.region(spark, dir)
+      .select(col("r_regionkey"), col("r_name"))
+      .orderBy("r_regionkey")
+
+  /** S4: filter + projection — both must reach the scan (PushedFilters /
+    * ReadSchema in explain). Models the reference's server-side
+    * where[primary]=true pushdown (planning_center.py:64,69).
+    */
+  def s4FilteredScan(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") < lit("1996-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** P1: substring-contains filter (the "Youth" filter,
+    * planning_center.py:20). Catalyst pushes StringContains to parquet.
+    */
+  def p1ContainsFilter(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .filter(col("p_name").contains("widget"))
+      .select(col("p_partkey"), col("p_name"), col("p_brand"))
+      .orderBy("p_partkey")
+
+  /** P2+P3: projection with derived columns and an allowlist prune
+    * (csv_operations.py:10,21). Derivations are pure expressions (F2/F7).
+    */
+  def p2Projection(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select(
+        col("c_custkey"),
+        col("c_name"),
+        upper(col("c_mktsegment")).as("segment"),
+        gradeLabel(col("c_nationkey")).as("grade_label"))
+      .orderBy("c_custkey")
+
+  /** P4: pick-first-per-key with an explicit deterministic order — the
+    * reference took whatever row the API returned first
+    * (planning_center.py:65); we impose (date, orderkey) order. One shuffle
+    * on the window key; at scale this is a single hash-partitioned sort, no
+    * driver involvement.
+    */
+  def p4PickFirst(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey").as("first_orderkey"),
+        col("o_orderdate").cast("date").as("first_orderdate"))
+      .orderBy("o_custkey")
+  }
+
+  // ---------------------------------------------------------------------
+  // Joins (J1-J6)
+  // ---------------------------------------------------------------------
+
+  /** J1: dimension chain join (lists ⋈ ... in the reference). nation and
+    * region are broadcast — zero shuffle of the fact side.
+    */
+  def j1DimJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(count("*").as("n_customers"), round(sum("c_acctbal"), 2).as("total_acctbal"))
+      .orderBy("r_name")
+
+  /** J2: fact × fact equi-join (the reference's N+1 point lookups,
+    * planning_center.py:33-34, become one hash join). At 100 TB this is a
+    * shuffle/sort-merge join on the key; AQE handles skew. Bucketing both
+    * tables on the join key would remove the shuffle entirely.
+    */
+  def j2FactJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count("*").as("n_items"))
+      .orderBy("o_orderpriority")
+
+  /** J3/F7: left outer join with pick-first + ''-default on the right side
+    * (primary email join, planning_center.py:63-65). Aggregating the right
+    * side BEFORE the join keeps it 1:1 — partial aggregation happens
+    * map-side, and the join never explodes.
+    */
+  def j3LeftJoinDefault(spark: SparkSession, dir: String): DataFrame = {
+    val firstOrder = Tables.orders(spark, dir)
+      .groupBy("o_custkey")
+      .agg(min("o_orderdate").as("first_date"), count("*").as("n_orders"))
+    Tables.customer(spark, dir)
+      .join(firstOrder, col("c_custkey") === col("o_custkey"), "left")
+      .select(
+        col("c_custkey"),
+        emptyIfNull(col("first_date").cast("date").cast("string")).as("first_order_date"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+      .orderBy("c_custkey")
+  }
+
+  /** J5/A3: dual-source count reconciliation — the reference's one testing
+    * idea (webscraper.py:88-96): expected vs actual with unmatched → invalid
+    * (0). Both sides are pre-aggregated (tiny), so the verdict join is a
+    * broadcast.
+    */
+  def j5ValidateCounts(spark: SparkSession, dir: String): DataFrame = {
+    val expected = Tables.customer(spark, dir)
+      .groupBy(col("c_nationkey").as("nation_key"))
+      .agg(count("*").as("expected_count"))
+    val actual = Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"))
+      .groupBy(col("c_nationkey").as("nation_key"))
+      .agg(countDistinct("c_custkey").as("actual_count"))
+    Validation.validateCounts(expected, actual, "nation_key")
+      .orderBy("nation_key")
+  }
+
+  /** J6/P6: left-semi membership filter (the csv_fmt allowlist,
+    * csv_operations.py:18). Broadcast semi-join: no shuffle, no duplicate
+    * explosion.
+    */
+  def j6SemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val building = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    Tables.orders(spark, dir)
+      .join(broadcast(building), col("o_custkey") === col("c_custkey"), "left_semi")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Anti-join: report non-members (the engine-side failure report for
+    * J5/J6, SURVEY.md §2.4).
+    */
+  def jAntiJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(
+        Tables.orders(spark, dir).filter(col("o_orderstatus") === "P"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy("c_custkey")
+
+  // ---------------------------------------------------------------------
+  // Aggregations (A1-A3 + extensions)
+  // ---------------------------------------------------------------------
+
+  /** A1: group count (len(people_list[name]), planning_center.py:50).
+    * Partial+final hash aggregate; map-side combine means the shuffle
+    * carries one row per (partition × group), not per input row.
+    */
+  def a1GroupCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy("o_orderpriority")
+      .agg(count("*").as("n_orders"))
+      .orderBy("o_orderpriority")
+
+  /** Multi-aggregate over a fact table (TPC-H Q1 shape): sum/avg/count in
+    * one pass, all map-side combinable.
+    */
+  def a2GroupAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg("l_quantity"), 2).as("avg_qty"),
+        count("*").as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Exact distinct count — expands to a two-phase aggregate. At 100 TB
+    * prefer [[aApproxDistinct]] (HLL++) when ±2% is acceptable: one pass, no
+    * per-key state explosion.
+    */
+  def a3CountDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy("o_orderstatus")
+      .agg(
+        countDistinct("o_custkey").as("n_customers"),
+        count("*").as("n_orders"))
+      .orderBy("o_orderstatus")
+
+  /** HLL++ approximate distinct (no DuckDB oracle — estimator internals
+    * differ across engines; correctness is bounded-error-vs-exact, asserted
+    * in the ScalaTest spec instead).
+    */
+  def aApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct("l_orderkey", 0.02).as("approx_orders"))
+      .orderBy("l_returnflag")
+
+  /** ROLLUP hierarchy totals (region → nation → grand total). Null grouping
+    * slots are labelled 'ALL' so the output is oracle-stable.
+    */
+  def a4Rollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name"), col("n_name"))
+      .rollup("r_name", "n_name")
+      .agg(count("*").as("n_customers"))
+      .select(
+        coalesce(col("r_name"), lit("ALL")).as("region_name"),
+        coalesce(col("n_name"), lit("ALL")).as("nation_name"),
+        col("n_customers"))
+      .orderBy("region_name", "nation_name")
+
+  /** CUBE over two independent dimensions. */
+  def a5Cube(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count("*").as("n_orders"), round(sum("o_totalprice"), 2).as("total_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("order_status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("order_priority"),
+        col("n_orders"), col("total_price"))
+      .orderBy("order_status", "order_priority")
+
+  // ---------------------------------------------------------------------
+  // Windows / sorts / slices (§2.6, K5)
+  // ---------------------------------------------------------------------
+
+  /** Top-k per group via row_number (rank frames). One shuffle on the
+    * partition key; Spark 3.1+ inserts WindowGroupLimit to stop sorting
+    * whole groups at scale.
+    */
+  def w1TopkPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("o_custkey"), col("rk").cast("long").as("rk"), col("o_orderkey"),
+        col("o_totalprice"))
+      .orderBy("o_custkey", "rk")
+  }
+
+  /** Running total — rows-between frame; accumulation order is pinned by the
+    * window order so results are reproducible.
+    */
+  def w2RunningTotal(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(sum("o_totalprice").over(w), 2).as("running_total"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** lag/lead offsets within a key. */
+  def w3LagLead(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        coalesce(lag("o_totalprice", 1).over(w), lit(0.0)).as("prev_price"),
+        coalesce(lead("o_totalprice", 1).over(w), lit(0.0)).as("next_price"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** K5: the Sheets range-copy (google_sheets.py:77-88) — ordered offset 1,
+    * take ≤498 rows, first 5 columns, values materialized.
+    */
+  def k5Slice(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .orderBy("c_custkey")
+      .offset(1)
+      .limit(498)
+
+  /** Global top-k: Catalyst plans TakeOrderedAndProject — per-partition
+    * heaps, only k rows cross the wire.
+    */
+  def topkGlobal(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+
+  // ---------------------------------------------------------------------
+  // Set operations (§2.7)
+  // ---------------------------------------------------------------------
+
+  private def buildingCustkeys(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("custkey"))
+
+  private def orderingCustkeys(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir).select(col("o_custkey").as("custkey")).distinct()
+
+  def setUnion(spark: SparkSession, dir: String): DataFrame =
+    buildingCustkeys(spark, dir).union(orderingCustkeys(spark, dir))
+      .distinct().orderBy("custkey")
+
+  def setIntersect(spark: SparkSession, dir: String): DataFrame =
+    buildingCustkeys(spark, dir).intersect(orderingCustkeys(spark, dir))
+      .orderBy("custkey")
+
+  def setExcept(spark: SparkSession, dir: String): DataFrame =
+    orderingCustkeys(spark, dir).except(buildingCustkeys(spark, dir))
+      .orderBy("custkey")
+
+  // ---------------------------------------------------------------------
+  // Scalar-function queries (F1, F2, F6)
+  // ---------------------------------------------------------------------
+
+  /** F1: the age derivation with the tuple-compare birthday adjustment
+    * (planning_center.py:73-78), applied to order dates against a pinned
+    * as-of date, then aggregated.
+    */
+  def f1AgeLabel(spark: SparkSession, dir: String): DataFrame = {
+    val asOf = to_date(lit(AsOfDate))
+    Tables.orders(spark, dir)
+      .select(ageLabel(col("o_orderdate"), asOf).as("age_label"))
+      .groupBy("age_label")
+      .agg(count("*").as("n_orders"))
+      .orderBy("age_label")
+  }
+
+  /** F2: "Grade <g>" with Python-truthiness zero handling
+    * (planning_center.py:81-82) — c_nationkey includes 0, which must map to
+    * '' exactly like the reference.
+    */
+  def f2GradeLabel(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select(gradeLabel(col("c_nationkey")).as("grade_label"))
+      .groupBy("grade_label")
+      .agg(count("*").as("n_customers"))
+      .orderBy("grade_label")
+
+  /** F6: JSON field access (csv_operations.py:13 / the JSON:API nested
+    * reads) — get_json_object over the events.props JSON string.
+    */
+  def f6JsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(
+        col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"),
+        col("value"))
+      .groupBy("event_type")
+      .agg(
+        round(avg("k"), 2).as("avg_k"),
+        round(sum("value"), 2).as("total_value"),
+        count("*").as("n_events"))
+      .orderBy("event_type")
+
+  // ---------------------------------------------------------------------
+  // Flagship (§7.2): every structural element of the reference pipeline in
+  // one plan — filter → 3 joins → derive → agg → validate → project.
+  // ---------------------------------------------------------------------
+
+  def flagship(spark: SparkSession, dir: String): DataFrame = {
+    val asOf = to_date(lit(AsOfDate))
+    // P1-style name filter on the dimension (the "Youth" filter).
+    val dims = Tables.nation(spark, dir)
+      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name").contains("A"))
+    // J1/J2: dim ⋈ customer ⋈ orders; dims broadcast, one shuffle on custkey.
+    val joined = Tables.customer(spark, dir)
+      .join(broadcast(dims), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"))
+    // F1/F2 derivations, A1 aggregation.
+    val actual = joined
+      .select(col("n_name"),
+        ageYears(col("o_orderdate"), asOf).as("order_age"),
+        col("o_totalprice"))
+      .groupBy("n_name")
+      .agg(
+        count("*").as("n_orders"),
+        round(avg("order_age"), 2).as("avg_order_age"),
+        round(sum("o_totalprice"), 2).as("total_price"))
+    // J5 validation against an independently-computed expected count.
+    val expected = Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name").agg(count("*").as("n_customers"))
+    actual.join(expected, Seq("n_name"), "left")
+      .select(
+        col("n_name"), col("n_orders"), col("avg_order_age"), col("total_price"),
+        coalesce(col("n_customers"), lit(0L)).as("n_customers"),
+        when(col("n_orders") > 0 && col("n_customers") > 0, 1).otherwise(0).as("valid"))
+      .orderBy("n_name")
+  }
+}

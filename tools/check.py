@@ -1,0 +1,100 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's t2 correctness gate (dev tool only — the
+shipped engine is the Scala library; this script just lets the builder run
+the DuckDB-oracle compare before committing).
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name>/ parquet (Spark output), runs the matching
+SQL from <verifyOutDir>/oracle_sql.json in DuckDB against the same source
+tables, then compares: column names (sorted), row counts, and values (rows
+sorted by all columns, column order normalized).
+"""
+import json
+import math
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def values_equal(a, b):
+    if a is None and b is None:
+        return True
+    try:
+        if isinstance(a, float) or isinstance(b, float):
+            fa, fb = float(a), float(b)
+            if math.isnan(fa) and math.isnan(fb):
+                return True
+            return fa == fb
+    except (TypeError, ValueError):
+        pass
+    return str(a) == str(b)
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    failures = []
+    import glob
+    result_dirs = sorted(
+        d.rstrip("/").split("/")[-1]
+        for d in glob.glob(f"{out_dir}/*/") if "=" not in d)
+    for name in result_dirs:
+        try:
+            got = con.execute(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
+        except Exception as e:
+            failures.append((name, f"spark output unreadable: {e}"))
+            continue
+        if name not in oracle:
+            print(f"[rows-only] {name}: {len(got)} rows")
+            if len(got) == 0:
+                failures.append((name, "no oracle and 0 rows"))
+            continue
+        try:
+            exp = con.execute(oracle[name]).df()
+        except Exception as e:
+            failures.append((name, f"oracle sql failed: {e}"))
+            continue
+        g, e = canon(got), canon(exp)
+        if list(g.columns) != list(e.columns):
+            failures.append((name, f"columns {list(g.columns)} != {list(e.columns)}"))
+            continue
+        if len(g) != len(e):
+            failures.append((name, f"row count {len(g)} != {len(e)}"))
+            continue
+        bad = None
+        for col in g.columns:
+            gv, ev = g[col].tolist(), e[col].tolist()
+            for i, (x, y) in enumerate(zip(gv, ev)):
+                if not values_equal(x, y):
+                    bad = f"col {col} row {i}: spark={x!r} oracle={y!r}"
+                    break
+            if bad:
+                break
+        if bad:
+            failures.append((name, bad))
+        else:
+            print(f"[ok] {name}: {len(g)} rows")
+    print()
+    if failures:
+        for n, msg in failures:
+            print(f"[FAIL] {n}: {msg}")
+        sys.exit(1)
+    print(f"ALL PASS ({len(result_dirs)} queries)")
+
+
+if __name__ == "__main__":
+    main()
