@@ -1,24 +1,44 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+/** Benchmark entry: times every SparkEntry query at the configured scale
+  * factor and prints ONE JSON line for the driver.
+  *
+  * Honesty rules (round-1 finding: a throwing query was "timed" as if it
+  * had run): a failed query is reported under "errors", never given a
+  * fabricated seconds entry, and the process exits nonzero. A warm-up
+  * query runs first (untimed) so the first timed query doesn't absorb
+  * session/codegen startup (~4 s in round 1's numbers).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val spark = Sessions.local(cpus)
+    // Warm-up: exercise parquet reader, codegen, shuffle machinery once.
+    try SparkEntry.queries.get("j1_dim_join").foreach(_(spark, sfDir).count())
+    catch { case _: Throwable => () }
+    val times = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).count()
+        times(name) = (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        errors(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => " "
+      case c => c.toString
+    } + "\""
+    val qs = times.map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
+    val errs = errors.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
+    val total = times.values.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_queries":${times.size},"n_errors":${errors.size},"sf":"$sfDir"}""")
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

@@ -87,8 +87,10 @@ object SparkEntry {
         "FROM expected e LEFT JOIN actual a ON e.nation_key = a.nation_key ORDER BY e.nation_key"),
     "j6_semi_join" ->
       "SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING') ORDER BY o_orderkey",
+    // NOT EXISTS, not NOT IN: NOT IN returns zero rows if the subquery has
+    // any NULL key, which is not left_anti's semantics (advisor finding).
     "j7_anti_join" ->
-      "SELECT c_custkey, c_name FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P') ORDER BY c_custkey",
+      "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderstatus = 'P' AND o_custkey = c_custkey)",
     "a1_group_count" ->
       "SELECT o_orderpriority, count(*) AS n_orders FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority",
     "a2_group_agg" ->

@@ -22,16 +22,16 @@ object Tables {
   def orders(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "lineitem")
   /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects. Read nanos as long and truncate to microsecond timestamps
-    * (integer `div`, not `/`: ns-since-epoch exceeds 2^53, so a double
-    * division would lose precision). DuckDB's TIMESTAMP cast truncates ns
-    * the same way, keeping the oracle aligned.
+    * rejects. The session is built with nanosAsLong=true ([[Sessions]] —
+    * config belongs at session construction, not as a loader side effect);
+    * here we truncate the long nanos to microsecond timestamps (integer
+    * `div`, not `/`: ns-since-epoch exceeds 2^53, so a double division
+    * would lose precision). DuckDB's TIMESTAMP cast truncates ns the same
+    * way, keeping the oracle aligned.
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def events(spark: SparkSession, dir: String): DataFrame =
     load(spark, dir, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 }

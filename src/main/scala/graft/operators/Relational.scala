@@ -12,9 +12,12 @@ import graft.functions.Scalars._
   * as declarative Spark plans over the driver parquet corpus.
   *
   * Conventions (shared with the DuckDB oracle in [[graft.SparkEntry]]):
-  *  - every query ends in an explicit orderBy with a total tie-break, so
-  *    results are reproducible under any parallelism (the reference's row
-  *    order was API-arbitrary; SURVEY.md §2.6 documents this strengthening);
+  *  - output row order is NOT part of any query's contract except where
+  *    order is semantic (offset/limit slice, global top-k): the driver's
+  *    comparator row-sorts before hashing, and a trailing global sort is a
+  *    full extra exchange at scale for nothing. Queries whose SEMANTICS
+  *    need an order (pick-first, window frames, slices) pin it inside the
+  *    window/limit, with total tie-breaks for reproducibility;
   *  - double aggregates are round(_, 2) at the projection boundary
   *    (SURVEY.md §7.4 float discipline);
   *  - nulls stay internal; '' substitution happens only in final
@@ -40,7 +43,6 @@ object Relational {
   def s1ScanProject(spark: SparkSession, dir: String): DataFrame =
     Tables.region(spark, dir)
       .select(col("r_regionkey"), col("r_name"))
-      .orderBy("r_regionkey")
 
   /** S4: filter + projection — both must reach the scan (PushedFilters /
     * ReadSchema in explain). Models the reference's server-side
@@ -50,7 +52,6 @@ object Relational {
     Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") < lit("1996-01-01").cast("timestamp"))
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
-      .orderBy("l_orderkey", "l_linenumber")
 
   /** P1: substring-contains filter (the "Youth" filter,
     * planning_center.py:20). Catalyst pushes StringContains to parquet.
@@ -59,7 +60,6 @@ object Relational {
     Tables.part(spark, dir)
       .filter(col("p_name").contains("widget"))
       .select(col("p_partkey"), col("p_name"), col("p_brand"))
-      .orderBy("p_partkey")
 
   /** P2+P3: projection with derived columns and an allowlist prune
     * (csv_operations.py:10,21). Derivations are pure expressions (F2/F7).
@@ -71,7 +71,6 @@ object Relational {
         col("c_name"),
         upper(col("c_mktsegment")).as("segment"),
         gradeLabel(col("c_nationkey")).as("grade_label"))
-      .orderBy("c_custkey")
 
   /** P4: pick-first-per-key with an explicit deterministic order — the
     * reference took whatever row the API returned first
@@ -86,7 +85,6 @@ object Relational {
       .filter(col("rn") === 1)
       .select(col("o_custkey"), col("o_orderkey").as("first_orderkey"),
         col("o_orderdate").cast("date").as("first_orderdate"))
-      .orderBy("o_custkey")
   }
 
   // ---------------------------------------------------------------------
@@ -102,7 +100,6 @@ object Relational {
       .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
       .groupBy("r_name")
       .agg(count("*").as("n_customers"), round(sum("c_acctbal"), 2).as("total_acctbal"))
-      .orderBy("r_name")
 
   /** J2: fact × fact equi-join (the reference's N+1 point lookups,
     * planning_center.py:33-34, become one hash join). At 100 TB this is a
@@ -116,7 +113,6 @@ object Relational {
       .agg(
         round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
         count("*").as("n_items"))
-      .orderBy("o_orderpriority")
 
   /** J3/F7: left outer join with pick-first + ''-default on the right side
     * (primary email join, planning_center.py:63-65). Aggregating the right
@@ -133,7 +129,6 @@ object Relational {
         col("c_custkey"),
         emptyIfNull(col("first_date").cast("date").cast("string")).as("first_order_date"),
         coalesce(col("n_orders"), lit(0L)).as("n_orders"))
-      .orderBy("c_custkey")
   }
 
   /** J5/A3: dual-source count reconciliation — the reference's one testing
@@ -150,7 +145,6 @@ object Relational {
       .groupBy(col("c_nationkey").as("nation_key"))
       .agg(countDistinct("c_custkey").as("actual_count"))
     Validation.validateCounts(expected, actual, "nation_key")
-      .orderBy("nation_key")
   }
 
   /** J6/P6: left-semi membership filter (the csv_fmt allowlist,
@@ -164,7 +158,6 @@ object Relational {
     Tables.orders(spark, dir)
       .join(broadcast(building), col("o_custkey") === col("c_custkey"), "left_semi")
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
-      .orderBy("o_orderkey")
   }
 
   /** Anti-join: report non-members (the engine-side failure report for
@@ -176,7 +169,6 @@ object Relational {
         Tables.orders(spark, dir).filter(col("o_orderstatus") === "P"),
         col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"))
-      .orderBy("c_custkey")
 
   // ---------------------------------------------------------------------
   // Aggregations (A1-A3 + extensions)
@@ -190,7 +182,6 @@ object Relational {
     Tables.orders(spark, dir)
       .groupBy("o_orderpriority")
       .agg(count("*").as("n_orders"))
-      .orderBy("o_orderpriority")
 
   /** Multi-aggregate over a fact table (TPC-H Q1 shape): sum/avg/count in
     * one pass, all map-side combinable.
@@ -205,7 +196,6 @@ object Relational {
         round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
         round(avg("l_quantity"), 2).as("avg_qty"),
         count("*").as("count_order"))
-      .orderBy("l_returnflag", "l_linestatus")
 
   /** Exact distinct count — expands to a two-phase aggregate. At 100 TB
     * prefer [[aApproxDistinct]] (HLL++) when ±2% is acceptable: one pass, no
@@ -217,7 +207,6 @@ object Relational {
       .agg(
         countDistinct("o_custkey").as("n_customers"),
         count("*").as("n_orders"))
-      .orderBy("o_orderstatus")
 
   /** HLL++ approximate distinct (no DuckDB oracle — estimator internals
     * differ across engines; correctness is bounded-error-vs-exact, asserted
@@ -227,23 +216,36 @@ object Relational {
     Tables.lineitem(spark, dir)
       .groupBy("l_returnflag")
       .agg(approx_count_distinct("l_orderkey", 0.02).as("approx_orders"))
-      .orderBy("l_returnflag")
 
   /** ROLLUP hierarchy totals (region → nation → grand total). Null grouping
     * slots are labelled 'ALL' so the output is oracle-stable.
+    *
+    * Expressed through spark.sql over a temp view: in Spark 4.1.2 the
+    * DataFrame-API rollup over ANY join-derived columns trips the
+    * ambiguous-self-join detector (rollup's Expand duplicates the tagged
+    * grouping attributes) — reproduced with qualified dataset aliases,
+    * fresh Alias exprIds, toDF(), cleared metadata, and pre-aggregation;
+    * only the SQL path (no __dataset_id column tags) analyzes. Round-1
+    * runtime failure.
+    *
+    * Scale shape: the inner GROUP BY collapses the fact table to one row
+    * per (region, nation) BEFORE the rollup's 3-way Expand, so the expand
+    * and second aggregation run on |groups| rows, not |customers|.
     */
-  def a4Rollup(spark: SparkSession, dir: String): DataFrame =
+  def a4Rollup(spark: SparkSession, dir: String): DataFrame = {
     Tables.customer(spark, dir)
       .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
       .select(col("r_name"), col("n_name"))
-      .rollup("r_name", "n_name")
-      .agg(count("*").as("n_customers"))
-      .select(
-        coalesce(col("r_name"), lit("ALL")).as("region_name"),
-        coalesce(col("n_name"), lit("ALL")).as("nation_name"),
-        col("n_customers"))
-      .orderBy("region_name", "nation_name")
+      .createOrReplaceTempView("a4_rollup_input")
+    spark.sql(
+      """SELECT coalesce(r_name, 'ALL') AS region_name,
+        |       coalesce(n_name, 'ALL') AS nation_name,
+        |       sum(cnt) AS n_customers
+        |FROM (SELECT r_name, n_name, count(*) AS cnt
+        |      FROM a4_rollup_input GROUP BY r_name, n_name)
+        |GROUP BY ROLLUP(r_name, n_name)""".stripMargin)
+  }
 
   /** CUBE over two independent dimensions. */
   def a5Cube(spark: SparkSession, dir: String): DataFrame =
@@ -254,7 +256,6 @@ object Relational {
         coalesce(col("o_orderstatus"), lit("ALL")).as("order_status"),
         coalesce(col("o_orderpriority"), lit("ALL")).as("order_priority"),
         col("n_orders"), col("total_price"))
-      .orderBy("order_status", "order_priority")
 
   // ---------------------------------------------------------------------
   // Windows / sorts / slices (§2.6, K5)
@@ -271,7 +272,6 @@ object Relational {
       .filter(col("rk") <= 3)
       .select(col("o_custkey"), col("rk").cast("long").as("rk"), col("o_orderkey"),
         col("o_totalprice"))
-      .orderBy("o_custkey", "rk")
   }
 
   /** Running total — rows-between frame; accumulation order is pinned by the
@@ -284,7 +284,6 @@ object Relational {
     Tables.orders(spark, dir)
       .select(col("o_custkey"), col("o_orderkey"),
         round(sum("o_totalprice").over(w), 2).as("running_total"))
-      .orderBy("o_custkey", "o_orderkey")
   }
 
   /** lag/lead offsets within a key. */
@@ -295,7 +294,6 @@ object Relational {
         col("o_custkey"), col("o_orderkey"),
         coalesce(lag("o_totalprice", 1).over(w), lit(0.0)).as("prev_price"),
         coalesce(lead("o_totalprice", 1).over(w), lit(0.0)).as("next_price"))
-      .orderBy("o_custkey", "o_orderkey")
   }
 
   /** K5: the Sheets range-copy (google_sheets.py:77-88) — ordered offset 1,
@@ -334,11 +332,9 @@ object Relational {
 
   def setIntersect(spark: SparkSession, dir: String): DataFrame =
     buildingCustkeys(spark, dir).intersect(orderingCustkeys(spark, dir))
-      .orderBy("custkey")
 
   def setExcept(spark: SparkSession, dir: String): DataFrame =
     orderingCustkeys(spark, dir).except(buildingCustkeys(spark, dir))
-      .orderBy("custkey")
 
   // ---------------------------------------------------------------------
   // Scalar-function queries (F1, F2, F6)
@@ -354,7 +350,6 @@ object Relational {
       .select(ageLabel(col("o_orderdate"), asOf).as("age_label"))
       .groupBy("age_label")
       .agg(count("*").as("n_orders"))
-      .orderBy("age_label")
   }
 
   /** F2: "Grade <g>" with Python-truthiness zero handling
@@ -366,7 +361,6 @@ object Relational {
       .select(gradeLabel(col("c_nationkey")).as("grade_label"))
       .groupBy("grade_label")
       .agg(count("*").as("n_customers"))
-      .orderBy("grade_label")
 
   /** F6: JSON field access (csv_operations.py:13 / the JSON:API nested
     * reads) — get_json_object over the events.props JSON string.
@@ -382,7 +376,6 @@ object Relational {
         round(avg("k"), 2).as("avg_k"),
         round(sum("value"), 2).as("total_value"),
         count("*").as("n_events"))
-      .orderBy("event_type")
 
   // ---------------------------------------------------------------------
   // Flagship (§7.2): every structural element of the reference pipeline in
@@ -418,6 +411,5 @@ object Relational {
         col("n_name"), col("n_orders"), col("avg_order_age"), col("total_price"),
         coalesce(col("n_customers"), lit(0L)).as("n_customers"),
         when(col("n_orders") > 0 && col("n_customers") > 0, 1).otherwise(0).as("valid"))
-      .orderBy("n_name")
   }
 }

@@ -48,9 +48,22 @@ def main():
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     failures = []
     import glob
+    import os
     result_dirs = sorted(
         d.rstrip("/").split("/")[-1]
         for d in glob.glob(f"{out_dir}/*/") if "=" not in d)
+    # A query that crashed in Verify has no output dir; iterating only the
+    # dirs that exist would silently skip it (round-1 bug). Check the union
+    # of oracle keys and output dirs, plus Verify's own error report.
+    try:
+        verrs = json.load(open(f"{out_dir}/errors.json"))
+    except Exception:
+        verrs = {}
+    for name, msg in sorted(verrs.items()):
+        failures.append((name, f"verify reported failure: {msg}"))
+    for name in sorted(oracle):
+        if name not in result_dirs and name not in verrs:
+            failures.append((name, "oracle entry has no spark output dir"))
     for name in result_dirs:
         try:
             got = con.execute(
