@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.Relational
+import graft.operators.{LlmOps, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -55,7 +55,18 @@ object SparkEntry {
     "q_flagship"           -> Relational.flagship _,
   )
 
-  def queries: Map[String, Query] = relationalQueries
+  private val llmQueries: Map[String, Query] = Map(
+    "d1_dedup_exact"   -> LlmOps.d1DedupExact _,
+    "d2_dedup_minhash" -> LlmOps.d2DedupMinhash _,
+    "d3_simhash"       -> LlmOps.d3Simhash _,
+    "d4_ngram_jaccard" -> LlmOps.d4NgramJaccard _,
+    "t1_text_stats"    -> LlmOps.t1TextStats _,
+    "t2_lang_id"       -> LlmOps.t2LangId _,
+    "t3_quality_score" -> LlmOps.t3QualityScore _,
+    "t4_fingerprint"   -> LlmOps.t4Fingerprint _,
+  )
+
+  def queries: Map[String, Query] = relationalQueries ++ llmQueries
 
   // As-of date literal shared with Relational.AsOfDate — the oracle must
   // pin the same "today" (SURVEY.md §7.4.1).
@@ -135,8 +146,76 @@ object SparkEntry {
         "FROM actual a LEFT JOIN expected e ON a.n_name = e.n_name ORDER BY a.n_name"),
   )
 
+  // -- LLM-pipeline oracles -------------------------------------------
+  // DuckDB mirrors of the LlmOps expressions. Hashes are md5 hex (same
+  // function both engines); ratios are integer `*_milli` columns via
+  // round-half-up(1000x) = (2000*num + den) // (2*den) — no float
+  // rounding anywhere in the comparison surface.
+
+  private val duckShingles =
+    "CASE WHEN len(tok) < 3 THEN [] ELSE list_distinct(list_transform(range(1, len(tok) - 1), i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2])) END"
+
+  private val duckTok = "SELECT doc_id, source, text, string_split(text, ' ') AS tok FROM documents"
+
+  private def duckOcc(p: String): String =
+    s"(length(text) - length(replace(text, '$p', ''))) // ${p.length}"
+
+  private val llmOracle: Map[String, String] = Map(
+    "d1_dedup_exact" ->
+      "SELECT md5(text) AS text_hash, min(doc_id) AS canonical_doc_id, count(*) AS n_copies FROM documents GROUP BY md5(text)",
+    "d2_dedup_minhash" ->
+      (s"WITH tokd AS ($duckTok), " +
+        s"sh AS (SELECT doc_id, $duckShingles AS s FROM tokd), " +
+        s"sig AS (SELECT doc_id, list_transform(range(0, ${LlmOps.NumHashes}), h -> list_min(list_transform(s, x -> md5(h::VARCHAR || '|' || x)))) AS g FROM sh), " +
+        s"bands AS (SELECT doc_id, b, md5(array_to_string(g[b*${LlmOps.RowsPerBand}+1 : b*${LlmOps.RowsPerBand}+${LlmOps.RowsPerBand}], '|')) AS bkey FROM sig CROSS JOIN (VALUES (0),(1),(2),(3)) AS t(b)), " +
+        "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id) " +
+        "SELECT doc_a, doc_b, (2000*i + u) // (2*u) AS jaccard_milli FROM (" +
+        "SELECT doc_a, doc_b, len(list_intersect(sa.s, sb.s)) AS i, len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)) AS u " +
+        "FROM cand JOIN sh sa ON cand.doc_a = sa.doc_id JOIN sh sb ON cand.doc_b = sb.doc_id)"),
+    "d3_simhash" ->
+      (s"WITH tokd AS ($duckTok), " +
+        "t8 AS (SELECT doc_id, list_transform(tok, t -> substr(md5(t), 1, 8)) AS tok8 FROM tokd) " +
+        "SELECT doc_id, CAST(list_sum(list_transform(range(0, 32), b -> " +
+        "CASE WHEN list_sum(list_transform(tok8, t -> " +
+        "(((strpos('0123456789abcdef', substr(t, (b // 4) + 1, 1)) - 1 >> (b % 4)) & 1) * 2 - 1))) > 0 " +
+        "THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS simhash FROM t8"),
+    "d4_ngram_jaccard" ->
+      (s"WITH tokd AS ($duckTok), " +
+        s"sh AS (SELECT doc_id, source, $duckShingles AS s FROM tokd) " +
+        "SELECT source, doc_a, doc_b, (2000*i + u) // (2*u) AS jaccard_milli FROM (" +
+        "SELECT a.source AS source, a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+        "len(list_intersect(a.s, b.s)) AS i, len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS u " +
+        "FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id) " +
+        "WHERE (2000*i + u) // (2*u) > 0"),
+    "t1_text_stats" ->
+      (s"WITH tokd AS ($duckTok) " +
+        "SELECT doc_id, len(tok)::BIGINT AS n_tokens, len(list_distinct(tok))::BIGINT AS n_uniq_tokens, " +
+        "length(text)::BIGINT AS n_chars, " +
+        "(2000*(length(text) - (len(tok) - 1)) + len(tok)) // (2*len(tok)) AS avg_token_len_milli, " +
+        "(2000*len(list_distinct(tok)) + len(tok)) // (2*len(tok)) AS ttr_milli FROM tokd"),
+    "t2_lang_id" ->
+      (s"WITH s AS (SELECT doc_id, lang, ${duckOcc("th")} + ${duckOcc("he")} AS s_en, " +
+        s"${duckOcc("ch")} + ${duckOcc("ei")} AS s_de, ${duckOcc("le")} + ${duckOcc("es")} AS s_fr, " +
+        s"${duckOcc("os")} + ${duckOcc("la")} AS s_es FROM documents) " +
+        "SELECT doc_id, lang, s_en, s_de, s_fr, s_es, " +
+        "CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en' " +
+        "WHEN s_de >= s_fr AND s_de >= s_es THEN 'de' " +
+        "WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS predicted_lang FROM s"),
+    "t3_quality_score" ->
+      (s"WITH tokd AS ($duckTok), " +
+        "c AS (SELECT doc_id, len(tok)::BIGINT AS n, len(list_distinct(tok))::BIGINT AS u, " +
+        "len(list_filter(tok, t -> t IN ('the', 'a')))::BIGINT AS stop FROM tokd), " +
+        "q AS (SELECT doc_id, n, stop, (400*(n - stop)) // n + least(3*n, 300) + (300*u) // n AS quality_milli FROM c) " +
+        "SELECT doc_id, n AS n_tokens, stop AS n_stopwords, quality_milli, " +
+        "CASE WHEN quality_milli >= 600 THEN 'high' WHEN quality_milli >= 400 THEN 'medium' ELSE 'low' END AS tier FROM q"),
+    "t4_fingerprint" ->
+      ("SELECT doc_id, md5(text) AS doc_md5, " +
+        "CASE WHEN length(text) < 5 THEN md5(text) ELSE list_min(list_transform(range(1, length(text) - 3), i -> md5(substr(text, i, 5)))) END AS min_shingle_hash " +
+        "FROM documents"),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
-  def oracleSql: Map[String, String] = relationalOracle
+  def oracleSql: Map[String, String] = relationalOracle ++ llmOracle
 }

@@ -1,0 +1,288 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** LLM-training-data pipeline operators over the `documents` corpus:
+  * deduplication (exact, MinHash/LSH, SimHash, n-gram Jaccard), text
+  * analysis (stats, language-ID heuristic, quality scoring), and document
+  * fingerprinting. The north-star extension family (SURVEY.md §7.1 M5) —
+  * the reference pipeline has no analog; these are the operations a 100 TB
+  * pretraining-data curation run needs.
+  *
+  * Engine/oracle parity rules used throughout:
+  *  - Hashes are md5 hex (identical in Spark and DuckDB); no xxhash64 /
+  *    crc32 (engine-specific). At real scale you'd swap md5 for xxhash64
+  *    (one line per expression) — md5 here buys a cross-engine oracle.
+  *  - Every similarity/ratio ships as an integer `*_milli` column computed
+  *    with pure integer arithmetic — round-half-up(1000x) via
+  *    `(2000*num + den) div (2*den)` — so the oracle compare never touches
+  *    float rounding.
+  *  - All higher-order expressions are Catalyst built-ins (transform /
+  *    aggregate / filter / array_*): codegen-friendly, no UDFs, fully
+  *    distributed.
+  *
+  * Scale notes: every per-document derivation is embarrassingly parallel
+  * (map-only, no shuffle). The only shuffles are the banded-LSH
+  * candidate join (shuffle on (band, band_key) — the whole point of LSH
+  * banding is that this join is tiny vs the O(n²) all-pairs join) and the
+  * per-source pair join in [[d4NgramJaccard]] (bounded by source-group
+  * size; at 100 TB you'd band it too).
+  */
+object LlmOps {
+
+  // ---------------------------------------------------------------------
+  // Shared expression fragments (SQL strings so the DuckDB oracle in
+  // SparkEntry can mirror them token-for-token).
+  // ---------------------------------------------------------------------
+
+  /** Word tokens; the corpus is single-spaced. */
+  private val tokExpr = "split(text, ' ')"
+
+  /** Distinct word 3-gram shingles. Guarded for <3-token docs (sequence()
+    * would descend); corpus min is 10 tokens but other inputs may not be.
+    */
+  private val shinglesExpr =
+    s"""case when size($tokExpr) < 3 then array()
+       |else array_distinct(transform(sequence(1, size($tokExpr) - 2),
+       |  i -> concat(element_at($tokExpr, i), ' ',
+       |              element_at($tokExpr, i + 1), ' ',
+       |              element_at($tokExpr, i + 2))))
+       |end""".stripMargin
+
+  /** MinHash parameters: 8 hash functions, banded 4 × 2 for LSH.
+    * Seeded family: h_k(x) = md5(k || '|' || x); signature k = min over
+    * shingles. Band key = md5 of the band's signature slice.
+    */
+  val NumHashes = 8
+  val NumBands = 4
+  val RowsPerBand = 2
+
+  private val sigExpr =
+    s"""transform(sequence(0, ${NumHashes - 1}),
+       |  h -> array_min(transform(sh, x -> md5(concat(cast(h as string), '|', x)))))""".stripMargin
+
+  /** (doc_id → idName, band, bkey) — one row per (doc, band). Built from a
+    * fresh scan each call so the LSH self-join has two independent
+    * lineages (avoids Spark's ambiguous-self-join detection).
+    */
+  private def minhashBands(spark: SparkSession, dir: String, idName: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("sh", expr(shinglesExpr))
+      .withColumn("sig", expr(sigExpr))
+      .select(
+        col("doc_id").as(idName),
+        posexplode(expr(
+          s"""transform(sequence(0, ${NumBands - 1}),
+             |  b -> md5(concat_ws('|', slice(sig, b * $RowsPerBand + 1, $RowsPerBand))))""".stripMargin))
+          .as(Seq("band", "bkey")))
+
+  /** (doc_id → idName, shingle set → setName) for exact-Jaccard verify. */
+  private def docShingles(spark: SparkSession, dir: String, idName: String, setName: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id").as(idName), expr(shinglesExpr).as(setName))
+
+  /** Round-half-up(1000 * num / den) in pure integer arithmetic. */
+  private def milli(num: String, den: String): String =
+    s"(2000 * ($num) + ($den)) div (2 * ($den))"
+
+  // ---------------------------------------------------------------------
+  // D1: exact dedup — hash-groupBy, keep lowest doc_id per text.
+  // ---------------------------------------------------------------------
+
+  /** Exact deduplication: group by content hash, keep the lowest doc_id as
+    * canonical. At 100 TB: one shuffle on the 128-bit hash (uniformly
+    * distributed — no skew), partial aggregation map-side; never a global
+    * sort or collect.
+    */
+  def d1DedupExact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(
+        min("doc_id").as("canonical_doc_id"),
+        count("*").as("n_copies"))
+
+  // ---------------------------------------------------------------------
+  // D2: fuzzy dedup — MinHash signatures, LSH banding, banded candidate
+  // join, exact-Jaccard verification of candidates only.
+  // ---------------------------------------------------------------------
+
+  /** MinHash/LSH near-duplicate candidates with exact-Jaccard verify.
+    *
+    * Pipeline: shingle → 8-way minhash signature → 4 bands of 2 → banded
+    * self-join on (band, band_key) → distinct pairs → join back to shingle
+    * sets → exact Jaccard on candidates only.
+    *
+    * The banded join is the scale story: candidates are generated by
+    * equality on band keys (a tiny shuffle join), NOT by comparing all
+    * O(n²) pairs; exact similarity is computed only for the candidate set.
+    * Collision probability per band is J^r, so the candidate count stays
+    * ~linear while recall for true near-dups (J close to 1) stays high.
+    */
+  def d2DedupMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val bandsA = minhashBands(spark, dir, "doc_a")
+    val bandsB = minhashBands(spark, dir, "doc_b")
+    val candidates = bandsA
+      .join(bandsB, Seq("band", "bkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+    val shA = docShingles(spark, dir, "doc_a", "sa")
+    val shB = docShingles(spark, dir, "doc_b", "sb")
+    candidates
+      .join(shA, "doc_a")
+      .join(shB, "doc_b")
+      .select(
+        col("doc_a"), col("doc_b"),
+        expr(milli(
+          "size(array_intersect(sa, sb))",
+          "size(sa) + size(sb) - size(array_intersect(sa, sb))")).as("jaccard_milli"))
+  }
+
+  // ---------------------------------------------------------------------
+  // D3: SimHash signatures (32-bit).
+  // ---------------------------------------------------------------------
+
+  /** 32-bit SimHash per document: bit b of the signature is the sign of
+    * sum over tokens of (bit b of token-hash ? +1 : −1); token frequency
+    * weights fall out naturally from iterating the full (non-distinct)
+    * token list. Token hash = first 8 md5 hex chars, consumed nibble-wise
+    * (portable to the DuckDB oracle — no hex-int parsing needed).
+    *
+    * Two-step so md5 runs ONCE per token, not once per (token, bit):
+    * tok8 = md5 prefix per token, then per-bit nibble lookups are cheap
+    * substring+instr. Map-only, no shuffle.
+    */
+  def d3Simhash(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("tok8", expr(s"transform($tokExpr, t -> substring(md5(t), 1, 8))"))
+      .select(
+        col("doc_id"),
+        expr(
+          """cast(aggregate(sequence(0, 31), 0L, (acc, b) -> acc +
+            |  if(aggregate(tok8, 0,
+            |       (a2, t) -> a2 + ((shiftright(instr('0123456789abcdef', substring(t, (b div 4) + 1, 1)) - 1, b % 4) & 1) * 2 - 1)
+            |     ) > 0, shiftleft(1L, b), 0L)) as bigint)""".stripMargin).as("simhash"))
+
+  // ---------------------------------------------------------------------
+  // D4: n-gram Jaccard near-dup pairs within a blocking key.
+  // ---------------------------------------------------------------------
+
+  /** Exact 3-gram Jaccard over pairs blocked by `source` (the classic
+    * "block then verify" dedup shape: compare only within a blocking key,
+    * never all-pairs). Emits pairs with any shingle overlap.
+    *
+    * At 100 TB the block join shuffles on `source`; skewed blocks would be
+    * salted or re-banded with minhash ([[d2DedupMinhash]]) — this operator
+    * is the exact-verification building block.
+    */
+  def d4NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val a = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id").as("doc_a"), expr(shinglesExpr).as("sa"))
+    val b = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id").as("doc_b"), expr(shinglesExpr).as("sb"))
+    a.join(b, Seq("source"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(
+        col("source"), col("doc_a"), col("doc_b"),
+        expr(milli(
+          "size(array_intersect(sa, sb))",
+          "size(sa) + size(sb) - size(array_intersect(sa, sb))")).as("jaccard_milli"))
+      .filter(col("jaccard_milli") > 0)
+  }
+
+  // ---------------------------------------------------------------------
+  // T1: per-document text statistics.
+  // ---------------------------------------------------------------------
+
+  /** Token/char counts, average token length, type-token ratio — the
+    * basic text-quality signals. Map-only; integer outputs.
+    * avg token length uses the single-spaced identity
+    * chars_in_tokens = length − (n − 1).
+    */
+  def t1TextStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        expr(s"cast(size($tokExpr) as bigint)").as("n_tokens"),
+        expr(s"cast(size(array_distinct($tokExpr)) as bigint)").as("n_uniq_tokens"),
+        expr("cast(length(text) as bigint)").as("n_chars"),
+        expr(milli(s"length(text) - (size($tokExpr) - 1)", s"size($tokExpr)")).as("avg_token_len_milli"),
+        expr(milli(s"size(array_distinct($tokExpr))", s"size($tokExpr)")).as("ttr_milli"))
+
+  // ---------------------------------------------------------------------
+  // T2: language-ID heuristic (character-bigram markers).
+  // ---------------------------------------------------------------------
+
+  /** Char-bigram marker counting: occurrences via the length-difference
+    * identity (no regex engine differences), argmax with a fixed
+    * tie-break order. A real pipeline would use a trained n-gram profile;
+    * the *query shape* (per-doc marker scores → argmax label) is the
+    * same and that is what the engine must run at scale. Map-only.
+    */
+  def t2LangId(spark: SparkSession, dir: String): DataFrame = {
+    def occ(p: String): String =
+      s"(length(text) - length(replace(text, '$p', ''))) div ${p.length}"
+    val sEn = s"${occ("th")} + ${occ("he")}"
+    val sDe = s"${occ("ch")} + ${occ("ei")}"
+    val sFr = s"${occ("le")} + ${occ("es")}"
+    val sEs = s"${occ("os")} + ${occ("la")}"
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"), col("lang"),
+        expr(sEn).as("s_en"), expr(sDe).as("s_de"),
+        expr(sFr).as("s_fr"), expr(sEs).as("s_es"))
+      .select(
+        col("doc_id"), col("lang"),
+        col("s_en"), col("s_de"), col("s_fr"), col("s_es"),
+        expr(
+          """case when s_en >= s_de and s_en >= s_fr and s_en >= s_es then 'en'
+            |     when s_de >= s_fr and s_de >= s_es then 'de'
+            |     when s_fr >= s_es then 'fr'
+            |     else 'es' end""".stripMargin).as("predicted_lang"))
+  }
+
+  // ---------------------------------------------------------------------
+  // T3: quality scoring.
+  // ---------------------------------------------------------------------
+
+  /** Composite quality score in [0, 1000]: 40% non-stopword ratio + 30%
+    * length saturation (min(n/100, 1)) + 30% type-token ratio, with a
+    * tier label. All-integer arithmetic; map-only.
+    */
+  def t3QualityScore(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        expr(s"cast(size($tokExpr) as bigint)").as("n"),
+        expr(s"cast(size(array_distinct($tokExpr)) as bigint)").as("u"),
+        expr(s"cast(size(filter($tokExpr, t -> t in ('the', 'a'))) as bigint)").as("stop"))
+      .select(
+        col("doc_id"),
+        col("n").as("n_tokens"),
+        col("stop").as("n_stopwords"),
+        expr("(400 * (n - stop)) div n + least(3 * n, 300L) + (300 * u) div n").as("quality_milli"))
+      .withColumn("tier",
+        expr("case when quality_milli >= 600 then 'high' when quality_milli >= 400 then 'medium' else 'low' end"))
+
+  // ---------------------------------------------------------------------
+  // T4: document fingerprinting.
+  // ---------------------------------------------------------------------
+
+  /** Content fingerprints: full-text md5 plus the minimum hash over
+    * char-5-gram shingles (a 1-hash winnowing fingerprint — stable under
+    * small edits away from the minimizing shingle). Map-only.
+    */
+  def t4Fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        md5(col("text")).as("doc_md5"),
+        expr(
+          """case when length(text) < 5 then md5(text)
+            |else array_min(transform(sequence(1, length(text) - 4),
+            |       i -> md5(substring(text, i, 5))))
+            |end""".stripMargin).as("min_shingle_hash"))
+}
