@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{LlmOps, Relational}
+import graft.operators.{LlmOps, Relational, Similarity}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -66,7 +66,12 @@ object SparkEntry {
     "t4_fingerprint"   -> LlmOps.t4Fingerprint _,
   )
 
-  def queries: Map[String, Query] = relationalQueries ++ llmQueries
+  private val simQueries: Map[String, Query] = Map(
+    "sim_topk"      -> Similarity.simTopk _,
+    "sim_lsh_pairs" -> Similarity.simLshPairs _,
+  )
+
+  def queries: Map[String, Query] = relationalQueries ++ llmQueries ++ simQueries
 
   // As-of date literal shared with Relational.AsOfDate — the oracle must
   // pin the same "today" (SURVEY.md §7.4.1).
@@ -214,8 +219,33 @@ object SparkEntry {
         "FROM documents"),
   )
 
+  // -- Similarity oracles ---------------------------------------------
+  // Vector math in double; cosines exported as floor(1000x + 0.5) ints;
+  // rank key (cos_milli DESC, vec_id) matches the Spark window exactly.
+
+  private def cosOf(a: String, b: String): String =
+    s"CAST(floor(1000 * (list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))) + 0.5) AS BIGINT)"
+
+  private val simOracle: Map[String, String] = Map(
+    "sim_topk" ->
+      ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings), " +
+        s"q AS (SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < ${Similarity.NumQueries}), " +
+        s"pairs AS (SELECT query_id, vec_id, ${cosOf("qe", "emb")} AS cos_milli FROM e CROSS JOIN q WHERE vec_id != query_id), " +
+        "r AS (SELECT query_id, vec_id, cos_milli, row_number() OVER (PARTITION BY query_id ORDER BY cos_milli DESC, vec_id) AS rank FROM pairs) " +
+        s"SELECT query_id, rank, vec_id AS neighbor_id, cos_milli FROM r WHERE rank <= ${Similarity.TopK}"),
+    "sim_lsh_pairs" ->
+      ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings), " +
+        s"planes AS (SELECT vec_id AS p, emb AS pe FROM e WHERE vec_id < ${Similarity.NumLshPlanes}), " +
+        "buck AS (SELECT vec_id, sum(CASE WHEN list_dot_product(emb, pe) > 0 THEN (1::BIGINT << p) ELSE 0 END) AS bucket FROM e CROSS JOIN planes GROUP BY vec_id), " +
+        "be AS (SELECT e.vec_id, bucket, emb FROM buck JOIN e ON buck.vec_id = e.vec_id) " +
+        "SELECT bucket, vec_a, vec_b, cos_milli FROM (" +
+        s"SELECT a.bucket AS bucket, a.vec_id AS vec_a, b.vec_id AS vec_b, ${cosOf("a.emb", "b.emb")} AS cos_milli " +
+        "FROM be a JOIN be b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) " +
+        s"WHERE cos_milli >= ${Similarity.LshThreshold}"),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
-  def oracleSql: Map[String, String] = relationalOracle ++ llmOracle
+  def oracleSql: Map[String, String] = relationalOracle ++ llmOracle ++ simOracle
 }

@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+
+/** Similarity search over the `embeddings` table (64-dim float vectors):
+  * brute-force cosine top-k as the correctness baseline, and a
+  * random-hyperplane LSH bucketed near-neighbor join as the scale path.
+  *
+  * Cross-engine parity: all vector math runs in double (float arrays are
+  * cast first); cosines are exported as integer `cos_milli` =
+  * floor(1000·cos + 0.5) and ranking uses (cos_milli, vec_id) so the
+  * DuckDB oracle orders identically. Dot products are sequential
+  * left-folds over the array in both engines.
+  *
+  * Scale notes: the brute-force path broadcasts the (small) query set and
+  * scans the corpus once — O(|queries|·N) but embarrassingly parallel,
+  * the right baseline and the right tool when |queries| is small. The LSH
+  * path buckets every vector by an 8-bit hyperplane sign signature and
+  * joins within buckets only — candidate generation is an equi-join on
+  * the bucket key (shuffle on a uniform 8-bit key), never the O(N²)
+  * cross join; exact cosine runs on candidates only. At 100 TB you would
+  * raise the bit width / band the signature like MinHash — the plan
+  * shape stays identical.
+  */
+object Similarity {
+
+  /** Double-cast embedding column. */
+  private val embExpr = "transform(embedding, x -> cast(x as double))"
+
+  /** Sequential-fold cosine between two double-array columns, as integer
+    * milli (round-half-up via floor(x + 0.5); deterministic given
+    * identical inputs).
+    */
+  private def cosMilli(a: String, b: String): String =
+    s"""cast(floor(1000 * (
+       |  aggregate(zip_with($a, $b, (x, y) -> x * y), cast(0 as double), (acc, v) -> acc + v)
+       |  / (sqrt(aggregate($a, cast(0 as double), (acc, x) -> acc + x * x))
+       |     * sqrt(aggregate($b, cast(0 as double), (acc, x) -> acc + x * x)))
+       |) + 0.5) as bigint)""".stripMargin
+
+  /** Number of query vectors (lowest vec_ids) for the top-k baseline. */
+  val NumQueries = 8
+
+  /** Neighbors returned per query. */
+  val TopK = 5
+
+  /** Hyperplane count for the LSH signature (data-derived planes: the
+    * first [[NumLshPlanes]] vectors — deterministic, no RNG needed).
+    */
+  val NumLshPlanes = 8
+
+  /** Minimum cos_milli for a bucketed pair to count as a near-neighbor. */
+  val LshThreshold = 200
+
+  // ---------------------------------------------------------------------
+  // Brute-force cosine top-k (baseline).
+  // ---------------------------------------------------------------------
+
+  /** Exact top-k nearest neighbors by cosine for the query set
+    * (vec_id < [[NumQueries]]): broadcast the queries, scan the corpus
+    * once, window-rank per query. Rank key is (cos_milli desc, vec_id) —
+    * fully deterministic and oracle-stable.
+    */
+  def simTopk(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), expr(embExpr).as("emb"))
+    val queries = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), expr(embExpr).as("qe"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos_milli").desc, col("vec_id"))
+    corpus.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), expr(cosMilli("qe", "emb")).as("cos_milli"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("neighbor_id"), col("cos_milli"))
+  }
+
+  // ---------------------------------------------------------------------
+  // LSH-bucketed near-neighbor join (scale path).
+  // ---------------------------------------------------------------------
+
+  /** (vec_id, bucket, emb) with bucket = 8-bit sign pattern of dot
+    * products against the plane vectors. The per-vector bucket is an
+    * integer SUM of distinct power-of-two terms — associative and
+    * commutative, so aggregation order cannot change it.
+    */
+  private def bucketed(spark: SparkSession, dir: String, idName: String,
+                       bucketName: String, embName: String): DataFrame = {
+    val planes = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < NumLshPlanes)
+      .select(col("vec_id").as("p"), expr(embExpr).as("pe"))
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), expr(embExpr).as("emb"))
+    e.crossJoin(broadcast(planes))
+      .select(col("vec_id"), col("emb"), col("p"),
+        expr("aggregate(zip_with(emb, pe, (x, y) -> x * y), cast(0 as double), (acc, v) -> acc + v)").as("d"))
+      .groupBy("vec_id", "emb")
+      .agg(sum(when(col("d") > 0, expr("shiftleft(1L, p)")).otherwise(0L)).as("bucket"))
+      .select(col("vec_id").as(idName), col("bucket").as(bucketName), col("emb").as(embName))
+  }
+
+  /** Near-neighbor pairs via LSH buckets: equi-join on the bucket key,
+    * exact cosine on the candidates, threshold filter. The two sides are
+    * built from independent scans (self-join hygiene).
+    */
+  def simLshPairs(spark: SparkSession, dir: String): DataFrame = {
+    val a = bucketed(spark, dir, "vec_a", "bucket", "ea")
+    val b = bucketed(spark, dir, "vec_b", "bucket_b", "eb")
+    a.join(b, col("bucket") === col("bucket_b") && col("vec_a") < col("vec_b"))
+      .select(col("bucket"), col("vec_a"), col("vec_b"),
+        expr(cosMilli("ea", "eb")).as("cos_milli"))
+      .filter(col("cos_milli") >= LshThreshold)
+  }
+}
