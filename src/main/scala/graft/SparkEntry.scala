@@ -52,6 +52,9 @@ object SparkEntry {
     "f1_age_label"         -> Relational.f1AgeLabel _,
     "f2_grade_label"       -> Relational.f2GradeLabel _,
     "f6_json_extract"      -> Relational.f6JsonExtract _,
+    "s5_parse_source"      -> Relational.s5ParseSource _,
+    "p7_rename_lookup"     -> Relational.p7RenameLookup _,
+    "j4_pick_first_supplier" -> Relational.j4PickFirstSupplier _,
     "q_flagship"           -> Relational.flagship _,
   )
 
@@ -141,6 +144,17 @@ object SparkEntry {
       "SELECT CASE WHEN c_nationkey IS NULL OR c_nationkey = 0 THEN '' ELSE 'Grade ' || CAST(c_nationkey AS VARCHAR) END AS grade_label, count(*) AS n_customers FROM customer GROUP BY grade_label ORDER BY grade_label",
     "f6_json_extract" ->
       "SELECT event_type, round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 2) AS avg_k, round(sum(value), 2) AS total_value, count(*) AS n_events FROM events GROUP BY event_type ORDER BY event_type",
+    "s5_parse_source" ->
+      ("""SELECT event_type, count(*) AS n_rows, min(k) AS min_k, max(k) AS max_k, sum(k) AS sum_k FROM """ +
+        """(SELECT event_type, CAST(nullif(regexp_extract(props, '"k":\s*(\d+)', 1), '') AS INTEGER) AS k FROM events) GROUP BY event_type"""),
+    "p7_rename_lookup" ->
+      ("WITH fmt(lang, csv_name) AS (VALUES ('en', 'english_docs'), ('de', 'german_docs'), ('fr', 'french_docs')) " +
+        "SELECT doc_id, d.lang AS lang, csv_name FROM documents d JOIN fmt ON d.lang = fmt.lang"),
+    "j4_pick_first_supplier" ->
+      ("WITH cheapest AS (SELECT l_partkey, l_suppkey AS cheapest_suppkey, l_extendedprice AS cheapest_price FROM " +
+        "(SELECT l_partkey, l_suppkey, l_extendedprice, row_number() OVER (PARTITION BY l_partkey ORDER BY l_extendedprice, l_suppkey) AS rn FROM lineitem) WHERE rn = 1) " +
+        "SELECT p_partkey, coalesce(cheapest_suppkey, -1) AS cheapest_suppkey, coalesce(cheapest_price, 0.0) AS cheapest_price " +
+        "FROM part LEFT JOIN cheapest ON p_partkey = l_partkey"),
     "q_flagship" ->
       (s"WITH dims AS (SELECT n_nationkey, n_name FROM nation JOIN region ON n_regionkey = r_regionkey WHERE r_name LIKE '%A%'), " +
         s"joined AS (SELECT n_name, $ageExpr AS order_age, o_totalprice FROM customer JOIN dims ON c_nationkey = n_nationkey JOIN orders ON c_custkey = o_custkey), " +

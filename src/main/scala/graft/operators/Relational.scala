@@ -377,6 +377,58 @@ object Relational {
         round(sum("value"), 2).as("total_value"),
         count("*").as("n_events"))
 
+  /** S5: parse-into-rows over semi-structured text (the HTML-card scrape,
+    * webscraper.py:64-77 — name at :69, int(count) at :70): regexp
+    * extraction + cast + aggregate, all on the scan side of any join.
+    * Here the events.props JSON strings play the semi-structured page.
+    */
+  def s5ParseSource(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(
+        col("event_type"),
+        regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast("int").as("k"))
+      .groupBy("event_type")
+      .agg(
+        count("*").as("n_rows"),
+        min("k").as("min_k"),
+        max("k").as("max_k"),
+        sum("k").as("sum_k"))
+
+  /** S6+P6+P7: the csv_fmt config map (csv_operations.py:12-19) — a tiny
+    * driver-side map becomes a broadcast lookup table; membership filter
+    * (only configured keys survive, :18) + rename-via-lookup (:19) in one
+    * broadcast inner join. Zero shuffle of the fact side.
+    */
+  def p7RenameLookup(spark: SparkSession, dir: String): DataFrame = {
+    val fmt = spark.createDataFrame(Seq(
+      ("en", "english_docs"),
+      ("de", "german_docs"),
+      ("fr", "french_docs"))).toDF("lang", "csv_name")
+    Tables.documents(spark, dir)
+      .join(broadcast(fmt), "lang")
+      .select(col("doc_id"), col("lang"), col("csv_name"))
+  }
+
+  /** J4: the second pick-first+default instance (phones,
+    * planning_center.py:68-70, same pattern as emails :63-65): cheapest
+    * supplier per part from lineitem, parts with no lineitem defaulting.
+    * Window pick-first runs BEFORE the left join so the join stays 1:1.
+    */
+  def j4PickFirstSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("l_partkey").orderBy(col("l_extendedprice"), col("l_suppkey"))
+    val cheapest = Tables.lineitem(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("l_partkey"), col("l_suppkey").as("cheapest_suppkey"),
+        col("l_extendedprice").as("cheapest_price"))
+    Tables.part(spark, dir)
+      .join(cheapest, col("p_partkey") === col("l_partkey"), "left")
+      .select(
+        col("p_partkey"),
+        coalesce(col("cheapest_suppkey"), lit(-1L)).as("cheapest_suppkey"),
+        coalesce(col("cheapest_price"), lit(0.0)).as("cheapest_price"))
+  }
+
   // ---------------------------------------------------------------------
   // Flagship (§7.2): every structural element of the reference pipeline in
   // one plan — filter → 3 joins → derive → agg → validate → project.

@@ -1,0 +1,56 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Output half of the reference pipeline (K1-K3):
+  *
+  *  - K1 (csv_operations.py:20-24): header CSV per list, column-pruned to
+  *    the exact allowlist and order `name,primary_email,
+  *    primary_phone_number,grade,age` (csv_operations.py:10); extra
+  *    fields dropped (extrasaction='ignore' ≡ the select).
+  *  - K2 (s3_operations.py:8-13): the sink takes a base URI — a local
+  *    path in tests, `s3a://planningcenter/CSVs` in production — same
+  *    code path; object-store vs filesystem is Hadoop-FS config, not
+  *    engine logic.
+  *  - K3 (google_sheets.py:33-36): full-replace semantics =
+  *    SaveMode.Overwrite.
+  *  - K4 (google_sheets.py:47-60) is a documented no-op: Spark's lazy
+  *    evaluation recomputes derived values by construction.
+  *
+  * Scale notes: one file per list via repartition on the partition
+  * column (each key hashes to exactly one task); rows inside a file are
+  * sorted (person_list, name) — the reference's CSV row order was API
+  * return order (csv_operations.py:23), pinned here for reproducibility.
+  * At 100 TB you would drop the per-key single-file constraint (let each
+  * list produce many files) by removing the repartition — the layout
+  * contract (`person_list=<name>/` directories) is unchanged.
+  */
+object Sinks {
+
+  /** The CSV field allowlist, in exact reference order
+    * (csv_operations.py:10). person_id/person_list are pruned (P3).
+    */
+  val PersonCsvColumns: Seq[String] =
+    Seq("name", "primary_email", "primary_phone_number", "grade", "age")
+
+  /** K1+K2+K3: header CSV per list under `baseUri/person_list=<name>/`. */
+  def writeCsvPerList(people: DataFrame, baseUri: String): Unit =
+    people
+      .select(col("person_list") +: PersonCsvColumns.map(col): _*)
+      .repartition(col("person_list"))
+      .sortWithinPartitions("person_list", "name")
+      .write
+      .partitionBy("person_list")
+      .option("header", true)
+      .mode(SaveMode.Overwrite)
+      .csv(baseUri)
+
+  /** Generic columnar sink (parquet) with the same path abstraction —
+    * what the engine's own outputs use. Partition columns optional.
+    */
+  def writeParquet(df: DataFrame, baseUri: String, partitionCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(baseUri)
+  }
+}
