@@ -79,7 +79,9 @@ object ReferencePipeline {
         emptyIfNull(col("email")).as("primary_email"),                 // F7 (:65)
         emptyIfNull(col("phone")).as("primary_phone_number"),          // F7 (:70)
         gradeLabel(col("grade")).as("grade"),                          // F2 (:81-82)
-        ageLabel(to_date(col("birthdate"), "yyyy-MM-dd"), asOfDate).as("age")) // F1 (:73-78)
+        // try_to_date, not to_date: ANSI mode (Spark 4 default) throws on
+        // malformed input; the reference maps empty/invalid to '' (:74,78).
+        ageLabel(try_to_date(col("birthdate"), "yyyy-MM-dd"), asOfDate).as("age")) // F1 (:73-78)
       .as[Person]
   }
 

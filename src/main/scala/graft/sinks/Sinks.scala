@@ -43,6 +43,9 @@ object Sinks {
       .write
       .partitionBy("person_list")
       .option("header", true)
+      // Empty fields serialize unquoted — matching Python csv.writer's
+      // QUOTE_MINIMAL output for '' (csv_operations.py:21-23).
+      .option("emptyValue", "")
       .mode(SaveMode.Overwrite)
       .csv(baseUri)
 

@@ -1,0 +1,77 @@
+package graft
+
+import graft.operators.LlmOps
+
+/** Recall/behavior tests for the dedup family on PLANTED duplicates (the
+  * driver corpus has none): an exact copy, a one-word-changed near-dup,
+  * and unrelated filler docs.
+  */
+class LlmOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog while the cat naps under a warm blanket near the sunlit porch"
+  private val nearDup = base.replace("cat", "owl")
+  private val fillers = Seq(
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu",
+    "one two three four five six seven eight nine ten eleven twelve",
+    "red orange yellow green blue indigo violet silver gold bronze copper tin",
+    "north south east west up down left right front back inner outer",
+    "apple banana cherry date elderberry fig grape honeydew kiwi lemon mango nectarine",
+    "stone river mountain valley forest desert ocean island plain plateau canyon cliff",
+    "hammer nail saw drill wrench pliers chisel file plane level square clamp")
+
+  private lazy val docsDir: String = {
+    val dir = tempDir("llm_docs")
+    val texts = Seq(base, base, nearDup) ++ fillers
+    texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "en", s"src${i % 3}", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("d1 exact dedup collapses the exact copy and nothing else") {
+    val rows = LlmOps.d1DedupExact(spark, docsDir).collect()
+    assert(rows.length === 9) // 10 docs, one exact pair
+    val dupGroup = rows.filter(_.getLong(2) == 2L)
+    assert(dupGroup.length === 1)
+    assert(dupGroup.head.getLong(1) === 0L) // canonical = lowest doc_id
+  }
+
+  test("d2 MinHash banding finds the exact and near duplicates with high Jaccard") {
+    val pairs = LlmOps.d2DedupMinhash(spark, docsDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs((0L, 1L)) === 1000L)       // identical texts
+    assert(pairs.contains((0L, 2L)) && pairs((0L, 2L)) >= 700L) // one-word edit
+    // No unrelated pair sneaks in with high similarity.
+    pairs.collect { case ((a, b), j) if a >= 3 && b >= 3 => j }
+      .foreach(j => assert(j < 700L))
+  }
+
+  test("d3 SimHash: identical docs hash equal; near-dup within small Hamming distance") {
+    val sh = LlmOps.d3Simhash(spark, docsDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(0L) === sh(1L))
+    val hamming = java.lang.Long.bitCount(sh(0L) ^ sh(2L))
+    assert(hamming <= 8, s"near-dup Hamming distance $hamming too large (32-bit)")
+    val hammingUnrelated = java.lang.Long.bitCount(sh(0L) ^ sh(5L))
+    assert(hammingUnrelated > hamming, "unrelated doc should be farther than the near-dup")
+  }
+
+  test("t1 text stats are exact on a known document") {
+    val r = LlmOps.t1TextStats(spark, docsDir).filter($"doc_id" === 3L).collect()(0)
+    // "alpha beta ... mu" → 12 tokens, all unique
+    assert(r.getLong(1) === 12L)  // n_tokens
+    assert(r.getLong(2) === 12L)  // n_uniq_tokens
+    assert(r.getLong(4) === (2000L * (r.getLong(3) - 11L) + 12L) / 24L) // avg_token_len_milli
+    assert(r.getLong(5) === 1000L) // ttr: all unique
+  }
+
+  test("t4 fingerprint: identical docs share both fingerprints") {
+    val fp = LlmOps.t4Fingerprint(spark, docsDir).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(fp(0L) === fp(1L))
+    assert(fp(0L)._1 !== fp(2L)._1) // near-dup has different exact hash
+  }
+}

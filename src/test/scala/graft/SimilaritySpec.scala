@@ -1,0 +1,54 @@
+package graft
+
+import graft.operators.Similarity
+
+/** Similarity search on planted vectors: a scaled copy (cosine 1) must
+  * surface as the top neighbor, and identical vectors must share an LSH
+  * bucket and appear as a near-pair.
+  */
+class SimilaritySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val embDir: String = {
+    val dir = tempDir("sim_emb")
+    def v(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+    val vecs: Seq[(Long, Seq[Float], Int)] = Seq(
+      (0L, v(0.9, 0.1, -0.2, 0.3), 0),
+      (1L, v(-0.4, 0.8, 0.1, -0.1), 0),
+      (2L, v(0.2, -0.7, 0.5, 0.1), 1),
+      (3L, v(1.8, 0.2, -0.4, 0.6), 1),   // = 2 × vec 0 → cosine exactly 1
+      (4L, v(-0.3, -0.2, 0.9, 0.4), 2),
+      (5L, v(0.5, 0.5, 0.3, -0.6), 2),
+      (6L, v(-0.8, 0.3, -0.3, 0.2), 3),
+      (7L, v(0.1, 0.9, 0.4, 0.5), 3),
+      (8L, v(0.6, -0.5, -0.7, 0.2), 4),
+      (9L, v(0.3, 0.4, 0.8, -0.5), 4),
+      (10L, v(0.3, 0.4, 0.8, -0.5), 4),  // exact copy of 9
+      (11L, v(-0.6, -0.6, 0.2, 0.7), 4))
+    vecs.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("sim_topk: scaled copy ranks first with cosine 1000; ranks well-formed") {
+    val rows = Similarity.simTopk(spark, embDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byQuery = rows.groupBy(_._1)
+    assert(byQuery.keySet === (0L until Similarity.NumQueries).toSet)
+    byQuery.values.foreach { rs =>
+      assert(rs.map(_._2).sorted.toSeq === (1L to Similarity.TopK)) // ranks 1..k
+      assert(rs.forall(r => r._3 != r._1))                          // self excluded
+      // cos_milli non-increasing in rank
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._4).toSeq === sorted.map(_._4).sortBy(-_).toSeq)
+    }
+    val q0top = byQuery(0L).minBy(_._2)
+    assert(q0top._3 === 3L && q0top._4 === 1000L) // the scaled copy
+  }
+
+  test("sim_lsh_pairs: identical vectors share a bucket and pair at cosine 1000") {
+    val pairs = Similarity.simLshPairs(spark, embDir).collect()
+      .map(r => (r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap
+    assert(pairs.get((9L, 10L)) === Some(1000L))
+  }
+}
