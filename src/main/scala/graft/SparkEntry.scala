@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators.{LlmOps, Relational, Similarity}
+import graft.streaming.Streaming
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -74,7 +75,14 @@ object SparkEntry {
     "sim_lsh_pairs" -> Similarity.simLshPairs _,
   )
 
-  def queries: Map[String, Query] = relationalQueries ++ llmQueries ++ simQueries
+  private val streamingQueries: Map[String, Query] = Map(
+    "st1_tumbling_window" -> Streaming.tumblingCounts _,
+    "st2_sliding_window"  -> Streaming.slidingCounts _,
+    "st3_session_window"  -> Streaming.sessionCounts _,
+  )
+
+  def queries: Map[String, Query] =
+    relationalQueries ++ llmQueries ++ simQueries ++ streamingQueries
 
   // As-of date literal shared with Relational.AsOfDate — the oracle must
   // pin the same "today" (SURVEY.md §7.4.1).
@@ -258,8 +266,34 @@ object SparkEntry {
         s"WHERE cos_milli >= ${Similarity.LshThreshold}"),
   )
 
+  // -- Streaming oracles (batch twins) --------------------------------
+  // events.ts is TIMESTAMP_NS in DuckDB; CAST(ts AS TIMESTAMP) truncates
+  // to micros exactly like the engine's nanos→micros conversion.
+  // Session twin: gap-islands with `>= 30 minutes` starting a new
+  // session — matching Spark's session_window merge rule (next event
+  // joins the session iff ts < previous ts + gap).
+
+  private val streamingOracle: Map[String, String] = Map(
+    "st1_tumbling_window" ->
+      ("SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type, " +
+        "count(*) AS n_events, round(sum(value), 2) AS total_value FROM events GROUP BY 1, 2"),
+    "st2_sliding_window" ->
+      ("WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts2, event_type FROM events) " +
+        "SELECT ws AS window_start, event_type, count(*) AS n_events FROM (" +
+        "SELECT time_bucket(INTERVAL '30 minutes', ts2) - (k * INTERVAL '30 minutes') AS ws, event_type " +
+        "FROM e CROSS JOIN (VALUES (0), (1)) t(k)) GROUP BY 1, 2"),
+    "st3_session_window" ->
+      ("WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts2 FROM events), " +
+        "x AS (SELECT user_id, ts2, CASE WHEN lag(ts2) OVER w IS NULL OR ts2 - lag(ts2) OVER w >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_s " +
+        "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts2)), " +
+        "y AS (SELECT user_id, ts2, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts2 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM x) " +
+        "SELECT min(ts2) AS session_start, max(ts2) + INTERVAL '30 minutes' AS session_end, user_id, count(*) AS n_events " +
+        "FROM y GROUP BY user_id, sid"),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
-  def oracleSql: Map[String, String] = relationalOracle ++ llmOracle ++ simOracle
+  def oracleSql: Map[String, String] =
+    relationalOracle ++ llmOracle ++ simOracle ++ streamingOracle
 }

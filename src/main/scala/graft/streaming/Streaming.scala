@@ -1,0 +1,111 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Structured Streaming over the `events` table (SURVEY.md §2.9 / M6).
+  * The reference is a weekly batch with no streaming semantics; these are
+  * the engine's streaming extension, kept deterministic for the oracle:
+  *
+  *  - source: file stream over the events parquet (schema pinned from a
+  *    batch footer read; ts nanos → micros exactly like Tables.events);
+  *  - Trigger.AvailableNow: process everything currently available, then
+  *    stop — a deterministic, resumable batch-over-stream run (the
+  *    pattern a 100 TB backfill would use, checkpointed per run);
+  *  - watermark declared on every aggregation (state-eviction contract —
+  *    with AvailableNow + complete output it does not drop finals, so
+  *    results equal the batch twin);
+  *  - memory sink in complete mode for the harness (bounded: aggregated
+  *    state only). Production sinks are the K-family writers (parquet /
+  *    kafka, append mode per closed window).
+  *
+  * Each query returns the post-run result as a DataFrame so the driver's
+  * Verify/oracle machinery treats streaming like any other operator;
+  * DuckDB twins: time_bucket for tumbling, a 2-way window union for
+  * sliding, gap-islands SQL for session windows.
+  */
+object Streaming {
+
+  private val runId = new AtomicInteger(0)
+
+  /** File-stream over events with the nanos→micros conversion. The file
+    * source requires a DIRECTORY; the fixture is a single parquet file,
+    * so stage a temp directory with a symlink to it (zero copy). In
+    * production the source is already a directory of files landing over
+    * time — this staging is fixture plumbing only.
+    */
+  private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val file = Paths.get(s"$dir/events.parquet")
+    val streamDir =
+      if (Files.isDirectory(file)) file.toString
+      else {
+        val d = Files.createTempDirectory("graft_events_stream")
+        Files.createSymbolicLink(d.resolve("events.parquet"), file)
+        d.toString
+      }
+    val rawSchema = spark.read.parquet(file.toString).schema
+    spark.readStream
+      .schema(rawSchema)
+      .parquet(streamDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Run `agged` (a streaming aggregation) to completion with
+    * AvailableNow into a memory sink; return the final table.
+    */
+  private def runToTable(spark: SparkSession, agged: DataFrame): DataFrame = {
+    val name = s"graft_stream_${runId.incrementAndGet()}"
+    val q = agged.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("complete")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** Tumbling 1-hour windows per event_type: count + value sum. */
+  def tumblingCounts(spark: SparkSession, dir: String): DataFrame = {
+    val agged = eventsStream(spark, dir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count("*").as("n_events"), round(sum("value"), 2).as("total_value"))
+    runToTable(spark, agged)
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+  }
+
+  /** Sliding 1-hour windows every 30 minutes, per event_type. */
+  def slidingCounts(spark: SparkSession, dir: String): DataFrame = {
+    val agged = eventsStream(spark, dir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count("*").as("n_events"))
+    runToTable(spark, agged)
+      .select(col("window.start").as("window_start"), col("event_type"), col("n_events"))
+  }
+
+  /** 30-minute-gap session windows per user: start, end (last event +
+    * gap), event count. Session state is the canonical
+    * mapGroupsWithState-class workload expressed with the built-in
+    * session_window operator (built-ins first, SURVEY.md §2.10).
+    */
+  def sessionCounts(spark: SparkSession, dir: String): DataFrame = {
+    val agged = eventsStream(spark, dir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count("*").as("n_events"))
+    runToTable(spark, agged)
+      .select(
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"))
+  }
+}
