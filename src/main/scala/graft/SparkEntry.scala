@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{LlmOps, Relational, Similarity}
+import graft.operators.{LlmOps, Multimodal, Relational, Similarity}
 import graft.streaming.Streaming
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -81,8 +81,13 @@ object SparkEntry {
     "st3_session_window"  -> Streaming.sessionCounts _,
   )
 
+  private val multimodalQueries: Map[String, Query] = Map(
+    "m1_media_meta"   -> Multimodal.m1MediaMeta _,
+    "m2_frame_sample" -> Multimodal.m2FrameSample _,
+  )
+
   def queries: Map[String, Query] =
-    relationalQueries ++ llmQueries ++ simQueries ++ streamingQueries
+    relationalQueries ++ llmQueries ++ simQueries ++ streamingQueries ++ multimodalQueries
 
   // As-of date literal shared with Relational.AsOfDate — the oracle must
   // pin the same "today" (SURVEY.md §7.4.1).
@@ -291,9 +296,25 @@ object SparkEntry {
         "FROM y GROUP BY user_id, sid"),
   )
 
+  // -- Multimodal oracles ---------------------------------------------
+  // DuckDB 1.0 has no md5(BLOB)/substring(BLOB): the checksum compares
+  // via md5(text) (same UTF-8 bytes as the engine's md5(binary)), and
+  // frame slices are char-based (fixture payloads are ASCII).
+
+  private val multimodalOracle: Map[String, String] = Map(
+    "m1_media_meta" ->
+      ("SELECT doc_id, 'text/plain' AS media_type, octet_length(encode(text))::BIGINT AS n_bytes, " +
+        "md5(text) AS checksum, (strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1)::BIGINT AS fake_channels " +
+        "FROM documents"),
+    "m2_frame_sample" ->
+      ("WITH f AS (SELECT doc_id, text, unnest(range(0, (length(text) + 99) // 100)) AS frame_idx FROM documents) " +
+        "SELECT doc_id, frame_idx, length(substr(text, frame_idx * 100 + 1, 100))::BIGINT AS frame_len, " +
+        "md5(substr(text, frame_idx * 100 + 1, 100)) AS frame_checksum FROM f"),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    relationalOracle ++ llmOracle ++ simOracle ++ streamingOracle
+    relationalOracle ++ llmOracle ++ simOracle ++ streamingOracle ++ multimodalOracle
 }

@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Multimodal
+import graft.operators.Multimodal.MediaRecord
+
+/** The batched decode path (mapPartitions, iterator-in/iterator-out):
+  * deterministic across partitionings, features derived from the bytes.
+  */
+class MultimodalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("decodeFeatures is deterministic and batch-shape preserving") {
+    val media = Multimodal.mediaTable(spark, Sf)
+      .select(col("doc_id"), col("media"), col("media_type"))
+      .as[MediaRecord]
+    val once = Multimodal.decodeFeatures(spark, media).collect()
+      .map(f => f.doc_id -> ((f.n_bytes, f.head_byte, f.fake_channels, f.fake_embedding.toSeq))).toMap
+    val repartitioned = Multimodal.decodeFeatures(spark, media.repartition(7)).collect()
+      .map(f => f.doc_id -> ((f.n_bytes, f.head_byte, f.fake_channels, f.fake_embedding.toSeq))).toMap
+    assert(once === repartitioned)
+    assert(once.nonEmpty)
+    // Features are consistent with the payload metadata query.
+    val meta = Multimodal.m1MediaMeta(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    once.foreach { case (id, (nBytes, head, channels, emb)) =>
+      assert(nBytes.toLong === meta(id))
+      assert(channels === (head % 4) + 1)
+      assert(emb.length === 8)
+    }
+  }
+}
