@@ -56,6 +56,7 @@ object SparkEntry {
     "s5_parse_source"      -> Relational.s5ParseSource _,
     "p7_rename_lookup"     -> Relational.p7RenameLookup _,
     "j4_pick_first_supplier" -> Relational.j4PickFirstSupplier _,
+    "q_asof_join"          -> Relational.qAsofJoin _,
     "q_flagship"           -> Relational.flagship _,
   )
 
@@ -68,6 +69,7 @@ object SparkEntry {
     "t2_lang_id"       -> LlmOps.t2LangId _,
     "t3_quality_score" -> LlmOps.t3QualityScore _,
     "t4_fingerprint"   -> LlmOps.t4Fingerprint _,
+    "t5_token_estimate" -> LlmOps.t5TokenEstimate _,
   )
 
   private val simQueries: Map[String, Query] = Map(
@@ -168,6 +170,15 @@ object SparkEntry {
         "(SELECT l_partkey, l_suppkey, l_extendedprice, row_number() OVER (PARTITION BY l_partkey ORDER BY l_extendedprice, l_suppkey) AS rn FROM lineitem) WHERE rn = 1) " +
         "SELECT p_partkey, coalesce(cheapest_suppkey, -1) AS cheapest_suppkey, coalesce(cheapest_price, 0.0) AS cheapest_price " +
         "FROM part LEFT JOIN cheapest ON p_partkey = l_partkey"),
+    // As-of twin: row_number over (ts DESC, event_id DESC) = 1 is the same
+    // row as Spark's max(struct(ts, event_id, event_type)) argmax.
+    "q_asof_join" ->
+      ("WITH err AS (SELECT event_id AS error_id, user_id, CAST(ts AS TIMESTAMP) AS error_ts FROM events WHERE event_type = 'error'), " +
+        "oth AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type FROM events WHERE event_type != 'error') " +
+        "SELECT error_id, user_id, error_ts, ts AS prev_ts, event_id AS prev_event_id, event_type AS prev_event_type FROM (" +
+        "SELECT err.error_id, err.user_id, err.error_ts, oth.ts, oth.event_id, oth.event_type, " +
+        "row_number() OVER (PARTITION BY err.error_id ORDER BY oth.ts DESC, oth.event_id DESC) AS rn " +
+        "FROM err JOIN oth ON err.user_id = oth.user_id AND oth.ts <= err.error_ts) WHERE rn = 1"),
     "q_flagship" ->
       (s"WITH dims AS (SELECT n_nationkey, n_name FROM nation JOIN region ON n_regionkey = r_regionkey WHERE r_name LIKE '%A%'), " +
         s"joined AS (SELECT n_name, $ageExpr AS order_age, o_totalprice FROM customer JOIN dims ON c_nationkey = n_nationkey JOIN orders ON c_custkey = o_custkey), " +
@@ -244,6 +255,10 @@ object SparkEntry {
       ("SELECT doc_id, md5(text) AS doc_md5, " +
         "CASE WHEN length(text) < 5 THEN md5(text) ELSE list_min(list_transform(range(1, length(text) - 3), i -> md5(substr(text, i, 5)))) END AS min_shingle_hash " +
         "FROM documents"),
+    "t5_token_estimate" ->
+      (s"WITH tokd AS ($duckTok) " +
+        "SELECT doc_id, len(tok)::BIGINT AS n_ws_tokens, " +
+        "CAST(list_sum(list_transform(tok, t -> (length(t) + 3) // 4)) AS BIGINT) AS n_subword_est FROM tokd"),
   )
 
   // -- Similarity oracles ---------------------------------------------

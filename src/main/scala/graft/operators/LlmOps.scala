@@ -260,6 +260,21 @@ object LlmOps {
         expr(milli(s"length(text) - (size($tokExpr) - 1)", s"size($tokExpr)")).as("avg_token_len_milli"),
         expr(milli(s"size(array_distinct($tokExpr))", s"size($tokExpr)")).as("ttr_milli"))
 
+  /** T5: token counting — whitespace tokens plus a BPE-ish subword
+    * estimate (ceil(len/4) pieces per word, the classic
+    * chars-per-token≈4 heuristic). Relational shape: explode tokens,
+    * integer per-token cost, sum per doc — map-side combinable at any
+    * scale. A real tokenizer would replace the per-token cost
+    * expression; the pipeline shape is what the engine pins.
+    */
+  def t5TokenEstimate(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(expr(tokExpr)).as("tok"))
+      .groupBy("doc_id")
+      .agg(
+        count("*").as("n_ws_tokens"),
+        sum(expr("(length(tok) + 3) div 4")).as("n_subword_est"))
+
   // ---------------------------------------------------------------------
   // T2: language-ID heuristic (character-bigram markers).
   // ---------------------------------------------------------------------

@@ -429,6 +429,34 @@ object Relational {
         coalesce(col("cheapest_price"), lit(0.0)).as("cheapest_price"))
   }
 
+  /** As-of join (SURVEY.md §2.4 engine extension — absent from the
+    * reference): for each error event, the latest NON-error event of the
+    * same user at or before it (the "what happened right before the
+    * failure" query). Composed from existing operators (preference (a)
+    * in the builder contract): range-condition equi-join +
+    * max(struct(ts, id)) argmax — no per-group sort, map-side
+    * combinable, deterministic via the (ts, event_id) total order. At
+    * 100 TB the equi-key (user) carries the shuffle; the range
+    * predicate prunes within partitions.
+    */
+  def qAsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val errors = Tables.events(spark, dir)
+      .filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("user_id"), col("ts").as("error_ts"))
+    val others = Tables.events(spark, dir)
+      .filter(col("event_type") =!= "error")
+      .select(col("user_id").as("u2"), col("ts"), col("event_id"), col("event_type"))
+    errors
+      .join(others, col("user_id") === col("u2") && col("ts") <= col("error_ts"))
+      .groupBy("error_id", "user_id", "error_ts")
+      .agg(max(struct(col("ts"), col("event_id"), col("event_type"))).as("prev"))
+      .select(
+        col("error_id"), col("user_id"), col("error_ts"),
+        col("prev.ts").as("prev_ts"),
+        col("prev.event_id").as("prev_event_id"),
+        col("prev.event_type").as("prev_event_type"))
+  }
+
   // ---------------------------------------------------------------------
   // Flagship (§7.2): every structural element of the reference pipeline in
   // one plan — filter → 3 joins → derive → agg → validate → project.
