@@ -31,11 +31,19 @@ object Similarity {
   /** Double-cast embedding column. */
   private val embExpr = "transform(embedding, x -> cast(x as double))"
 
-  /** Sequential-fold cosine between two double-array columns, as integer
-    * milli (round-half-up via floor(x + 0.5); deterministic given
-    * identical inputs).
+  /** Cosine-as-milli via the native codegen'd [[graft.functions.CosineMilli]]
+    * expression (registered by GraftExtensions): one fused loop inside
+    * whole-stage codegen. Fold order matches [[hofCosMilli]] exactly, so
+    * values are bit-identical to the HOF form and the DuckDB oracle.
     */
   private def cosMilli(a: String, b: String): String =
+    s"cosine_milli($a, $b)"
+
+  /** The higher-order-function formulation of the same computation —
+    * interpreted (lambdas are excluded from codegen), kept as the
+    * value-parity reference for SimilaritySpec.
+    */
+  def hofCosMilli(a: String, b: String): String =
     s"""cast(floor(1000 * (
        |  aggregate(zip_with($a, $b, (x, y) -> x * y), cast(0 as double), (acc, v) -> acc + v)
        |  / (sqrt(aggregate($a, cast(0 as double), (acc, x) -> acc + x * x))
