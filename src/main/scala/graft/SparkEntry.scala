@@ -65,6 +65,7 @@ object SparkEntry {
     "d2_dedup_minhash" -> LlmOps.d2DedupMinhash _,
     "d3_simhash"       -> LlmOps.d3Simhash _,
     "d4_ngram_jaccard" -> LlmOps.d4NgramJaccard _,
+    "d6_simhash_neardup" -> LlmOps.d6SimhashNeardup _,
     "t1_text_stats"    -> LlmOps.t1TextStats _,
     "t2_lang_id"       -> LlmOps.t2LangId _,
     "t3_quality_score" -> LlmOps.t3QualityScore _,
@@ -230,6 +231,18 @@ object SparkEntry {
         "len(list_intersect(a.s, b.s)) AS i, len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS u " +
         "FROM sh a JOIN sh b ON a.source = b.source AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id) " +
         "WHERE (2000*i + u) // (2*u) > 0"),
+    "d6_simhash_neardup" ->
+      (s"WITH tokd AS ($duckTok), " +
+        "t8 AS (SELECT doc_id, list_transform(tok, t -> substr(md5(t), 1, 8)) AS tok8 FROM tokd), " +
+        "s AS (SELECT doc_id, CAST(list_sum(list_transform(range(0, 32), b -> " +
+        "CASE WHEN list_sum(list_transform(tok8, t -> " +
+        "(((strpos('0123456789abcdef', substr(t, (b // 4) + 1, 1)) - 1 >> (b % 4)) & 1) * 2 - 1))) > 0 " +
+        "THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS simhash FROM t8), " +
+        "bands AS (SELECT doc_id, b, (simhash >> (b * 16)) & 65535 AS bkey FROM s CROSS JOIN (VALUES (0),(1)) t(b)), " +
+        "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id) " +
+        "SELECT doc_a, doc_b, CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT) AS hamming " +
+        "FROM cand JOIN s sa ON doc_a = sa.doc_id JOIN s sb ON doc_b = sb.doc_id " +
+        s"WHERE bit_count(xor(sa.simhash, sb.simhash)) <= ${LlmOps.SimhashMaxHamming}"),
     "t1_text_stats" ->
       (s"WITH tokd AS ($duckTok) " +
         "SELECT doc_id, len(tok)::BIGINT AS n_tokens, len(list_distinct(tok))::BIGINT AS n_uniq_tokens, " +

