@@ -45,6 +45,9 @@ object SparkEntry {
     "w1_topk_per_group"    -> Relational.w1TopkPerGroup _,
     "w2_running_total"     -> Relational.w2RunningTotal _,
     "w3_lag_lead"          -> Relational.w3LagLead _,
+    "w4_range_frame"       -> Relational.w4RangeFrame _,
+    "w5_rank_family"       -> Relational.w5RankFamily _,
+    "a7_grouping_sets"     -> Relational.a7GroupingSets _,
     "k5_slice"             -> Relational.k5Slice _,
     "q_topk_global"        -> Relational.topkGlobal _,
     "set_union"            -> Relational.setUnion _,
@@ -144,6 +147,17 @@ object SparkEntry {
       "SELECT o_custkey, o_orderkey, round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total FROM orders ORDER BY o_custkey, o_orderkey",
     "w3_lag_lead" ->
       "SELECT o_custkey, o_orderkey, coalesce(lag(o_totalprice, 1) OVER w, 0.0) AS prev_price, coalesce(lead(o_totalprice, 1) OVER w, 0.0) AS next_price FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) ORDER BY o_custkey, o_orderkey",
+    "w4_range_frame" ->
+      ("SELECT o_custkey, o_orderkey, count(*) OVER w AS n_orders_30d, " +
+        "sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w AS cents_30d FROM orders " +
+        "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)"),
+    "w5_rank_family" ->
+      ("SELECT o_orderpriority, o_orderkey, dense_rank() OVER w AS drank, percent_rank() OVER w AS prank, " +
+        "cume_dist() OVER w AS cdist, ntile(4) OVER w AS quartile FROM orders WHERE o_custkey < 100 " +
+        "WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)"),
+    "a7_grouping_sets" ->
+      ("SELECT coalesce(o_orderstatus, 'ALL') AS order_status, coalesce(o_orderpriority, 'ALL') AS order_priority, " +
+        "count(*) AS n_orders FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())"),
     "k5_slice" ->
       "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer ORDER BY c_custkey LIMIT 498 OFFSET 1",
     "q_topk_global" ->

@@ -296,6 +296,52 @@ object Relational {
         coalesce(lead("o_totalprice", 1).over(w), lit(0.0)).as("next_price"))
   }
 
+  /** Time-range window frame: per customer, orders placed in the 30 days
+    * up to and including each order (RANGE frame over the date order —
+    * a true value-range frame, not a row count). Money is summed in
+    * integer cents so sliding-frame accumulation order can never cause a
+    * float divergence between engines.
+    */
+  def w4RangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("w4_orders")
+    spark.sql(
+      """SELECT o_custkey, o_orderkey,
+        |  count(*) OVER w AS n_orders_30d,
+        |  sum(cast(round(o_totalprice * 100) as bigint)) OVER w AS cents_30d
+        |FROM w4_orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+        |             RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)""".stripMargin)
+  }
+
+  /** Rank-function family: dense_rank, percent_rank, cume_dist, ntile —
+    * one windowed pass; the ratio outputs are (rank−1)/(n−1)-style exact
+    * divisions of the same integers in both engines.
+    */
+  def w5RankFamily(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .filter(col("o_custkey") < 100)
+      .select(
+        col("o_orderpriority"), col("o_orderkey"),
+        dense_rank().over(w).cast("long").as("drank"),
+        percent_rank().over(w).as("prank"),
+        cume_dist().over(w).as("cdist"),
+        ntile(4).over(w).cast("long").as("quartile"))
+  }
+
+  /** GROUPING SETS — the general form rollup/cube specialize. SQL-text
+    * path for the same Spark 4.1.2 ambiguity reason as [[a4Rollup]].
+    */
+  def a7GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("a7_orders")
+    spark.sql(
+      """SELECT coalesce(o_orderstatus, 'ALL') AS order_status,
+        |       coalesce(o_orderpriority, 'ALL') AS order_priority,
+        |       count(*) AS n_orders
+        |FROM a7_orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin)
+  }
+
   /** K5: the Sheets range-copy (google_sheets.py:77-88) — ordered offset 1,
     * take ≤498 rows, first 5 columns, values materialized.
     */
