@@ -198,15 +198,23 @@ object LlmOps {
     * substring+instr. Map-only, no shuffle.
     */
   def d3Simhash(spark: SparkSession, dir: String): DataFrame =
+    // Relational shape (same reasoning as shingleRows: nested HOF lambdas
+    // run interpreted — the (bits × tokens) double fold was the benchmark's
+    // top cost): explode tokens (md5 once per token, codegen), explode the
+    // 32 bit positions, integer bit-contribution per (doc, bit) row, then
+    // two map-combinable aggregations. All sums are order-independent
+    // integer math — values identical to the nested-fold formulation.
     Tables.documents(spark, dir)
-      .withColumn("tok8", expr(s"transform($tokExpr, t -> substring(md5(t), 1, 8))"))
-      .select(
-        col("doc_id"),
-        expr(
-          """cast(aggregate(sequence(0, 31), 0L, (acc, b) -> acc +
-            |  if(aggregate(tok8, 0,
-            |       (a2, t) -> a2 + ((shiftright(instr('0123456789abcdef', substring(t, (b div 4) + 1, 1)) - 1, b % 4) & 1) * 2 - 1)
-            |     ) > 0, shiftleft(1L, b), 0L)) as bigint)""".stripMargin).as("simhash"))
+      .select(col("doc_id"), explode(expr(tokExpr)).as("tok"))
+      .select(col("doc_id"), expr("substring(md5(tok), 1, 8)").as("t8"))
+      .select(col("doc_id"), col("t8"), explode(expr("sequence(0, 31)")).as("b"))
+      .select(col("doc_id"), col("b"),
+        expr("((shiftright(instr('0123456789abcdef', substring(t8, (b div 4) + 1, 1)) - 1, b % 4) & 1) * 2 - 1)").as("c"))
+      .groupBy("doc_id", "b")
+      .agg(sum("c").as("s"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("s") > 0, expr("shiftleft(1L, b)")).otherwise(0L))
+        .cast("bigint").as("simhash"))
 
   /** Maximum Hamming distance (of 32 bits) for a SimHash near-dup pair. */
   val SimhashMaxHamming = 8
