@@ -85,6 +85,7 @@ object SparkEntry {
     "st1_tumbling_window" -> Streaming.tumblingCounts _,
     "st2_sliding_window"  -> Streaming.slidingCounts _,
     "st3_session_window"  -> Streaming.sessionCounts _,
+    "st4_stream_join"     -> Streaming.streamStreamJoin _,
   )
 
   private val multimodalQueries: Map[String, Query] = Map(
@@ -336,6 +337,11 @@ object SparkEntry {
         "y AS (SELECT user_id, ts2, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts2 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM x) " +
         "SELECT min(ts2) AS session_start, max(ts2) + INTERVAL '30 minutes' AS session_end, user_id, count(*) AS n_events " +
         "FROM y GROUP BY user_id, sid"),
+    "st4_stream_join" ->
+      ("WITH s AS (SELECT event_id AS signup_id, user_id, CAST(ts AS TIMESTAMP) AS s_ts FROM events WHERE event_type = 'signup'), " +
+        "p AS (SELECT event_id AS purchase_id, user_id, CAST(ts AS TIMESTAMP) AS p_ts FROM events WHERE event_type = 'purchase') " +
+        "SELECT signup_id, purchase_id, s.user_id AS user_id, s_ts, p_ts FROM s JOIN p ON s.user_id = p.user_id " +
+        "AND p_ts >= s_ts AND p_ts <= s_ts + INTERVAL 7 DAY"),
   )
 
   // -- Multimodal oracles ---------------------------------------------

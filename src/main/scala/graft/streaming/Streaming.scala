@@ -71,6 +71,32 @@ object Streaming {
     spark.table(name)
   }
 
+  /** The production sink path: foreachBatch gives each micro-batch to
+    * the full batch writer API (partitioned parquet here — any batch
+    * sink works: JDBC, object store, multi-sink fan-out). With complete
+    * output mode each batch carries the whole aggregate state, so
+    * overwrite-per-batch leaves the final state on disk. Returns the
+    * written result re-read.
+    */
+  def tumblingToParquet(spark: SparkSession, dir: String, outDir: String): DataFrame = {
+    val agged = eventsStream(spark, dir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count("*").as("n_events"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n_events"))
+    val q = agged.writeStream
+      .outputMode("complete")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("overwrite").parquet(outDir)
+      }
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir)
+  }
+
   /** Tumbling 1-hour windows per event_type: count + value sum. */
   def tumblingCounts(spark: SparkSession, dir: String): DataFrame = {
     val agged = eventsStream(spark, dir)
@@ -90,6 +116,45 @@ object Streaming {
       .agg(count("*").as("n_events"))
     runToTable(spark, agged)
       .select(col("window.start").as("window_start"), col("event_type"), col("n_events"))
+  }
+
+  /** Stream-stream inner join with event-time bounds: each purchase
+    * matched to signups of the same user within the preceding 7 days.
+    * Both sides carry watermarks; the time-range condition bounds the
+    * join state Spark must hold (without it, stream-stream state grows
+    * forever). Inner join + AvailableNow emits exactly the batch join's
+    * rows, so the DuckDB twin is a plain range self-join.
+    */
+  def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    val signups = eventsStream(spark, dir)
+      .filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("user_id").as("s_user"),
+        col("ts").as("s_ts"))
+      .withWatermark("s_ts", "10 minutes")
+    val purchases = eventsStream(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "10 minutes")
+    val joined = signups.join(purchases,
+      col("s_user") === col("p_user") &&
+        col("p_ts") >= col("s_ts") &&
+        col("p_ts") <= col("s_ts") + expr("INTERVAL 7 DAYS"))
+    // Inner stream-stream join supports append output; the memory sink
+    // collects every emitted match.
+    val name = s"graft_stream_${runId.incrementAndGet()}"
+    val q = joined.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .select(col("signup_id"), col("purchase_id"),
+        col("s_user").as("user_id"), col("s_ts"), col("p_ts"))
   }
 
   /** 30-minute-gap session windows per user: start, end (last event +

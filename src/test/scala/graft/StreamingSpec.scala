@@ -25,6 +25,16 @@ class StreamingSpec extends SparkTestBase {
     assertSameRows(Streaming.tumblingCounts(spark, Sf), batch)
   }
 
+  test("foreachBatch parquet sink holds the final aggregate state") {
+    val out = tempDir("stream_sink")
+    val written = Streaming.tumblingToParquet(spark, Sf, out)
+    val batch = Tables.events(spark, Sf)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count("*").as("n_events"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n_events"))
+    assertSameRows(written, batch)
+  }
+
   test("session streaming windows equal the batch session_window twin") {
     val batch = Tables.events(spark, Sf)
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
