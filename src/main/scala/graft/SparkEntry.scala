@@ -79,6 +79,7 @@ object SparkEntry {
   private val simQueries: Map[String, Query] = Map(
     "sim_topk"      -> Similarity.simTopk _,
     "sim_lsh_pairs" -> Similarity.simLshPairs _,
+    "sim_ivf_topk"  -> Similarity.simIvfTopk _,
   )
 
   private val streamingQueries: Map[String, Query] = Map(
@@ -312,6 +313,22 @@ object SparkEntry {
         s"SELECT a.bucket AS bucket, a.vec_id AS vec_a, b.vec_id AS vec_b, ${cosOf("a.emb", "b.emb")} AS cos_milli " +
         "FROM be a JOIN be b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) " +
         s"WHERE cos_milli >= ${Similarity.LshThreshold}"),
+    "sim_ivf_topk" ->
+      ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings), " +
+        s"pv AS (SELECT vec_id AS p, emb AS pe FROM e WHERE vec_id < ${Similarity.NumIvfPivots}), " +
+        // inverted lists: nearest pivot per vector (max cos, ties to lowest p)
+        s"asg AS (SELECT vec_id, emb, pvt FROM (SELECT e.vec_id, e.emb, pv.p AS pvt, " +
+        s"row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosOf("e.emb", "pv.pe")} DESC, pv.p) AS rn " +
+        "FROM e CROSS JOIN pv) WHERE rn = 1), " +
+        // queries probe their 2 nearest pivots
+        s"pr AS (SELECT query_id, qe, pvt FROM (SELECT e.vec_id AS query_id, e.emb AS qe, pv.p AS pvt, " +
+        s"row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosOf("e.emb", "pv.pe")} DESC, pv.p) AS rn " +
+        s"FROM e CROSS JOIN pv WHERE e.vec_id < ${Similarity.IvfQueries}) WHERE rn <= ${Similarity.IvfProbes}) " +
+        "SELECT query_id, rank, vec_id AS neighbor_id, cos_milli FROM (" +
+        s"SELECT pr.query_id, asg.vec_id, ${cosOf("pr.qe", "asg.emb")} AS cos_milli, " +
+        s"row_number() OVER (PARTITION BY pr.query_id ORDER BY ${cosOf("pr.qe", "asg.emb")} DESC, asg.vec_id) AS rank " +
+        "FROM pr JOIN asg ON pr.pvt = asg.pvt WHERE asg.vec_id != pr.query_id) " +
+        s"WHERE rank <= ${Similarity.IvfTopK}"),
   )
 
   // -- Streaming oracles (batch twins) --------------------------------

@@ -89,6 +89,60 @@ object Similarity {
         col("vec_id").as("neighbor_id"), col("cos_milli"))
   }
 
+  /** Number of IVF pivots (coarse "centroids") and probes per query. */
+  val NumIvfPivots = 8
+  val IvfProbes = 2
+  val IvfQueries = 4
+  val IvfTopK = 3
+
+  /** IVF-style ANN: the other classic scale path besides LSH. The corpus
+    * is partitioned into inverted lists by nearest pivot (pivots are the
+    * first [[NumIvfPivots]] vectors — deterministic stand-ins for k-means
+    * centroids, whose float averaging would be aggregation-order
+    * dependent); a query probes its [[IvfProbes]] nearest pivots and
+    * exhaustively searches only those lists. Assignment and probing both
+    * rank by (cos_milli, pivot id) so every step is oracle-stable.
+    *
+    * At 100 TB: the inverted lists are the partition layout (write the
+    * corpus partitioned by pivot); a query touches probes/pivots of the
+    * data. Recall < 1 by design — the exact baseline is [[simTopk]].
+    */
+  def simIvfTopk(spark: SparkSession, dir: String): DataFrame = {
+    def pivots = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < NumIvfPivots)
+      .select(col("vec_id").as("p"), expr(embExpr).as("pe"))
+    def corpus = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), expr(embExpr).as("emb"))
+    // Inverted lists: assign every vector to its nearest pivot (argmax
+    // cosine, ties to the lowest pivot id) — order-independent max(struct).
+    val assigned = corpus.crossJoin(broadcast(pivots))
+      .select(col("vec_id"), col("emb"), col("p"),
+        expr(cosMilli("emb", "pe")).as("cm"))
+      .groupBy("vec_id", "emb")
+      .agg(max(struct(col("cm"), (-col("p")).as("np"))).as("best"))
+      .select(col("vec_id"), col("emb"), (-col("best.np")).as("pivot"))
+    // Queries probe their IvfProbes nearest pivots.
+    val wProbe = Window.partitionBy("query_id").orderBy(col("qcm").desc, col("p"))
+    val probes = corpus.filter(col("vec_id") < IvfQueries)
+      .select(col("vec_id").as("query_id"), col("emb").as("qe"))
+      .crossJoin(broadcast(pivots))
+      .select(col("query_id"), col("qe"), col("p"),
+        expr(cosMilli("qe", "pe")).as("qcm"))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= IvfProbes)
+      .select(col("query_id"), col("qe"), col("p").as("pivot"))
+    // Exact search within the probed lists only.
+    val wRank = Window.partitionBy("query_id").orderBy(col("cos_milli").desc, col("vec_id"))
+    probes.join(assigned, "pivot")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        expr(cosMilli("qe", "emb")).as("cos_milli"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= IvfTopK)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("neighbor_id"), col("cos_milli"))
+  }
+
   // ---------------------------------------------------------------------
   // LSH-bucketed near-neighbor join (scale path).
   // ---------------------------------------------------------------------
