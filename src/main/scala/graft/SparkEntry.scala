@@ -59,6 +59,7 @@ object SparkEntry {
     "s5_parse_source"      -> Relational.s5ParseSource _,
     "p7_rename_lookup"     -> Relational.p7RenameLookup _,
     "j4_pick_first_supplier" -> Relational.j4PickFirstSupplier _,
+    "j8_full_outer"        -> Relational.j8FullOuter _,
     "q_asof_join"          -> Relational.qAsofJoin _,
     "q_flagship"           -> Relational.flagship _,
   )
@@ -187,6 +188,11 @@ object SparkEntry {
         "(SELECT l_partkey, l_suppkey, l_extendedprice, row_number() OVER (PARTITION BY l_partkey ORDER BY l_extendedprice, l_suppkey) AS rn FROM lineitem) WHERE rn = 1) " +
         "SELECT p_partkey, coalesce(cheapest_suppkey, -1) AS cheapest_suppkey, coalesce(cheapest_price, 0.0) AS cheapest_price " +
         "FROM part LEFT JOIN cheapest ON p_partkey = l_partkey"),
+    "j8_full_outer" ->
+      ("WITH c AS (SELECT c_nationkey, count(*) AS n_customers FROM customer GROUP BY 1), " +
+        "s AS (SELECT s_nationkey, count(*) AS n_suppliers FROM supplier GROUP BY 1) " +
+        "SELECT coalesce(c_nationkey, s_nationkey) AS nation_key, coalesce(n_customers, 0) AS n_customers, " +
+        "coalesce(n_suppliers, 0) AS n_suppliers FROM c FULL JOIN s ON c_nationkey = s_nationkey"),
     // As-of twin: row_number over (ts DESC, event_id DESC) = 1 is the same
     // row as Spark's max(struct(ts, event_id, event_type)) argmax.
     "q_asof_join" ->

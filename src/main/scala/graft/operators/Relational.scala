@@ -475,6 +475,24 @@ object Relational {
         coalesce(col("cheapest_price"), lit(0.0)).as("cheapest_price"))
   }
 
+  /** Full outer join (SURVEY.md §2.4 declared-for-completeness variant):
+    * customer vs supplier presence per nation — nations with only one
+    * side survive with a zero count on the other. Both sides pre-aggregate
+    * to one row per key before the join (map-side combine; the join never
+    * explodes).
+    */
+  def j8FullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val custN = Tables.customer(spark, dir)
+      .groupBy(col("c_nationkey")).agg(count("*").as("n_customers"))
+    val suppN = Tables.supplier(spark, dir)
+      .groupBy(col("s_nationkey")).agg(count("*").as("n_suppliers"))
+    custN.join(suppN, col("c_nationkey") === col("s_nationkey"), "full")
+      .select(
+        coalesce(col("c_nationkey"), col("s_nationkey")).as("nation_key"),
+        coalesce(col("n_customers"), lit(0L)).as("n_customers"),
+        coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"))
+  }
+
   /** As-of join (SURVEY.md §2.4 engine extension — absent from the
     * reference): for each error event, the latest NON-error event of the
     * same user at or before it (the "what happened right before the

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.operators.{Relational, Similarity}
+
+/** Plan-shape regression locks: the performance-relevant physical plan
+  * properties this engine's 100 TB posture depends on. If a refactor
+  * silently turns a broadcast into a shuffle or detaches a pushed
+  * filter from the scan, these fail before any benchmark notices.
+  */
+class PlanSpec extends SparkTestBase {
+
+  private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+
+  test("filters and projections reach the parquet scan (S4, P1)") {
+    val s4 = plan(Relational.s4FilteredScan(spark, Sf))
+    assert(s4.contains("PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate"))
+    assert(s4.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double,l_shipdate"))
+    val p1 = plan(Relational.p1ContainsFilter(spark, Sf))
+    assert(p1.contains("StringContains(p_name,widget)"))
+  }
+
+  test("dimension joins broadcast; the fact join does not (J1, flagship)") {
+    val j1 = plan(Relational.j1DimJoin(spark, Sf))
+    assert("BroadcastHashJoin".r.findAllIn(j1).length === 2)
+    assert(!j1.contains("SortMergeJoin"))
+    val fl = plan(Relational.flagship(spark, Sf))
+    assert("BroadcastHashJoin".r.findAllIn(fl).length >= 3)
+  }
+
+  test("top-k plans use bounded operators (W1 group limit, global TakeOrdered)") {
+    assert(plan(Relational.w1TopkPerGroup(spark, Sf)).contains("WindowGroupLimit"))
+    assert(plan(Relational.topkGlobal(spark, Sf)).contains("TakeOrderedAndProject"))
+  }
+
+  test("native cosine_milli stays inside whole-stage codegen") {
+    val df = Similarity.simTopk(spark, Sf)
+    // collect() (not count(), which plans a different query) finalizes
+    // THIS df's adaptive plan so codegen stage markers appear.
+    df.collect()
+    val p = plan(df)
+    // In the plan string a codegen'd operator carries a "*(n)" stage
+    // prefix; the projection computing cos_milli must have one (the HOF
+    // formulation it replaced could not).
+    val projLine = p.linesIterator.find(l => l.contains("cosine_milli") && l.contains("Project"))
+    assert(projLine.isDefined, s"no cosine_milli projection found in plan:\n$p")
+    assert(projLine.get.contains("*("), s"cosine_milli projection not codegen'd: ${projLine.get}")
+  }
+}
