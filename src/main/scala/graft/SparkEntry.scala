@@ -70,6 +70,7 @@ object SparkEntry {
     "d3_simhash"       -> LlmOps.d3Simhash _,
     "d4_ngram_jaccard" -> LlmOps.d4NgramJaccard _,
     "d6_simhash_neardup" -> LlmOps.d6SimhashNeardup _,
+    "d7_dedup_resolve" -> LlmOps.d7DedupResolve _,
     "t1_text_stats"    -> LlmOps.t1TextStats _,
     "t2_lang_id"       -> LlmOps.t2LangId _,
     "t3_quality_score" -> LlmOps.t3QualityScore _,
@@ -265,6 +266,22 @@ object SparkEntry {
         "SELECT doc_a, doc_b, CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT) AS hamming " +
         "FROM cand JOIN s sa ON doc_a = sa.doc_id JOIN s sb ON doc_b = sb.doc_id " +
         s"WHERE bit_count(xor(sa.simhash, sb.simhash)) <= ${LlmOps.SimhashMaxHamming}"),
+    // Connected-components twin: recursive transitive closure over the
+    // symmetrized near-dup edges (UNION dedups, so cycles terminate),
+    // canonical = min reachable id.
+    "d7_dedup_resolve" ->
+      (s"WITH RECURSIVE tokd AS ($duckTok), " +
+        s"sh AS (SELECT doc_id, $duckShingles AS s FROM tokd), " +
+        s"sig AS (SELECT doc_id, list_transform(range(0, ${LlmOps.NumHashes}), h -> list_min(list_transform(s, x -> md5(h::VARCHAR || '|' || x)))) AS g FROM sh), " +
+        s"bands AS (SELECT doc_id, b, md5(array_to_string(g[b*${LlmOps.RowsPerBand}+1 : b*${LlmOps.RowsPerBand}+${LlmOps.RowsPerBand}], '|')) AS bkey FROM sig CROSS JOIN (VALUES (0),(1),(2),(3)) AS t(b)), " +
+        "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id), " +
+        "jac AS (SELECT doc_a, doc_b, (2000*i + u) // (2*u) AS jaccard_milli FROM (" +
+        "SELECT doc_a, doc_b, len(list_intersect(sa.s, sb.s)) AS i, len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)) AS u " +
+        "FROM cand JOIN sh sa ON cand.doc_a = sa.doc_id JOIN sh sb ON cand.doc_b = sb.doc_id)), " +
+        s"edges AS (SELECT doc_a, doc_b FROM jac WHERE jaccard_milli >= ${LlmOps.ResolveThreshold} " +
+        s"UNION ALL SELECT doc_b, doc_a FROM jac WHERE jaccard_milli >= ${LlmOps.ResolveThreshold}), " +
+        "reach(a, b) AS (SELECT doc_id, doc_id FROM documents UNION SELECT r.a, e.doc_b FROM reach r JOIN edges e ON r.b = e.doc_a) " +
+        "SELECT a AS doc_id, min(b) AS canonical_id FROM reach GROUP BY a"),
     "t1_text_stats" ->
       (s"WITH tokd AS ($duckTok) " +
         "SELECT doc_id, len(tok)::BIGINT AS n_tokens, len(list_distinct(tok))::BIGINT AS n_uniq_tokens, " +

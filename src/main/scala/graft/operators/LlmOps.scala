@@ -281,6 +281,55 @@ object LlmOps {
       .filter(col("jaccard_milli") > 0)
   }
 
+  /** Near-dup pairs count as the same document at or above this Jaccard. */
+  val ResolveThreshold = 500
+
+  /** D7: dedup resolution — the step after candidate generation: collapse
+    * the near-dup pair graph into groups and elect a canonical id (the
+    * minimum doc_id reachable through pairs with Jaccard ≥
+    * [[ResolveThreshold]]). Connected components via iterative min-label
+    * propagation: each round every doc takes the min of its own label and
+    * its neighbors' labels; converges in O(component diameter) rounds
+    * (driver loop, each round one shuffle join — the standard large-scale
+    * connected-components shape; at 100 TB you bound rounds and use
+    * large-star/small-star optimizations, same skeleton).
+    *
+    * Output: (doc_id, canonical_id) for EVERY document — singletons map
+    * to themselves. Deterministic: min over an unordered neighbor set.
+    */
+  def d7DedupResolve(spark: SparkSession, dir: String): DataFrame = {
+    val edges = d2DedupMinhash(spark, dir)
+      .filter(col("jaccard_milli") >= ResolveThreshold)
+      .select(col("doc_a"), col("doc_b"))
+      .persist()
+    // Symmetrize once; labels start as self.
+    val adj = edges.union(edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .persist()
+    var labels = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("doc_id").as("canonical_id"))
+      .persist()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 20) {
+      val neighborMin = adj
+        .join(labels.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+        .groupBy(col("doc_a").as("doc_id"))
+        .agg(min("canonical_id").as("nmin"))
+      val next = labels
+        .join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("canonical_id"), coalesce(col("nmin"), col("canonical_id"))).as("canonical_id"))
+        .persist()
+      val changed = next.join(labels.withColumnRenamed("canonical_id", "prev"), "doc_id")
+        .filter(col("canonical_id") =!= col("prev")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      rounds += 1
+    }
+    labels
+  }
+
   // ---------------------------------------------------------------------
   // T1: per-document text statistics.
   // ---------------------------------------------------------------------

@@ -49,6 +49,17 @@ class LlmOpsSpec extends SparkTestBase {
       .foreach(j => assert(j < 700L))
   }
 
+  test("d7 resolution collapses the planted duplicate group to one canonical id") {
+    val labels = LlmOps.d7DedupResolve(spark, docsDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // docs 0 (base), 1 (exact copy), 2 (near-dup) form one component → 0.
+    assert(labels(0L) === 0L)
+    assert(labels(1L) === 0L)
+    assert(labels(2L) === 0L)
+    // fillers stay singletons
+    (3L to 9L).foreach(i => assert(labels(i) === i))
+  }
+
   test("d3 SimHash: identical docs hash equal; near-dup within small Hamming distance") {
     val sh = LlmOps.d3Simhash(spark, docsDir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
