@@ -54,20 +54,36 @@ object Streaming {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** Stateful streaming creates one state store per shuffle partition;
+    * the harness corpus needs nowhere near the session's CPU-count
+    * partitions, and each store costs real per-batch overhead. Scoped
+    * override around the (synchronous) stream execution, restored in a
+    * finally — this is local-harness sizing; a production run sizes it
+    * to executors × cores before starting the query.
+    */
+  private def withStreamPartitions[T](spark: SparkSession, n: Int)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try f finally spark.conf.set(key, prev)
+  }
+
   /** Run `agged` (a streaming aggregation) to completion with
     * AvailableNow into a memory sink; return the final table.
     */
   private def runToTable(spark: SparkSession, agged: DataFrame): DataFrame = {
     val name = s"graft_stream_${runId.incrementAndGet()}"
-    val q = agged.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode("complete")
-      .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory("graft_ckpt").toString)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamPartitions(spark, 8) {
+      val q = agged.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft_ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(name)
   }
 
@@ -84,16 +100,18 @@ object Streaming {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count("*").as("n_events"))
       .select(col("window.start").as("window_start"), col("event_type"), col("n_events"))
-    val q = agged.writeStream
-      .outputMode("complete")
-      .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory("graft_ckpt").toString)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("overwrite").parquet(outDir)
-      }
-      .start()
-    q.awaitTermination()
+    withStreamPartitions(spark, 8) {
+      val q = agged.writeStream
+        .outputMode("complete")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft_ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("overwrite").parquet(outDir)
+        }
+        .start()
+      q.awaitTermination()
+    }
     spark.read.parquet(outDir)
   }
 
@@ -143,15 +161,17 @@ object Streaming {
     // Inner stream-stream join supports append output; the memory sink
     // collects every emitted match.
     val name = s"graft_stream_${runId.incrementAndGet()}"
-    val q = joined.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode("append")
-      .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory("graft_ckpt").toString)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamPartitions(spark, 8) {
+      val q = joined.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft_ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(name)
       .select(col("signup_id"), col("purchase_id"),
         col("s_user").as("user_id"), col("s_ts"), col("p_ts"))
