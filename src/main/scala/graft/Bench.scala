@@ -26,7 +26,7 @@ object Bench {
         times(name) = (System.nanoTime() - t0) / 1e9
       } catch { case e: Throwable =>
         errors(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
-      }
+      } finally spark.catalog.clearCache() // per-query isolation for fair timings
     }
     def q(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""

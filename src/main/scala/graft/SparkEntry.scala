@@ -48,6 +48,8 @@ object SparkEntry {
     "w4_range_frame"       -> Relational.w4RangeFrame _,
     "w5_rank_family"       -> Relational.w5RankFamily _,
     "a7_grouping_sets"     -> Relational.a7GroupingSets _,
+    "a8_pivot"             -> Relational.a8Pivot _,
+    "a9_unpivot"           -> Relational.a9Unpivot _,
     "k5_slice"             -> Relational.k5Slice _,
     "q_topk_global"        -> Relational.topkGlobal _,
     "set_union"            -> Relational.setUnion _,
@@ -162,6 +164,17 @@ object SparkEntry {
     "a7_grouping_sets" ->
       ("SELECT coalesce(o_orderstatus, 'ALL') AS order_status, coalesce(o_orderpriority, 'ALL') AS order_priority, " +
         "count(*) AS n_orders FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())"),
+    "a8_pivot" ->
+      ("SELECT o_orderpriority, count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f, " +
+        "count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o, " +
+        "count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p FROM orders GROUP BY o_orderpriority"),
+    "a9_unpivot" ->
+      ("WITH c AS (SELECT c_nationkey, count(*) AS n_customers FROM customer GROUP BY 1), " +
+        "s AS (SELECT s_nationkey, count(*) AS n_suppliers FROM supplier GROUP BY 1), " +
+        "j AS (SELECT coalesce(c_nationkey, s_nationkey) AS nation_key, coalesce(n_customers, 0) AS n_customers, " +
+        "coalesce(n_suppliers, 0) AS n_suppliers FROM c FULL JOIN s ON c_nationkey = s_nationkey) " +
+        "SELECT nation_key, 'n_customers' AS metric, n_customers AS value FROM j " +
+        "UNION ALL SELECT nation_key, 'n_suppliers' AS metric, n_suppliers AS value FROM j"),
     "k5_slice" ->
       "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer ORDER BY c_custkey LIMIT 498 OFFSET 1",
     "q_topk_global" ->

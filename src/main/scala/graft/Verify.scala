@@ -30,7 +30,7 @@ object Verify {
         val msg = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}"
         errors(name) = msg
         System.err.println(s"[verify] FAILED $name — $msg")
-      }
+      } finally spark.catalog.clearCache() // queries that persist() don't leak across
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -342,6 +342,31 @@ object Relational {
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin)
   }
 
+  /** Pivot: long→wide on an explicit value list (always name the pivot
+    * values: an unlisted pivot scans twice to discover them and the
+    * output schema becomes data-dependent — both wrong at scale).
+    */
+  def a8Pivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(
+        col("o_orderpriority"),
+        coalesce(col("F"), lit(0L)).as("n_f"),
+        coalesce(col("O"), lit(0L)).as("n_o"),
+        coalesce(col("P"), lit(0L)).as("n_p"))
+
+  /** Unpivot (melt): wide→long — the inverse reshaping, over the full
+    * outer join's two count columns.
+    */
+  def a9Unpivot(spark: SparkSession, dir: String): DataFrame =
+    j8FullOuter(spark, dir)
+      .unpivot(
+        Array(col("nation_key")),
+        Array(col("n_customers"), col("n_suppliers")),
+        "metric", "value")
+
   /** K5: the Sheets range-copy (google_sheets.py:77-88) — ordered offset 1,
     * take ≤498 rows, first 5 columns, values materialized.
     */
