@@ -58,6 +58,9 @@ object SparkEntry {
     "f1_age_label"         -> Relational.f1AgeLabel _,
     "f2_grade_label"       -> Relational.f2GradeLabel _,
     "f6_json_extract"      -> Relational.f6JsonExtract _,
+    "f7_from_json"         -> Relational.f7FromJson _,
+    "f8_datetime"          -> Relational.f8Datetime _,
+    "f9_strings"           -> Relational.f9Strings _,
     "s5_parse_source"      -> Relational.s5ParseSource _,
     "p7_rename_lookup"     -> Relational.p7RenameLookup _,
     "j4_pick_first_supplier" -> Relational.j4PickFirstSupplier _,
@@ -191,6 +194,19 @@ object SparkEntry {
       "SELECT CASE WHEN c_nationkey IS NULL OR c_nationkey = 0 THEN '' ELSE 'Grade ' || CAST(c_nationkey AS VARCHAR) END AS grade_label, count(*) AS n_customers FROM customer GROUP BY grade_label ORDER BY grade_label",
     "f6_json_extract" ->
       "SELECT event_type, round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 2) AS avg_k, round(sum(value), 2) AS total_value, count(*) AS n_events FROM events GROUP BY event_type ORDER BY event_type",
+    "f7_from_json" ->
+      "SELECT event_id, coalesce(CAST(json_extract_string(props, '$.k') AS INTEGER), -1) AS k FROM events",
+    "f8_datetime" ->
+      (s"SELECT o_orderkey, CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month, " +
+        s"datediff('day', CAST(o_orderdate AS DATE), DATE '$asOf') AS days_ago, " +
+        "CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS due_month, " +
+        "dayofweek(o_orderdate) + 1 AS dow, quarter(o_orderdate) AS qtr FROM orders"),
+    "f9_strings" ->
+      ("SELECT c_custkey, " +
+        "upper(substr(lower(c_mktsegment), 1, 1)) || substr(lower(c_mktsegment), 2) AS segment_label, " +
+        "lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded_key, " +
+        "replace(c_name, '#', '-') AS clean_name, " +
+        "levenshtein(c_mktsegment, 'BUILDING') AS seg_dist FROM customer"),
     "s5_parse_source" ->
       ("""SELECT event_type, count(*) AS n_rows, min(k) AS min_k, max(k) AS max_k, sum(k) AS sum_k FROM """ +
         """(SELECT event_type, CAST(nullif(regexp_extract(props, '"k":\s*(\d+)', 1), '') AS INTEGER) AS k FROM events) GROUP BY event_type"""),

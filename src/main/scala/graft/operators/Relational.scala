@@ -448,6 +448,44 @@ object Relational {
         round(sum("value"), 2).as("total_value"),
         count("*").as("n_events"))
 
+  /** F6b: from_json into a typed struct (vs f6's get_json_object path —
+    * from_json parses once per row into a struct; prefer it when several
+    * fields are read). Null-safe: malformed JSON yields a null struct.
+    */
+  def f7FromJson(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(
+        col("event_id"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.IntegerType)))).as("p"))
+      .select(col("event_id"), coalesce(col("p.k"), lit(-1)).as("k"))
+
+  /** F8b: date/time function family over order dates — trunc, diff,
+    * add_months, extract; all integer/date outputs (oracle-exact).
+    */
+  def f8Datetime(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(
+        col("o_orderkey"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("order_month"),
+        datediff(to_date(lit(AsOfDate)), col("o_orderdate").cast("date")).cast("long").as("days_ago"),
+        add_months(col("o_orderdate").cast("date"), 3).as("due_month"),
+        dayofweek(col("o_orderdate")).cast("long").as("dow"),
+        quarter(col("o_orderdate")).cast("long").as("qtr"))
+
+  /** F9: string function family — case, padding, translation, edit
+    * distance (levenshtein is built-in in both engines).
+    */
+  def f9Strings(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select(
+        col("c_custkey"),
+        initcap(lower(col("c_mktsegment"))).as("segment_label"),
+        lpad(col("c_custkey").cast("string"), 8, "0").as("padded_key"),
+        translate(col("c_name"), "#", "-").as("clean_name"),
+        levenshtein(col("c_mktsegment"), lit("BUILDING")).cast("long").as("seg_dist"))
+
   /** S5: parse-into-rows over semi-structured text (the HTML-card scrape,
     * webscraper.py:64-77 — name at :69, int(count) at :70): regexp
     * extraction + cast + aggregate, all on the scan side of any join.
