@@ -74,6 +74,7 @@ object SparkEntry {
     "d2_dedup_minhash" -> LlmOps.d2DedupMinhash _,
     "d3_simhash"       -> LlmOps.d3Simhash _,
     "d4_ngram_jaccard" -> LlmOps.d4NgramJaccard _,
+    "d5_dedup_incremental" -> LlmOps.d5DedupIncremental _,
     "d6_simhash_neardup" -> LlmOps.d6SimhashNeardup _,
     "d7_dedup_resolve" -> LlmOps.d7DedupResolve _,
     "t1_text_stats"    -> LlmOps.t1TextStats _,
@@ -283,6 +284,17 @@ object SparkEntry {
         "len(list_intersect(a.s, b.s)) AS i, len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS u " +
         "FROM sh a JOIN sh b ON a.source = b.source AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id) " +
         "WHERE (2000*i + u) // (2*u) > 0"),
+    "d5_dedup_incremental" ->
+      (s"WITH tokd AS ($duckTok), " +
+        s"sh AS (SELECT doc_id, $duckShingles AS s FROM tokd), " +
+        s"sig AS (SELECT doc_id, list_transform(range(0, ${LlmOps.NumHashes}), h -> list_min(list_transform(s, x -> md5(h::VARCHAR || '|' || x)))) AS g FROM sh), " +
+        s"bands AS (SELECT sig.doc_id, d.source, b, md5(array_to_string(g[b*${LlmOps.RowsPerBand}+1 : b*${LlmOps.RowsPerBand}+${LlmOps.RowsPerBand}], '|')) AS bkey " +
+        "FROM sig JOIN documents d ON sig.doc_id = d.doc_id CROSS JOIN (VALUES (0),(1),(2),(3)) AS t(b)), " +
+        "cand AS (SELECT DISTINCT n.doc_id AS new_doc, c.doc_id AS existing_doc FROM bands n JOIN bands c " +
+        "ON n.b = c.b AND n.bkey = c.bkey AND n.source = 'src0' AND c.source != 'src0') " +
+        "SELECT new_doc, existing_doc, (2000*i + u) // (2*u) AS jaccard_milli FROM (" +
+        "SELECT new_doc, existing_doc, len(list_intersect(sa.s, sb.s)) AS i, len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)) AS u " +
+        "FROM cand JOIN sh sa ON cand.new_doc = sa.doc_id JOIN sh sb ON cand.existing_doc = sb.doc_id)"),
     "d6_simhash_neardup" ->
       (s"WITH tokd AS ($duckTok), " +
         "t8 AS (SELECT doc_id, list_transform(tok, t -> substr(md5(t), 1, 8)) AS tok8 FROM tokd), " +

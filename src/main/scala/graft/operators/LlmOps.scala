@@ -281,6 +281,37 @@ object LlmOps {
       .filter(col("jaccard_milli") > 0)
   }
 
+  /** D5: incremental ingestion dedup — the production shape: a NEW batch
+    * of documents (here: source = 'src0') checked against the EXISTING
+    * corpus (every other source) via the same MinHash bands. Unlike the
+    * self-join in [[d2DedupMinhash]], this is an asymmetric join of a
+    * small batch against the corpus band table — at scale the corpus
+    * bands are a materialized, bucketed table and each ingest joins
+    * against it without recomputation. Emits (new_doc, existing_doc,
+    * jaccard_milli) for banded candidates.
+    */
+  def d5DedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val bands = minhashBands(spark, dir).join(src, "doc_id").persist()
+    val newBands = bands.filter(col("source") === "src0")
+      .select(col("doc_id").as("new_doc"), col("band").as("band_n"), col("bkey").as("bkey_n"))
+    val corpusBands = bands.filter(col("source") =!= "src0")
+      .select(col("doc_id").as("existing_doc"), col("band"), col("bkey"))
+    val candidates = newBands
+      .join(corpusBands, col("band_n") === col("band") && col("bkey_n") === col("bkey"))
+      .select("new_doc", "existing_doc")
+      .distinct()
+    val sh = docShingles(spark, dir, "doc_id", "sset").persist()
+    candidates
+      .join(sh.toDF("new_doc", "sa"), "new_doc")
+      .join(sh.toDF("existing_doc", "sb"), "existing_doc")
+      .select(
+        col("new_doc"), col("existing_doc"),
+        expr(milli(
+          "size(array_intersect(sa, sb))",
+          "size(sa) + size(sb) - size(array_intersect(sa, sb))")).as("jaccard_milli"))
+  }
+
   /** Near-dup pairs count as the same document at or above this Jaccard. */
   val ResolveThreshold = 500
 
