@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.types._
+
+import graft.operators.{LlmOps, Multimodal, Similarity}
+
+/** Degenerate-input robustness: every documents/embeddings operator must
+  * return an empty result — never throw — on an empty table. (A 100 TB
+  * pipeline routinely hits empty partitions, empty ingest batches, and
+  * filters that eliminate everything.)
+  */
+class EmptyInputSpec extends SparkTestBase {
+
+  private lazy val emptyDir: String = {
+    val dir = tempDir("empty_tables")
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val embSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], docSchema)
+      .write.parquet(s"$dir/documents.parquet")
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], embSchema)
+      .write.parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("document operators return empty on an empty corpus") {
+    assert(LlmOps.d1DedupExact(spark, emptyDir).count() === 0)
+    assert(LlmOps.d2DedupMinhash(spark, emptyDir).count() === 0)
+    assert(LlmOps.d3Simhash(spark, emptyDir).count() === 0)
+    assert(LlmOps.d4NgramJaccard(spark, emptyDir).count() === 0)
+    assert(LlmOps.d5DedupIncremental(spark, emptyDir).count() === 0)
+    assert(LlmOps.d6SimhashNeardup(spark, emptyDir).count() === 0)
+    assert(LlmOps.d7DedupResolve(spark, emptyDir).count() === 0)
+    assert(LlmOps.t1TextStats(spark, emptyDir).count() === 0)
+    assert(LlmOps.t5TokenEstimate(spark, emptyDir).count() === 0)
+    assert(Multimodal.m1MediaMeta(spark, emptyDir).count() === 0)
+    assert(Multimodal.m2FrameSample(spark, emptyDir).count() === 0)
+  }
+
+  test("similarity operators return empty on an empty corpus") {
+    assert(Similarity.simTopk(spark, emptyDir).count() === 0)
+    assert(Similarity.simLshPairs(spark, emptyDir).count() === 0)
+    assert(Similarity.simIvfTopk(spark, emptyDir).count() === 0)
+  }
+}

@@ -49,6 +49,16 @@ class LlmOpsSpec extends SparkTestBase {
       .foreach(j => assert(j < 700L))
   }
 
+  test("d5 incremental: new batch (src0) finds its duplicates in the existing corpus") {
+    // doc 0 (src0, new) vs doc 1 (src1, exact copy) and doc 2 (src2, near-dup).
+    val pairs = LlmOps.d5DedupIncremental(spark, docsDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs((0L, 1L)) === 1000L)
+    assert(pairs.contains((0L, 2L)) && pairs((0L, 2L)) >= 700L)
+    // Asymmetric: only src0 docs appear on the new side.
+    assert(pairs.keys.forall(_._1 % 3 == 0))
+  }
+
   test("d7 resolution collapses the planted duplicate group to one canonical id") {
     val labels = LlmOps.d7DedupResolve(spark, docsDir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
