@@ -32,6 +32,22 @@ object Multimodal {
       doc_id: Long, n_bytes: Int, head_byte: Int, fake_channels: Int,
       fake_embedding: Array[Float])
 
+  /** Real media ingestion: the binaryFile source reads raw files as
+    * (path, modificationTime, length, content) rows — the actual entry
+    * point for image/audio/video payloads at scale (each file's bytes
+    * stay on the executor that read it; pathGlobFilter prunes at
+    * listing). Returns MediaRecord-shaped rows keyed by an id parsed
+    * from the file name.
+    */
+  def mediaFromFiles(spark: SparkSession, dir: String, glob: String = "*.bin"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select(
+        regexp_extract(col("path"), "([0-9]+)\\.[a-z]+$", 1).cast("long").as("doc_id"),
+        col("content").as("media"),
+        lit("application/octet-stream").as("media_type"))
+
   /** Documents with the media binary column attached. */
   def mediaTable(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)

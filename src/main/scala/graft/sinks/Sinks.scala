@@ -52,8 +52,17 @@ object Sinks {
   /** Generic columnar sink (parquet) with the same path abstraction —
     * what the engine's own outputs use. Partition columns optional.
     */
-  def writeParquet(df: DataFrame, baseUri: String, partitionCols: Seq[String] = Nil): Unit = {
-    val w = df.write.mode(SaveMode.Overwrite)
-    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(baseUri)
+  def writeParquet(df: DataFrame, baseUri: String, partitionCols: Seq[String] = Nil): Unit =
+    write(df, baseUri, "parquet", partitionCols)
+
+  /** Format-parametric sink: parquet / orc / json / csv through one code
+    * path (format is config, like the URI scheme). CSV gets headers so
+    * it round-trips.
+    */
+  def write(df: DataFrame, baseUri: String, format: String,
+            partitionCols: Seq[String] = Nil): Unit = {
+    var w = df.write.mode(SaveMode.Overwrite).format(format)
+    if (format == "csv") w = w.option("header", true)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).save(baseUri)
   }
 }

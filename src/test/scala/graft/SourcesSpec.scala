@@ -50,6 +50,30 @@ class SourcesSpec extends SparkTestBase {
     assert(bob.getAs[String]("grade") === null)
   }
 
+  test("binaryFile source ingests raw media files with ids from file names") {
+    import graft.operators.Multimodal
+    val dir = tempDir("media_files")
+    Files.write(Paths.get(dir, "7.bin"), Array[Byte](1, 2, 3, 4))
+    Files.write(Paths.get(dir, "42.bin"), Array[Byte](9, 8))
+    Files.writeString(Paths.get(dir, "ignore.txt"), "not media")
+    val got = Multimodal.mediaFromFiles(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    assert(got === Map(7L -> Seq[Byte](1, 2, 3, 4), 42L -> Seq[Byte](9, 8)))
+  }
+
+  test("format-parametric sink round-trips parquet, orc, and json") {
+    val df = Tables.nation(spark, Sf)
+    for (fmt <- Seq("parquet", "orc", "json")) {
+      val out = tempDir(s"sink_$fmt")
+      Sinks.write(df, out, fmt)
+      val back = spark.read.format(fmt)
+        .schema(df.schema) // json would otherwise re-infer types
+        .load(out)
+      assert(back.count() === df.count(), fmt)
+      assert(back.exceptAll(df).count() === 0, fmt)
+    }
+  }
+
   test("partition pruning: filter on the partition column prunes at scan") {
     val out = tempDir("part_prune")
     val df = Tables.orders(spark, Sf)
