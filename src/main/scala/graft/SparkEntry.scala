@@ -49,6 +49,7 @@ object SparkEntry {
     "w5_rank_family"       -> Relational.w5RankFamily _,
     "a7_grouping_sets"     -> Relational.a7GroupingSets _,
     "a8_pivot"             -> Relational.a8Pivot _,
+    "a10_percentile"       -> Relational.a10Percentile _,
     "a9_unpivot"           -> Relational.a9Unpivot _,
     "k5_slice"             -> Relational.k5Slice _,
     "q_topk_global"        -> Relational.topkGlobal _,
@@ -168,6 +169,9 @@ object SparkEntry {
     "a7_grouping_sets" ->
       ("SELECT coalesce(o_orderstatus, 'ALL') AS order_status, coalesce(o_orderpriority, 'ALL') AS order_priority, " +
         "count(*) AS n_orders FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())"),
+    "a10_percentile" ->
+      ("SELECT o_orderstatus, quantile_cont(o_orderkey, 0.5) AS median_key, " +
+        "quantile_cont(o_orderkey, 0.9) AS p90_key, count(*) AS n FROM orders GROUP BY o_orderstatus"),
     "a8_pivot" ->
       ("SELECT o_orderpriority, count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f, " +
         "count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o, " +

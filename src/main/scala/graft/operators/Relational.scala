@@ -342,6 +342,21 @@ object Relational {
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin)
   }
 
+  /** Exact percentiles per group. Computed over the integer order key so
+    * linear interpolation ((a+b)·frac) is exact in double for both
+    * engines — the float-discipline rule (SURVEY.md §7.4) applied to
+    * quantiles. For big data prefer approx_percentile (t-digest
+    * sketch, one pass, mergeable) — bounded-error spec in
+    * ApproxDistinctSpec's style.
+    */
+  def a10Percentile(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy("o_orderstatus")
+      .agg(
+        expr("percentile(o_orderkey, 0.5)").as("median_key"),
+        expr("percentile(o_orderkey, 0.9)").as("p90_key"),
+        count("*").as("n"))
+
   /** Pivot: long→wide on an explicit value list (always name the pivot
     * values: an unlisted pivot scans twice to discover them and the
     * output schema becomes data-dependent — both wrong at scale).

@@ -11,6 +11,18 @@ import graft.operators.Relational
   */
 class ApproxDistinctSpec extends SparkTestBase {
 
+  test("approx_percentile lands within the exact p40..p60 rank window") {
+    val row = Tables.orders(spark, Sf)
+      .agg(
+        expr("approx_percentile(o_totalprice, 0.5, 1000)").as("approx_median"),
+        expr("percentile(o_totalprice, 0.4)").as("p40"),
+        expr("percentile(o_totalprice, 0.6)").as("p60"))
+      .collect()(0)
+    val (approx, p40, p60) = (row.getDouble(0), row.getDouble(1), row.getDouble(2))
+    assert(approx >= p40 && approx <= p60,
+      s"approx median $approx outside exact rank window [$p40, $p60]")
+  }
+
   test("approx_count_distinct stays within 3×rsd of the exact count per group") {
     val approx = Relational.aApproxDistinct(spark, Sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
