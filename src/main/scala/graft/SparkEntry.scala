@@ -83,6 +83,7 @@ object SparkEntry {
     "t3_quality_score" -> LlmOps.t3QualityScore _,
     "t4_fingerprint"   -> LlmOps.t4Fingerprint _,
     "t5_token_estimate" -> LlmOps.t5TokenEstimate _,
+    "t6_pii_scrub"     -> LlmOps.t6PiiScrub _,
   )
 
   private val simQueries: Map[String, Query] = Map(
@@ -356,6 +357,12 @@ object SparkEntry {
       (s"WITH tokd AS ($duckTok) " +
         "SELECT doc_id, len(tok)::BIGINT AS n_ws_tokens, " +
         "CAST(list_sum(list_transform(tok, t -> (length(t) + 3) // 4)) AS BIGINT) AS n_subword_est FROM tokd"),
+    "t6_pii_scrub" ->
+      ("""SELECT doc_id, md5(regexp_replace(regexp_replace(regexp_replace(text, """ +
+        """'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), """ +
+        """'https?://[^\s]+', '<URL>', 'g'), '[0-9]{3,}', '<NUM>', 'g')) AS scrubbed_md5, """ +
+        """len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails, """ +
+        """len(regexp_extract_all(text, '[0-9]{3,}'))::BIGINT AS n_digit_runs FROM documents"""),
   )
 
   // -- Similarity oracles ---------------------------------------------

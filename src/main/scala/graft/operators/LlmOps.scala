@@ -395,6 +395,32 @@ object LlmOps {
         count("*").as("n_ws_tokens"),
         sum(expr("(length(tok) + 3) div 4")).as("n_subword_est"))
 
+  /** T6: PII scrubbing — the redaction pass every training-data pipeline
+    * runs before tokenization: emails, digit runs, and URLs replaced
+    * with typed placeholder tokens (global regexp_replace, map-only,
+    * codegen'd). Patterns kept to the regex subset RE2 (DuckDB) and
+    * java.util.regex (Spark) interpret identically — no backtracking
+    * constructs. Output carries the scrubbed text's hash + per-doc
+    * replacement counts so the redaction is auditable without shipping
+    * the text twice.
+    */
+  def t6PiiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val url = "https?://[^\\s]+"
+    val digits = "[0-9]{3,}"
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        md5(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(col("text"), email, "<EMAIL>"),
+              url, "<URL>"),
+            digits, "<NUM>")).as("scrubbed_md5"),
+        expr(s"cast(size(regexp_extract_all(text, '$email', 0)) as bigint)").as("n_emails"),
+        expr(s"cast(size(regexp_extract_all(text, '$digits', 0)) as bigint)").as("n_digit_runs"))
+  }
+
   // ---------------------------------------------------------------------
   // T2: language-ID heuristic (character-bigram markers).
   // ---------------------------------------------------------------------

@@ -89,6 +89,31 @@ class LlmOpsSpec extends SparkTestBase {
     assert(r.getLong(5) === 1000L) // ttr: all unique
   }
 
+  test("t6 PII scrub redacts planted emails and digit runs") {
+    val dir = tempDir("pii_docs")
+    val texts = Seq(
+      "contact alice at alice.smith+work@example.com or call 5551234 now",
+      "no pii here at all just words",
+      "see https://example.com/page and mail bob@test.org ref 99887766")
+    texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = LlmOps.t6PiiScrub(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rows(0L)._2 === 1L) // one email
+    assert(rows(0L)._3 === 1L) // one digit run
+    assert(rows(1L)._2 === 0L && rows(1L)._3 === 0L)
+    assert(rows(2L)._2 === 1L && rows(2L)._3 === 1L)
+    // Redaction actually changes the content hash iff PII was present.
+    import org.apache.spark.sql.functions.md5
+    val raw = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", md5($"text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows(0L)._1 !== raw(0L))
+    assert(rows(1L)._1 === raw(1L)) // untouched doc keeps its hash
+  }
+
   test("t4 fingerprint: identical docs share both fingerprints") {
     val fp = LlmOps.t4Fingerprint(spark, docsDir).collect()
       .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
