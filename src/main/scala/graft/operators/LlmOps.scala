@@ -333,12 +333,15 @@ object LlmOps {
       .filter(col("jaccard_milli") >= ResolveThreshold)
       .select(col("doc_a"), col("doc_b"))
       .persist()
+    val identity = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("doc_id").as("canonical_id"))
+    // Clean-corpus fast path: no above-threshold pairs → every document
+    // is its own canonical; skip the propagation loop entirely.
+    if (edges.isEmpty) return identity
     // Symmetrize once; labels start as self.
     val adj = edges.union(edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .persist()
-    var labels = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("doc_id").as("canonical_id"))
-      .persist()
+    var labels = identity.persist()
     var converged = false
     var rounds = 0
     while (!converged && rounds < 20) {
