@@ -34,4 +34,18 @@ object Tables {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+
+  /** All corpus tables, by name. */
+  val All: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Register every table as a temp view so plain spark.sql text works
+    * against the corpus (the "switch to this library" path for SQL
+    * users; views are metadata only — nothing is read until queried).
+    */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    All.foreach { name =>
+      val df = if (name == "events") events(spark, dir) else load(spark, dir, name)
+      df.createOrReplaceTempView(name)
+    }
 }
