@@ -161,7 +161,7 @@ object SparkEntry {
       "SELECT o_custkey, o_orderkey, coalesce(lag(o_totalprice, 1) OVER w, 0.0) AS prev_price, coalesce(lead(o_totalprice, 1) OVER w, 0.0) AS next_price FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) ORDER BY o_custkey, o_orderkey",
     "w4_range_frame" ->
       ("SELECT o_custkey, o_orderkey, count(*) OVER w AS n_orders_30d, " +
-        "sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w AS cents_30d FROM orders " +
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w AS BIGINT) AS cents_30d FROM orders " +
         "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)"),
     "w5_rank_family" ->
       ("SELECT o_orderpriority, o_orderkey, dense_rank() OVER w AS drank, percent_rank() OVER w AS prank, " +
@@ -214,7 +214,10 @@ object SparkEntry {
         "replace(c_name, '#', '-') AS clean_name, " +
         "levenshtein(c_mktsegment, 'BUILDING') AS seg_dist FROM customer"),
     "s5_parse_source" ->
-      ("""SELECT event_type, count(*) AS n_rows, min(k) AS min_k, max(k) AS max_k, sum(k) AS sum_k FROM """ +
+      // CAST(sum() AS BIGINT): DuckDB sum(INTEGER) returns HUGEINT, which
+      // pandas reads back as float64 — the typed hash compare then fails
+      // against Spark's bigint even though values match (round-2 finding).
+      ("""SELECT event_type, count(*) AS n_rows, min(k) AS min_k, max(k) AS max_k, CAST(sum(k) AS BIGINT) AS sum_k FROM """ +
         """(SELECT event_type, CAST(nullif(regexp_extract(props, '"k":\s*(\d+)', 1), '') AS INTEGER) AS k FROM events) GROUP BY event_type"""),
     "p7_rename_lookup" ->
       ("WITH fmt(lang, csv_name) AS (VALUES ('en', 'english_docs'), ('de', 'german_docs'), ('fr', 'french_docs')) " +
@@ -267,7 +270,7 @@ object SparkEntry {
       "SELECT md5(text) AS text_hash, min(doc_id) AS canonical_doc_id, count(*) AS n_copies FROM documents GROUP BY md5(text)",
     "d2_dedup_minhash" ->
       (s"WITH tokd AS ($duckTok), " +
-        s"sh AS (SELECT doc_id, $duckShingles AS s FROM tokd), " +
+        s"sh AS (SELECT doc_id, $duckShingles AS s FROM tokd WHERE len(tok) >= 3), " +
         s"sig AS (SELECT doc_id, list_transform(range(0, ${LlmOps.NumHashes}), h -> list_min(list_transform(s, x -> md5(h::VARCHAR || '|' || x)))) AS g FROM sh), " +
         s"bands AS (SELECT doc_id, b, md5(array_to_string(g[b*${LlmOps.RowsPerBand}+1 : b*${LlmOps.RowsPerBand}+${LlmOps.RowsPerBand}], '|')) AS bkey FROM sig CROSS JOIN (VALUES (0),(1),(2),(3)) AS t(b)), " +
         "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id) " +
@@ -283,7 +286,10 @@ object SparkEntry {
         "THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS simhash FROM t8"),
     "d4_ngram_jaccard" ->
       ("WITH tokd AS (SELECT doc_id, source, n_chars // 100 AS len_bucket, text, string_split(text, ' ') AS tok FROM documents), " +
-        s"sh AS (SELECT doc_id, source, len_bucket, $duckShingles AS s FROM tokd) " +
+        // len(tok) >= 3 mirrors Spark: docs too short to shingle emit no
+        // rows at all, so they can never form candidate pairs (advisor
+        // finding — without this, short docs all band-key to md5('')).
+        s"sh AS (SELECT doc_id, source, len_bucket, $duckShingles AS s FROM tokd WHERE len(tok) >= 3) " +
         "SELECT source, doc_a, doc_b, (2000*i + u) // (2*u) AS jaccard_milli FROM (" +
         "SELECT a.source AS source, a.doc_id AS doc_a, b.doc_id AS doc_b, " +
         "len(list_intersect(a.s, b.s)) AS i, len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS u " +
@@ -291,7 +297,7 @@ object SparkEntry {
         "WHERE (2000*i + u) // (2*u) > 0"),
     "d5_dedup_incremental" ->
       (s"WITH tokd AS ($duckTok), " +
-        s"sh AS (SELECT doc_id, $duckShingles AS s FROM tokd), " +
+        s"sh AS (SELECT doc_id, $duckShingles AS s FROM tokd WHERE len(tok) >= 3), " +
         s"sig AS (SELECT doc_id, list_transform(range(0, ${LlmOps.NumHashes}), h -> list_min(list_transform(s, x -> md5(h::VARCHAR || '|' || x)))) AS g FROM sh), " +
         s"bands AS (SELECT sig.doc_id, d.source, b, md5(array_to_string(g[b*${LlmOps.RowsPerBand}+1 : b*${LlmOps.RowsPerBand}+${LlmOps.RowsPerBand}], '|')) AS bkey " +
         "FROM sig JOIN documents d ON sig.doc_id = d.doc_id CROSS JOIN (VALUES (0),(1),(2),(3)) AS t(b)), " +
@@ -317,7 +323,7 @@ object SparkEntry {
     // canonical = min reachable id.
     "d7_dedup_resolve" ->
       (s"WITH RECURSIVE tokd AS ($duckTok), " +
-        s"sh AS (SELECT doc_id, $duckShingles AS s FROM tokd), " +
+        s"sh AS (SELECT doc_id, $duckShingles AS s FROM tokd WHERE len(tok) >= 3), " +
         s"sig AS (SELECT doc_id, list_transform(range(0, ${LlmOps.NumHashes}), h -> list_min(list_transform(s, x -> md5(h::VARCHAR || '|' || x)))) AS g FROM sh), " +
         s"bands AS (SELECT doc_id, b, md5(array_to_string(g[b*${LlmOps.RowsPerBand}+1 : b*${LlmOps.RowsPerBand}+${LlmOps.RowsPerBand}], '|')) AS bkey FROM sig CROSS JOIN (VALUES (0),(1),(2),(3)) AS t(b)), " +
         "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id), " +
@@ -382,7 +388,7 @@ object SparkEntry {
     "sim_lsh_pairs" ->
       ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings), " +
         s"planes AS (SELECT vec_id AS p, emb AS pe FROM e WHERE vec_id < ${Similarity.NumLshPlanes}), " +
-        "buck AS (SELECT vec_id, sum(CASE WHEN list_dot_product(emb, pe) > 0 THEN (1::BIGINT << p) ELSE 0 END) AS bucket FROM e CROSS JOIN planes GROUP BY vec_id), " +
+        "buck AS (SELECT vec_id, CAST(sum(CASE WHEN list_dot_product(emb, pe) > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket FROM e CROSS JOIN planes GROUP BY vec_id), " +
         "be AS (SELECT e.vec_id, bucket, emb FROM buck JOIN e ON buck.vec_id = e.vec_id) " +
         "SELECT bucket, vec_a, vec_b, cos_milli FROM (" +
         s"SELECT a.bucket AS bucket, a.vec_id AS vec_a, b.vec_id AS vec_b, ${cosOf("a.emb", "b.emb")} AS cos_milli " +

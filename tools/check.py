@@ -90,6 +90,17 @@ def main():
             continue
         bad = None
         for col in g.columns:
+            # The driver's gate hashes dtype-faithful canonical strings, so
+            # Spark bigint 99111 vs DuckDB HUGEINT->float64 99111.0 fails
+            # there even when float(a)==float(b). Mirror that strictness:
+            # an int-kind column on one side and float-kind on the other is
+            # a failure regardless of values (round-2 finding: this gap let
+            # three red rows pass locally).
+            gk, ek = g[col].dtype.kind, e[col].dtype.kind
+            if {gk, ek} <= {"i", "u", "f"} and ("f" in (gk, ek)) and gk != ek:
+                bad = (f"col {col}: dtype kind mismatch "
+                       f"spark={g[col].dtype} oracle={e[col].dtype}")
+                break
             gv, ev = g[col].tolist(), e[col].tolist()
             for i, (x, y) in enumerate(zip(gv, ev)):
                 if not values_equal(x, y):
