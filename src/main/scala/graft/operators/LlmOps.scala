@@ -53,15 +53,18 @@ object LlmOps {
     * both uniform keys at any scale. Documents with <3 tokens produce no
     * shingles (and can never pair).
     */
-  private def shingleRows(spark: SparkSession, dir: String): DataFrame = {
+  private def shingleRowsOf(docs: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("pos")
-    Tables.documents(spark, dir)
+    docs
       .select(col("doc_id"), posexplode(expr(tokExpr)).as(Seq("pos", "tok")))
       .withColumn("n1", lead("tok", 1).over(w))
       .withColumn("n2", lead("tok", 2).over(w))
       .filter(col("n2").isNotNull)
       .select(col("doc_id"), concat_ws(" ", col("tok"), col("n1"), col("n2")).as("shingle"))
   }
+
+  private def shingleRows(spark: SparkSession, dir: String): DataFrame =
+    shingleRowsOf(Tables.documents(spark, dir))
   // NB: rows are NOT deduplicated here — min-hash over a multiset equals
   // min-hash over its set, so the signature path skips that shuffle;
   // consumers needing set semantics dedupe in-aggregation (collect_set).
@@ -85,8 +88,8 @@ object LlmOps {
     * map-side partial combine — the same shape that scales to 100 TB
     * (rows ∝ docs × shingles × seeds, all map-combinable).
     */
-  private def minhashBands(spark: SparkSession, dir: String): DataFrame = {
-    val sig = shingleRows(spark, dir)
+  private def minhashBandsOf(shingles: DataFrame): DataFrame = {
+    val sig = shingles
       .select(col("doc_id"), col("shingle"),
         explode(expr(s"sequence(0, ${NumHashes - 1})")).as("seed"))
       .select(col("doc_id"), col("seed"),
@@ -104,6 +107,9 @@ object LlmOps {
         .as(Seq("band", "bkey")))
   }
 
+  private def minhashBands(spark: SparkSession, dir: String): DataFrame =
+    minhashBandsOf(shingleRows(spark, dir))
+
   /** (doc_id → idName, shingle set → setName): per-doc shingle arrays,
     * materialized behind the collect_list aggregation barrier so the
     * array construction can never be inlined into a downstream per-PAIR
@@ -112,11 +118,14 @@ object LlmOps {
     * every consumer uses set semantics (intersection/union sizes), so
     * results are deterministic.
     */
-  private def docShingles(spark: SparkSession, dir: String, idName: String, setName: String): DataFrame =
-    shingleRows(spark, dir)
+  private def docShinglesOf(shingles: DataFrame, idName: String, setName: String): DataFrame =
+    shingles
       .groupBy("doc_id")
       .agg(collect_set("shingle").as(setName))
       .withColumnRenamed("doc_id", idName)
+
+  private def docShingles(spark: SparkSession, dir: String, idName: String, setName: String): DataFrame =
+    docShinglesOf(shingleRows(spark, dir), idName, setName)
 
   /** Round-half-up(1000 * num / den) in pure integer arithmetic. */
   private def milli(num: String, den: String): String =
@@ -162,7 +171,12 @@ object LlmOps {
     // twice. persist() pins them — exactly the "materialize the
     // signature table" step a production-scale dedup run performs. Both
     // are tiny relative to the corpus (docs × bands rows; docs rows).
-    val bands = minhashBands(spark, dir).persist()
+    // The shingle scan itself (tokenize + window) feeds BOTH the band
+    // and the set tables — persist it too so the corpus is tokenized
+    // once per query, not once per derived table (round-2 finding: the
+    // dedup family's dominant shared cost).
+    val shingles = shingleRows(spark, dir).persist()
+    val bands = minhashBandsOf(shingles).persist()
     val bandsA = bands.toDF("doc_a", "band_a", "bkey_a")
     val bandsB = bands.toDF("doc_b", "band_b", "bkey_b")
     val candidates = bandsA
@@ -170,7 +184,7 @@ object LlmOps {
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
       .distinct()
-    val sh = docShingles(spark, dir, "doc_id", "sset").persist()
+    val sh = docShinglesOf(shingles, "doc_id", "sset").persist()
     val shA = sh.toDF("doc_a", "sa")
     val shB = sh.toDF("doc_b", "sb")
     candidates
@@ -264,13 +278,17 @@ object LlmOps {
     * blocks would be salted or re-banded with minhash.
     */
   def d4NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    // One shingle scan + one set aggregation, persisted and reused on both
+    // sides of the block self-join (exchange reuse does not fire across
+    // the renamed branches).
+    val sets = docShingles(spark, dir, "doc_id", "s")
+      .join(
+        Tables.documents(spark, dir)
+          .select(col("doc_id"), col("source"), expr("n_chars div 100").as("len_bucket")),
+        "doc_id")
+      .persist()
     def side(idName: String, setName: String): DataFrame =
-      docShingles(spark, dir, idName, setName)
-        .join(
-          Tables.documents(spark, dir)
-            .select(col("doc_id").as(idName), col("source"),
-              expr("n_chars div 100").as("len_bucket")),
-          idName)
+      sets.toDF(idName, setName, "source", "len_bucket")
     side("doc_a", "sa").join(side("doc_b", "sb"), Seq("source", "len_bucket"))
       .filter(col("doc_a") < col("doc_b"))
       .select(
@@ -292,7 +310,8 @@ object LlmOps {
     */
   def d5DedupIncremental(spark: SparkSession, dir: String): DataFrame = {
     val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
-    val bands = minhashBands(spark, dir).join(src, "doc_id").persist()
+    val shingles = shingleRows(spark, dir).persist()
+    val bands = minhashBandsOf(shingles).join(src, "doc_id").persist()
     val newBands = bands.filter(col("source") === "src0")
       .select(col("doc_id").as("new_doc"), col("band").as("band_n"), col("bkey").as("bkey_n"))
     val corpusBands = bands.filter(col("source") =!= "src0")
@@ -301,10 +320,69 @@ object LlmOps {
       .join(corpusBands, col("band_n") === col("band") && col("bkey_n") === col("bkey"))
       .select("new_doc", "existing_doc")
       .distinct()
-    val sh = docShingles(spark, dir, "doc_id", "sset").persist()
+    val sh = docShinglesOf(shingles, "doc_id", "sset").persist()
     candidates
       .join(sh.toDF("new_doc", "sa"), "new_doc")
       .join(sh.toDF("existing_doc", "sb"), "existing_doc")
+      .select(
+        col("new_doc"), col("existing_doc"),
+        expr(milli(
+          "size(array_intersect(sa, sb))",
+          "size(sa) + size(sb) - size(array_intersect(sa, sb))")).as("jaccard_milli"))
+  }
+
+  // ---------------------------------------------------------------------
+  // D5 at production cadence: a materialized, bucketed corpus index.
+  // ---------------------------------------------------------------------
+
+  /** Build the corpus-side dedup index ONCE as bucketed managed tables —
+    * the materialization [[d5DedupIncremental]]'s scaladoc promises. Two
+    * tables under `prefix`:
+    *
+    *  - `<prefix>_bands(doc_id, band, bkey)` bucketed on `bkey`: each
+    *    ingest's candidate join shuffles ONLY the new batch to the
+    *    corpus's bucket layout — the 100 TB corpus side is never
+    *    re-shuffled (asserted in IncrementalIngestSpec).
+    *  - `<prefix>_shingles(doc_id, sset)` bucketed on `doc_id`: the
+    *    exact-Jaccard verify join reads co-located buckets.
+    *
+    * `excludeSource` keeps the incoming batch's own source out of the
+    * index (the fixture's batch is `src0`). At 100 TB this runs once per
+    * corpus snapshot and every ingest amortizes it; bucket count would be
+    * sized to executors × cores.
+    */
+  def buildCorpusIndex(spark: SparkSession, dir: String, prefix: String,
+                       excludeSource: String = "src0", numBuckets: Int = 8): Unit = {
+    val corpusDocs = Tables.documents(spark, dir).filter(col("source") =!= excludeSource)
+    val shingles = shingleRowsOf(corpusDocs).persist()
+    Scale.writeBucketed(minhashBandsOf(shingles), s"${prefix}_bands", "bkey", numBuckets)
+    Scale.writeBucketed(docShinglesOf(shingles, "doc_id", "sset"), s"${prefix}_shingles", "doc_id", numBuckets)
+    shingles.unpersist()
+  }
+
+  /** Incremental ingest against a [[buildCorpusIndex]] snapshot: shingle
+    * and band ONLY the new batch (source = `newSource`), band-join it
+    * against the stored corpus bands, verify candidates against the
+    * stored shingle sets. Per-ingest work is proportional to the BATCH,
+    * not the corpus — the order-of-magnitude difference vs
+    * [[d5DedupIncremental]]'s full recompute. Same output contract:
+    * (new_doc, existing_doc, jaccard_milli).
+    */
+  def d5IncrementalAgainstIndex(spark: SparkSession, dir: String, prefix: String,
+                                newSource: String = "src0"): DataFrame = {
+    val batchDocs = Tables.documents(spark, dir).filter(col("source") === newSource)
+    val batchShingles = shingleRowsOf(batchDocs).persist()
+    val newBands = minhashBandsOf(batchShingles)
+      .select(col("doc_id").as("new_doc"), col("band").as("band_n"), col("bkey").as("bkey_n"))
+    val corpusBands = spark.table(s"${prefix}_bands")
+      .select(col("doc_id").as("existing_doc"), col("band"), col("bkey"))
+    val candidates = newBands
+      .join(corpusBands, col("band_n") === col("band") && col("bkey_n") === col("bkey"))
+      .select("new_doc", "existing_doc")
+      .distinct()
+    candidates
+      .join(docShinglesOf(batchShingles, "new_doc", "sa"), "new_doc")
+      .join(spark.table(s"${prefix}_shingles").toDF("existing_doc", "sb"), "existing_doc")
       .select(
         col("new_doc"), col("existing_doc"),
         expr(milli(
@@ -338,22 +416,72 @@ object LlmOps {
     // Clean-corpus fast path: no above-threshold pairs → every document
     // is its own canonical; skip the propagation loop entirely.
     if (edges.isEmpty) return identity
-    // Symmetrize once; labels start as self.
+    val (resolved, converged) = connectedComponents(edges, MaxResolveRounds)
+    if (!converged)
+      org.apache.log4j.Logger.getLogger(getClass)
+        .warn(s"d7DedupResolve: label propagation did NOT converge within " +
+          s"$MaxResolveRounds rounds — canonical ids may be non-minimal for " +
+          "components with very large diameter")
+    // The loop ran only over edge-participating nodes (tiny vs the
+    // corpus); singletons — the overwhelming majority of any real corpus
+    // — join in exactly once here, after convergence.
+    identity
+      .join(resolved.withColumnRenamed("canonical_id", "resolved_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("resolved_id"), col("canonical_id")).as("canonical_id"))
+  }
+
+  /** Round cap for [[connectedComponents]]. Pointer-jumping halves the
+    * unresolved path length each round, so 20 rounds covers components of
+    * diameter ~2^20 — non-convergence is a pathology worth surfacing, not
+    * silently returning (round-2 finding).
+    */
+  val MaxResolveRounds = 20
+
+  /** Min-label connected components over an undirected edge list — the
+    * distributed CC core of [[d7DedupResolve]], exposed so a spec can
+    * drive it with a synthetic deep-chain graph. Each round combines
+    *  - neighbor-min propagation (labels flow one hop), and
+    *  - pointer jumping (label := label's own label — path lengths halve),
+    * so convergence is O(log diameter) rounds, each one shuffle join over
+    * the EDGE SUBGRAPH only (never the full corpus; at 100 TB the
+    * above-threshold near-dup graph is orders of magnitude smaller than
+    * the document set).
+    *
+    * Returns (labels: (doc_id, canonical_id) for every node with ≥1 edge,
+    * converged: whether a fixpoint was reached within `maxRounds`).
+    */
+  def connectedComponents(edges: DataFrame, maxRounds: Int): (DataFrame, Boolean) = {
+    // Symmetrize once; every edge node then appears as doc_a.
     val adj = edges.union(edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .persist()
-    var labels = identity.persist()
+    var labels = adj.select(col("doc_a").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("canonical_id"))
+      .persist()
     var converged = false
     var rounds = 0
-    while (!converged && rounds < 20) {
+    while (!converged && rounds < maxRounds) {
       val neighborMin = adj
         .join(labels.withColumnRenamed("doc_id", "doc_b"), "doc_b")
         .groupBy(col("doc_a").as("doc_id"))
         .agg(min("canonical_id").as("nmin"))
-      val next = labels
+      val stepped = labels
         .join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("canonical_id"), coalesce(col("nmin"), col("canonical_id"))).as("canonical_id"))
-        .persist()
+      // Pointer jump: follow the label one more step (label's label).
+      // canonical_id always names an edge node, so the self-join is total.
+      // localCheckpoint (eager) truncates the lineage: the jump self-join
+      // doubles the plan every round, so without a per-round cut the
+      // logical plan grows 2^rounds and the driver OOMs planning round ~20
+      // (measured). Blocks stay distributed on executors; at cluster scale
+      // a reliable checkpoint dir would back this instead.
+      val next = stepped
+        .join(
+          stepped.select(col("doc_id").as("canonical_id"), col("canonical_id").as("jumped")),
+          Seq("canonical_id"))
+        .select(col("doc_id"), col("jumped").as("canonical_id"))
+        .localCheckpoint(true)
       val changed = next.join(labels.withColumnRenamed("canonical_id", "prev"), "doc_id")
         .filter(col("canonical_id") =!= col("prev")).count()
       labels.unpersist()
@@ -361,7 +489,7 @@ object LlmOps {
       converged = changed == 0
       rounds += 1
     }
-    labels
+    (labels, converged)
   }
 
   // ---------------------------------------------------------------------

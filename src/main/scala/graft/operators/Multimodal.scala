@@ -102,7 +102,11 @@ object Multimodal {
         val nBytes = r.media.length
         val head = if (nBytes > 0) r.media(0) & 0xff else 0
         val channels = (head % 4) + 1
-        val emb = Array.tabulate(8)(i => ((r.media(i % nBytes) & 0xff) / 255.0f))
+        // Empty payloads (zero-byte media) get a zero embedding — the
+        // modulo index would divide by zero otherwise.
+        val emb =
+          if (nBytes == 0) Array.fill(8)(0.0f)
+          else Array.tabulate(8)(i => ((r.media(i % nBytes) & 0xff) / 255.0f))
         MediaFeatures(r.doc_id, nBytes, head, channels, emb)
       }
     }

@@ -49,6 +49,41 @@ object Sinks {
       .mode(SaveMode.Overwrite)
       .csv(baseUri)
 
+  /** P7's output half (csv_operations.py:19, s3_operations.py:11): each
+    * CONFIGURED list — the output of
+    * [[graft.pipeline.ReferencePipeline.applyCsvFormat]], which carries
+    * `csv_name` — lands at `baseUri/<csv_name>.csv`, the reference's
+    * `CSVs/{csv_fmt[name]}.csv` layout. Written distributed (partitioned
+    * staging, one file per list via the repartition), then promoted to
+    * the renamed targets with filesystem metadata renames — no data moves
+    * through the driver. Works against any Hadoop FS (local, s3a).
+    */
+  def writeCsvRenamed(peopleWithCsvName: DataFrame, baseUri: String): Unit = {
+    val staging = s"$baseUri/_staging"
+    peopleWithCsvName
+      .select(col("csv_name") +: PersonCsvColumns.map(col): _*)
+      .repartition(col("csv_name"))
+      .sortWithinPartitions("csv_name", "name")
+      .write
+      .partitionBy("csv_name")
+      .option("header", true)
+      .option("emptyValue", "")
+      .mode(SaveMode.Overwrite)
+      .csv(staging)
+    val stagingPath = new org.apache.hadoop.fs.Path(staging)
+    val fs = stagingPath.getFileSystem(
+      peopleWithCsvName.sparkSession.sessionState.newHadoopConf())
+    fs.listStatus(stagingPath).filter(_.isDirectory).foreach { d =>
+      val name = java.net.URLDecoder.decode(
+        d.getPath.getName.stripPrefix("csv_name="), "UTF-8")
+      fs.listStatus(d.getPath)
+        .map(_.getPath).find(_.getName.startsWith("part-"))
+        .foreach(part =>
+          fs.rename(part, new org.apache.hadoop.fs.Path(baseUri, s"$name.csv")))
+    }
+    fs.delete(stagingPath, true)
+  }
+
   /** Generic columnar sink (parquet) with the same path abstraction —
     * what the engine's own outputs use. Partition columns optional.
     */

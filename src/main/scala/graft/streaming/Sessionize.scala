@@ -38,11 +38,18 @@ object Sessionize {
   private def fromMicros(us: Long): Instant =
     Instant.ofEpochSecond(Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L)
 
-  /** Fold a key's (possibly unsorted) events into closed sessions,
-    * carrying any open session in `state` (streaming) or emitting it
-    * immediately (batch, where no further data can arrive).
+  /** Fold a key's (possibly unsorted) events into closed sessions.
+    *
+    * `emitTrailing` makes batch-vs-streaming EXPLICIT (round-2 advisor
+    * finding: inferring batch mode from `!state.exists` misfires on a
+    * streaming key's FIRST micro-batch, which also has no state — the
+    * open session was emitted as closed and never carried forward):
+    *  - batch (`true`): the group is complete, emit the trailing open
+    *    session immediately;
+    *  - streaming (`false`): save the open session in `state` and let
+    *    EventTimeTimeout close it when the watermark passes.
     */
-  def sessionizeGroup(
+  def sessionizeGroup(emitTrailing: Boolean)(
       userId: Long,
       events: Iterator[Ev],
       state: GroupState[OpenSession]): Iterator[Session] = {
@@ -70,7 +77,7 @@ object Sessionize {
       state.remove()
     } else {
       open match {
-        case Some(s) if sorted.nonEmpty && !state.exists =>
+        case Some(s) if emitTrailing =>
           // Batch mode: the group is complete, emit the trailing session.
           closed += Session(userId, fromMicros(s.startMs),
             fromMicros(s.lastMs + GapMicros), s.n)
@@ -83,12 +90,26 @@ object Sessionize {
     closed.iterator
   }
 
-  /** Batch-mode entry: sessionize a static events Dataset. */
+  /** Batch-mode entry: sessionize a static events Dataset (each key's
+    * full history arrives in one invocation; trailing session emitted).
+    */
   def sessions(spark: SparkSession, events: Dataset[Ev]): Dataset[Session] = {
     import spark.implicits._
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(
-        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(sessionizeGroup)
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(sessionizeGroup(emitTrailing = true))
+  }
+
+  /** Streaming entry: the open session is carried in state across
+    * micro-batches and closed by EventTimeTimeout once the watermark
+    * passes session_end. `events` must carry a watermark on `ts`.
+    */
+  def sessionsStream(spark: SparkSession, events: Dataset[Ev]): Dataset[Session] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(sessionizeGroup(emitTrailing = false))
   }
 }

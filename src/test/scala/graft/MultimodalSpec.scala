@@ -30,4 +30,18 @@ class MultimodalSpec extends SparkTestBase {
       assert(emb.length === 8)
     }
   }
+
+  test("decodeFeatures handles zero-byte media (empty payload)") {
+    val media = Seq(
+      MediaRecord(1L, Array.emptyByteArray, "application/octet-stream"),
+      MediaRecord(2L, Array[Byte](7, 8, 9), "application/octet-stream"),
+    ).toDS()
+    val out = Multimodal.decodeFeatures(spark, media).collect()
+      .map(f => f.doc_id -> f).toMap
+    assert(out(1L).n_bytes === 0)
+    assert(out(1L).head_byte === 0)
+    assert(out(1L).fake_embedding.toSeq === Seq.fill(8)(0.0f))
+    assert(out(2L).n_bytes === 3)
+    assert(out(2L).head_byte === 7)
+  }
 }

@@ -127,6 +127,28 @@ class ReferencePipelineSpec extends SparkTestBase {
     assert(verdicts === Map("Youth Group" -> 1, "Choir Youth Mid" -> 0, "Ghost List" -> 0))
   }
 
+  test("golden renamed CSV: configured lists land at <base>/<csv_name>.csv") {
+    val fmt = Seq(
+      ("Youth Group", "youth_roster"),
+      ("Choir Youth Mid", "choir_youth"))
+      .toDF("list_name", "csv_name")
+    val out = tempDir("renamed_csv")
+    Sinks.writeCsvRenamed(ReferencePipeline.applyCsvFormat(buildPeople(), fmt), out)
+
+    // Drop the local ChecksumFileSystem's .crc sidecars — an artifact of
+    // RawLocalFileSystem, not of the sink's layout.
+    val files = Files.list(Paths.get(out)).iterator().asScala
+      .map(_.getFileName.toString).filterNot(_.startsWith(".")).toSet
+    assert(files === Set("youth_roster.csv", "choir_youth.csv"))
+    assert(Files.readAllLines(Paths.get(out, "youth_roster.csv")).asScala.toSeq === Seq(
+      "name,primary_email,primary_phone_number,grade,age",
+      "Amy Adams,amy1@x,111-1111,Grade 5,16 years",
+      "Bob Brown,,,,",
+      "Fay Fox,,,Grade 1,31 years"))
+    assert(Files.readAllLines(Paths.get(out, "choir_youth.csv")).asScala.head ===
+      "name,primary_email,primary_phone_number,grade,age")
+  }
+
   test("csv_fmt semi-join + rename keeps only configured lists") {
     val fmt = Seq(("Youth Group", "youth")).toDF("list_name", "csv_name")
     val got = ReferencePipeline.applyCsvFormat(buildPeople(), fmt)

@@ -27,4 +27,43 @@ class SessionizeSpec extends SparkTestBase {
     assert(custom.exceptAll(builtin).count() === 0)
     assert(builtin.exceptAll(custom).count() === 0)
   }
+
+  test("streaming: the open session carries across micro-batches (round-2 advisor bug)") {
+    import java.time.Instant
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t0 = Instant.parse("2024-01-01T00:00:00Z")
+    def at(min: Long) = t0.plusSeconds(min * 60)
+    val input = MemoryStream[Sessionize.Ev]
+    val sessions = Sessionize.sessionsStream(
+      spark, input.toDS().withWatermark("ts", "10 minutes").as[Sessionize.Ev])
+    val query = sessions.writeStream
+      .format("memory").queryName("sess_stream")
+      .outputMode("append")
+      .option("checkpointLocation", tempDir("sess_ckpt"))
+      .start()
+    try {
+      // Micro-batch 1: two events for user 1, 10 min apart — an OPEN
+      // session. The pre-fix code emitted it as closed here (no state on
+      // the first batch looked like "batch mode") and dropped the state.
+      input.addData(Sessionize.Ev(1L, at(0)), Sessionize.Ev(1L, at(10)))
+      query.processAllAvailable()
+      // Micro-batch 2: a third user-1 event INSIDE the 30-min gap (must
+      // merge into the same session), plus a far-future event advancing
+      // the watermark.
+      input.addData(Sessionize.Ev(1L, at(20)), Sessionize.Ev(2L, at(600)))
+      query.processAllAvailable()
+      // Micro-batch 3: push the watermark further so user 1's timeout fires.
+      input.addData(Sessionize.Ev(2L, at(1200)))
+      query.processAllAvailable()
+      val user1 = spark.table("sess_stream").where(col("user_id") === 1L)
+        .select("session_start", "session_end", "n_events")
+        .collect()
+      assert(user1.length === 1, s"expected ONE merged session, got ${user1.toSeq}")
+      val r = user1.head
+      assert(r.getAs[java.sql.Timestamp]("session_start").toInstant === at(0))
+      assert(r.getAs[java.sql.Timestamp]("session_end").toInstant === at(50))
+      assert(r.getLong(2) === 3L)
+    } finally query.stop()
+  }
 }
