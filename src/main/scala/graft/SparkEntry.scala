@@ -63,6 +63,14 @@ object SparkEntry {
     "f8_datetime"          -> Relational.f8Datetime _,
     "f9_strings"           -> Relational.f9Strings _,
     "s5_parse_source"      -> Relational.s5ParseSource _,
+    // S1's real form: the DSv2 paginated source (pages = partitions); the
+    // deterministic offline fetcher makes it oracle-checkable arithmetic.
+    "s6_paginated_rest"    -> ((s: SparkSession, _: String) =>
+      s.read.format("paginated").option("pages", 12).option("pageSize", 25).load()
+        .groupBy((org.apache.spark.sql.functions.col("list_id") % 4).as("grp"))
+        .agg(
+          org.apache.spark.sql.functions.count("*").as("n_lists"),
+          org.apache.spark.sql.functions.sum("n_members").as("total_members"))),
     "p7_rename_lookup"     -> Relational.p7RenameLookup _,
     "j4_pick_first_supplier" -> Relational.j4PickFirstSupplier _,
     "j8_full_outer"        -> Relational.j8FullOuter _,
@@ -219,6 +227,11 @@ object SparkEntry {
       // against Spark's bigint even though values match (round-2 finding).
       ("""SELECT event_type, count(*) AS n_rows, min(k) AS min_k, max(k) AS max_k, CAST(sum(k) AS BIGINT) AS sum_k FROM """ +
         """(SELECT event_type, CAST(nullif(regexp_extract(props, '"k":\s*(\d+)', 1), '') AS INTEGER) AS k FROM events) GROUP BY event_type"""),
+    // Mirrors PaginatedSource's fake fetch: row k = (k, 'list_<k>',
+    // (7k+3) mod 100) over 12 pages × 25 rows.
+    "s6_paginated_rest" ->
+      ("SELECT r % 4 AS grp, count(*) AS n_lists, CAST(sum((7 * r + 3) % 100) AS BIGINT) AS total_members " +
+        "FROM range(0, 300) t(r) GROUP BY 1"),
     "p7_rename_lookup" ->
       ("WITH fmt(lang, csv_name) AS (VALUES ('en', 'english_docs'), ('de', 'german_docs'), ('fr', 'french_docs')) " +
         "SELECT doc_id, d.lang AS lang, csv_name FROM documents d JOIN fmt ON d.lang = fmt.lang"),

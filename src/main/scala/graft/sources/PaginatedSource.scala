@@ -1,0 +1,119 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** S1's REAL form as a DataSource V2: the reference iterates a paginated
+  * REST collection page by page on one machine
+  * (`dags/tasks/planning_center.py:17` via `pypco.iterate`, 100-row pages);
+  * here every PAGE IS AN INPUT PARTITION, so a 1000-executor cluster pulls
+  * 1000 pages concurrently and "pagination" disappears into Spark's
+  * partitioning (SURVEY.md §2.1 S1).
+  *
+  *  - `spark.read.format("paginated").option("pages", n)
+  *    .option("pageSize", m).load()` — schema (list_id, list_name,
+  *    n_members).
+  *  - Column pruning is pushed into the reader
+  *    ([[SupportsPushDownRequiredColumns]]): a projection of one column
+  *    fetches/decodes only that column (asserted on ReadSchema in
+  *    PaginatedSourceSpec).
+  *  - [[PaginatedSource.fetchPage]] is the client seam where a real
+  *    implementation performs the HTTP GET (auth, retry, rate-limit —
+  *    executor-side, one page per task). This offline build ships a
+  *    deterministic fake: row k of the collection is
+  *    (k, 'list_<k>', (7k+3) mod 100) — pure arithmetic, so correctness
+  *    is oracle-checkable without any network.
+  *
+  * The Selenium/TOTP login flow of the reference's webscraper
+  * (`webscraper.py:28-47`) stays out of scope by design — that is
+  * credential plumbing, not query semantics.
+  */
+class PaginatedSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "paginated"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    PaginatedSource.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table = {
+    // The properties map preserves the caller's option casing; read
+    // options are case-insensitive by contract, so normalize here.
+    val opts = new CaseInsensitiveStringMap(properties)
+    new PaginatedTable(
+      opts.getInt("pages", 10),
+      opts.getInt("pageSize", 100))
+  }
+}
+
+object PaginatedSource {
+  val Schema: StructType = StructType(Seq(
+    StructField("list_id", LongType, nullable = false),
+    StructField("list_name", StringType, nullable = false),
+    StructField("n_members", LongType, nullable = false)))
+
+  /** The page "fetch": deterministic fake rows for collection indices
+    * [page*pageSize, min((page+1)*pageSize, total)). A real client issues
+    * `GET /people/v2/lists?offset=...&per_page=...` here instead.
+    */
+  def fetchPage(page: Int, pageSize: Int, totalRows: Long): Seq[(Long, String, Long)] = {
+    val start = page.toLong * pageSize
+    val end = math.min(start + pageSize, totalRows)
+    (start until end).map(k => (k, s"list_$k", (7 * k + 3) % 100))
+  }
+}
+
+private[sources] class PaginatedTable(pages: Int, pageSize: Int)
+    extends Table with SupportsRead {
+  override def name(): String = s"paginated($pages x $pageSize)"
+  override def schema(): StructType = PaginatedSource.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new PaginatedScanBuilder(pages, pageSize)
+}
+
+private[sources] class PaginatedScanBuilder(pages: Int, pageSize: Int)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = PaginatedSource.Schema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new PaginatedScan(pages, pageSize, required)
+}
+
+private[sources] class PaginatedScan(pages: Int, pageSize: Int, required: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    Array.tabulate(pages)(p => PagePartition(p, pageSize, pages.toLong * pageSize))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PageReaderFactory(required.fieldNames)
+}
+
+private[sources] case class PagePartition(page: Int, pageSize: Int, totalRows: Long)
+    extends InputPartition
+
+private[sources] class PageReaderFactory(columns: Array[String])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[PagePartition]
+    new PartitionReader[InternalRow] {
+      private val rows = PaginatedSource.fetchPage(p.page, p.pageSize, p.totalRows).iterator
+      private var current: (Long, String, Long) = _
+      override def next(): Boolean = { val has = rows.hasNext; if (has) current = rows.next(); has }
+      override def get(): InternalRow =
+        InternalRow.fromSeq(columns.toSeq.map {
+          case "list_id"   => current._1
+          case "list_name" => UTF8String.fromString(current._2)
+          case "n_members" => current._3
+        })
+      override def close(): Unit = ()
+    }
+  }
+}
