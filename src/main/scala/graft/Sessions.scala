@@ -29,6 +29,23 @@ object Sessions {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // Coalesce shuffle partitions by SIZE, not up to core count: with
+      // the default parallelismFirst=true every tiny shuffle still runs
+      // 32 reduce tasks, and per-task fixed overhead dominates small
+      // stages (measured: 32 one-record tasks costing 0.2-1 s EACH in
+      // aged sessions — the d7 label-propagation loop paid it 6 stages ×
+      // 2 actions per round). Size-based coalescing is also the
+      // production setting: at 100 TB it yields ~advisory-sized reduce
+      // partitions instead of one-per-core.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      // Size-based coalescing targets the advisory size; the 64 MB
+      // default would fold this harness's mid-size CPU-heavy shuffles
+      // (hundreds of kB serialized, but md5/join/window work per row)
+      // into ONE task. 2 MB keeps ~10-25 reduce tasks for those while
+      // one-record shuffles still collapse to a single task. This is
+      // local-harness sizing, like shuffle.partitions above — a cluster
+      // deployment sizes advisory bytes to its executor memory instead.
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

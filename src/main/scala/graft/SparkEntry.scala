@@ -92,6 +92,7 @@ object SparkEntry {
     "t4_fingerprint"   -> LlmOps.t4Fingerprint _,
     "t5_token_estimate" -> LlmOps.t5TokenEstimate _,
     "t6_pii_scrub"     -> LlmOps.t6PiiScrub _,
+    "t7_token_freq"    -> LlmOps.t7TokenFreq _,
   )
 
   private val simQueries: Map[String, Query] = Map(
@@ -105,6 +106,7 @@ object SparkEntry {
     "st2_sliding_window"  -> Streaming.slidingCounts _,
     "st3_session_window"  -> Streaming.sessionCounts _,
     "st4_stream_join"     -> Streaming.streamStreamJoin _,
+    "st5_stream_dedup"    -> Streaming.streamDedup _,
   )
 
   private val multimodalQueries: Map[String, Query] = Map(
@@ -382,6 +384,10 @@ object SparkEntry {
         """'https?://[^\s]+', '<URL>', 'g'), '[0-9]{3,}', '<NUM>', 'g')) AS scrubbed_md5, """ +
         """len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails, """ +
         """len(regexp_extract_all(text, '[0-9]{3,}'))::BIGINT AS n_digit_runs FROM documents"""),
+    "t7_token_freq" ->
+      (s"WITH tokd AS ($duckTok) " +
+        "SELECT tok, count(*) AS tf, count(DISTINCT doc_id) AS df FROM " +
+        "(SELECT doc_id, unnest(tok) AS tok FROM tokd) GROUP BY tok"),
   )
 
   // -- Similarity oracles ---------------------------------------------
@@ -453,6 +459,11 @@ object SparkEntry {
         "p AS (SELECT event_id AS purchase_id, user_id, CAST(ts AS TIMESTAMP) AS p_ts FROM events WHERE event_type = 'purchase') " +
         "SELECT signup_id, purchase_id, s.user_id AS user_id, s_ts, p_ts FROM s JOIN p ON s.user_id = p.user_id " +
         "AND p_ts >= s_ts AND p_ts <= s_ts + INTERVAL 7 DAY"),
+    // Single-batch AvailableNow run → dropDuplicatesWithinWatermark
+    // equals a global DISTINCT over the key columns (see streamDedup).
+    "st5_stream_dedup" ->
+      ("SELECT DISTINCT event_type, user_id, " +
+        "date_trunc('minute', CAST(ts AS TIMESTAMP)) AS minute FROM events"),
   )
 
   // -- Multimodal oracles ---------------------------------------------

@@ -79,32 +79,39 @@ object LlmOps {
 
   /** (doc_id, band, bkey) — one row per (doc, band).
     *
-    * Computed explode-first, NOT as nested higher-order lambdas: a
-    * shingles→transform(seeds)→transform(bands) expression chain gets
-    * inlined by projection collapse and re-evaluates the (interpreted)
-    * shingle construction once per seed per band — a measured 30×
-    * slowdown at sf0.1. Exploding to (doc, shingle, seed) rows keeps
-    * md5 in whole-stage codegen, and min-per-(doc,seed) aggregates with
-    * map-side partial combine — the same shape that scales to 100 TB
-    * (rows ∝ docs × shingles × seeds, all map-combinable).
+    * Wide-column, explode-free construction: the 8 seeded hashes
+    * h_k = md5('k|' || shingle) are 8 plain projected columns per shingle
+    * row (whole-stage codegen, row count stays at |shingles|), the
+    * signature is ONE map-combinable groupBy(doc_id) with 8 min()s, and
+    * each band key md5(concat_ws('|', m_{2b}, m_{2b+1})) is a plain
+    * projection — byte-identical output to the seed-exploded formulation
+    * (min over a multiset of per-seed hashes == min of the per-seed
+    * column), so the DuckDB oracle is unchanged.
+    *
+    * Two prior formulations measured at sf0.1: nested HOF lambdas were
+    * 30× slower (interpreted, re-inlined by projection collapse), and an
+    * explode-to-(doc, shingle, seed)-rows shape was ~15× slower — its
+    * final posexplode(transform(..., b -> md5(...))) generator evaluated
+    * an interpreted lambda per output row and stalled every sibling task
+    * (513 s task time for 5 000 rows). Lesson recorded: keep md5 and
+    * band construction in plain projections, never inside a lambda-bound
+    * generator. Scale shape: rows ∝ shingles, one shuffle on doc_id,
+    * partial aggregation map-side — unchanged at 100 TB.
     */
   private def minhashBandsOf(shingles: DataFrame): DataFrame = {
+    val hashCols = (0 until NumHashes).map(k => expr(s"md5(concat('$k|', shingle))").as(s"h$k"))
+    val minCols = (0 until NumHashes).map(k => min(col(s"h$k")).as(s"m$k"))
     val sig = shingles
-      .select(col("doc_id"), col("shingle"),
-        explode(expr(s"sequence(0, ${NumHashes - 1})")).as("seed"))
-      .select(col("doc_id"), col("seed"),
-        expr("md5(concat(cast(seed as string), '|', shingle))").as("h"))
-      .groupBy("doc_id", "seed")
-      .agg(min("h").as("mh"))
+      .select(col("doc_id") +: hashCols: _*)
       .groupBy("doc_id")
-      .agg(collect_list(struct(col("seed"), col("mh"))).as("pairs"))
-      .select(col("doc_id"), expr("transform(sort_array(pairs), p -> p.mh)").as("sig"))
+      .agg(minCols.head, minCols.tail: _*)
+    val bandKeys = (0 until NumBands).map { b =>
+      val slice = (b * RowsPerBand until (b + 1) * RowsPerBand).map(k => s"m$k")
+      expr(s"md5(concat_ws('|', ${slice.mkString(", ")}))")
+    }
     sig.select(
       col("doc_id"),
-      posexplode(expr(
-        s"""transform(sequence(0, ${NumBands - 1}),
-           |  b -> md5(concat_ws('|', slice(sig, b * $RowsPerBand + 1, $RowsPerBand))))""".stripMargin))
-        .as(Seq("band", "bkey")))
+      posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))
   }
 
   private def minhashBands(spark: SparkSession, dir: String): DataFrame =
@@ -243,10 +250,13 @@ object LlmOps {
     */
   def d6SimhashNeardup(spark: SparkSession, dir: String): DataFrame = {
     val sig = d3Simhash(spark, dir).persist()
+    // Plain-array generator, not transform(sequence, lambda): interpreted
+    // lambda generators stall whole-stage codegen (see minhashBandsOf).
     val bands = sig.select(
       col("doc_id"),
-      posexplode(expr(
-        "transform(sequence(0, 1), b -> shiftright(simhash, b * 16) & 65535)"))
+      posexplode(array(
+        expr("simhash & 65535"),
+        expr("shiftright(simhash, 16) & 65535")))
         .as(Seq("band", "bkey")))
     val candidates = bands.toDF("doc_a", "band_a", "bkey_a")
       .join(bands.toDF("doc_b", "band_b", "bkey_b"),
@@ -278,24 +288,34 @@ object LlmOps {
     * blocks would be salted or re-banded with minhash.
     */
   def d4NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    // One shingle scan + one set aggregation, persisted and reused on both
-    // sides of the block self-join (exchange reuse does not fire across
-    // the renamed branches).
-    val sets = docShingles(spark, dir, "doc_id", "s")
-      .join(
-        Tables.documents(spark, dir)
-          .select(col("doc_id"), col("source"), expr("n_chars div 100").as("len_bucket")),
-        "doc_id")
+    // Intersection sizes computed RELATIONALLY, not with array_intersect
+    // per pair: ArrayIntersect on string arrays is interpreted-per-row
+    // (object churn, no real codegen) and measured ~175 µs/pair — 20 s of
+    // the query at sf0.1 — while the shingle-row join below touches only
+    // pairs that actually share a shingle (the `jaccard > 0` cut for
+    // free) and is pure shuffle/group-count, the shape that survives
+    // 100 TB. A block-frequent shingle would skew the join; at scale
+    // you'd drop top-frequency shingles first (same as stopword removal).
+    val meta = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), expr("n_chars div 100").as("len_bucket"))
+    // Distinct (doc, shingle) rows + per-doc set sizes; persisted — both
+    // sides of the self-join and the size lookups reuse one scan.
+    val rows = shingleRows(spark, dir).distinct()
+      .join(meta, "doc_id")
       .persist()
-    def side(idName: String, setName: String): DataFrame =
-      sets.toDF(idName, setName, "source", "len_bucket")
-    side("doc_a", "sa").join(side("doc_b", "sb"), Seq("source", "len_bucket"))
+    val sizes = rows.groupBy("doc_id").agg(count("*").as("nsh"))
+    val inter = rows.toDF("doc_a", "shingle", "source", "len_bucket")
+      .join(rows.toDF("doc_b", "shingle", "source", "len_bucket"),
+        Seq("source", "len_bucket", "shingle"))
       .filter(col("doc_a") < col("doc_b"))
+      .groupBy("source", "doc_a", "doc_b")
+      .agg(count("*").as("i"))
+    inter
+      .join(sizes.toDF("doc_a", "na"), "doc_a")
+      .join(sizes.toDF("doc_b", "nb"), "doc_b")
       .select(
         col("source"), col("doc_a"), col("doc_b"),
-        expr(milli(
-          "size(array_intersect(sa, sb))",
-          "size(sa) + size(sb) - size(array_intersect(sa, sb))")).as("jaccard_milli"))
+        expr(milli("i", "na + nb - i")).as("jaccard_milli"))
       .filter(col("jaccard_milli") > 0)
   }
 
@@ -453,8 +473,15 @@ object LlmOps {
     */
   def connectedComponents(edges: DataFrame, maxRounds: Int): (DataFrame, Boolean) = {
     // Symmetrize once; every edge node then appears as doc_a.
+    // localCheckpoint (eager) flattens the incoming lineage: `edges`
+    // usually sits on a deep candidate-generation tree (d2's window +
+    // aggregates + joins), and every round's self-join would otherwise
+    // re-analyze and re-optimize TWO copies of it — measured at sf0.1 as
+    // a 110 s first round vs 2 s for the identical second round whose
+    // inputs were already checkpoint-flat. persist() alone does not help:
+    // it caches data but leaves the logical plan in place.
     val adj = edges.union(edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .persist()
+      .localCheckpoint(true)
     var labels = adj.select(col("doc_a").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("canonical_id"))
       .persist()
@@ -525,6 +552,23 @@ object LlmOps {
       .agg(
         count("*").as("n_ws_tokens"),
         sum(expr("(length(tok) + 3) div 4")).as("n_subword_est"))
+
+  /** T7: corpus vocabulary — token frequency and document frequency, the
+    * table behind stopword lists, IDF weights, and tokenizer-vocab
+    * selection. The canonical wordcount shape: explode tokens, one
+    * groupBy(token) with map-side partial aggregation (count and the
+    * distinct-doc count both combine partially). Head tokens ("the") are
+    * the classic skew key; partial aggregation absorbs it — each map task
+    * emits one ("the", n) pair, so the hot reducer sees ∝ tasks rows,
+    * not ∝ occurrences.
+    */
+  def t7TokenFreq(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(expr(tokExpr)).as("tok"))
+      .groupBy("tok")
+      .agg(
+        count("*").as("tf"),
+        countDistinct("doc_id").as("df"))
 
   /** T6: PII scrubbing — the redaction pass every training-data pipeline
     * runs before tokenization: emails, digit runs, and URLs replaced

@@ -177,6 +177,42 @@ object Streaming {
         col("s_user").as("user_id"), col("s_ts"), col("p_ts"))
   }
 
+  /** ST5: streaming ingestion dedup — the at-ingest half of the dedup
+    * family (d1 is the batch half): duplicate events dropped as they
+    * stream in, keyed on (event_type, user_id, minute bucket).
+    * `dropDuplicatesWithinWatermark` bounds the dedup state: a key is
+    * held only until the watermark passes its event time + delay — the
+    * production contract for an unbounded 100 TB/day ingest, where plain
+    * dropDuplicates would accumulate state forever.
+    *
+    * Determinism for the oracle: only the KEY columns are emitted (not
+    * the winning representative row), and the single-file fixture is one
+    * AvailableNow micro-batch — no state eviction mid-run — so the
+    * output equals the batch `SELECT DISTINCT` twin exactly. Across
+    * real multi-batch runs, re-emission after the horizon is the
+    * documented semantics, not a bug.
+    */
+  def streamDedup(spark: SparkSession, dir: String): DataFrame = {
+    val deduped = eventsStream(spark, dir)
+      .select(col("event_type"), col("user_id"),
+        date_trunc("minute", col("ts")).as("minute"))
+      .withWatermark("minute", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_type", "user_id", "minute")
+    val name = s"graft_stream_${runId.incrementAndGet()}"
+    withStreamPartitions(spark, 8) {
+      val q = deduped.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft_ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.table(name).select("event_type", "user_id", "minute")
+  }
+
   /** 30-minute-gap session windows per user: start, end (last event +
     * gap), event count. Session state is the canonical
     * mapGroupsWithState-class workload expressed with the built-in
