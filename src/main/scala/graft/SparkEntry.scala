@@ -99,6 +99,7 @@ object SparkEntry {
     "sim_topk"      -> Similarity.simTopk _,
     "sim_lsh_pairs" -> Similarity.simLshPairs _,
     "sim_ivf_topk"  -> Similarity.simIvfTopk _,
+    "sim_quantize_q8" -> Similarity.simQuantizeQ8 _,
   )
 
   private val streamingQueries: Map[String, Query] = Map(
@@ -429,6 +430,15 @@ object SparkEntry {
         s"row_number() OVER (PARTITION BY pr.query_id ORDER BY ${cosOf("pr.qe", "asg.emb")} DESC, asg.vec_id) AS rank " +
         "FROM pr JOIN asg ON pr.pvt = asg.pvt WHERE asg.vec_id != pr.query_id) " +
         s"WHERE rank <= ${Similarity.IvfTopK}"),
+    // Identical double expression (127·x/s + 0.5, floor) on both sides —
+    // same IEEE ops on the same exact inputs, so floor never diverges.
+    "sim_quantize_q8" ->
+      ("WITH idx AS (SELECT vec_id, embedding, unnest(range(1, len(embedding) + 1)) AS i FROM embeddings), " +
+        "e AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim, CAST(embedding[i] AS DOUBLE) AS x FROM idx), " +
+        "s AS (SELECT vec_id, max(abs(x)) AS scale FROM e GROUP BY vec_id) " +
+        "SELECT e.vec_id, e.dim, CASE WHEN scale = 0 THEN 0 " +
+        "ELSE CAST(floor(CAST(127 AS DOUBLE) * x / scale + 0.5) AS BIGINT) END AS q, scale " +
+        "FROM e JOIN s ON e.vec_id = s.vec_id"),
   )
 
   // -- Streaming oracles (batch twins) --------------------------------

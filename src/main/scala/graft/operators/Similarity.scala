@@ -179,4 +179,39 @@ object Similarity {
         expr(cosMilli("ea", "eb")).as("cos_milli"))
       .filter(col("cos_milli") >= LshThreshold)
   }
+
+  // ---------------------------------------------------------------------
+  // Int8 quantization (the embedding-store compression path).
+  // ---------------------------------------------------------------------
+
+  /** Symmetric int8 quantization per vector: scale s = max|x_i| (exact —
+    * float32 inputs are exactly representable as double, abs/max exact),
+    * q_i = floor(127·x_i/s + 0.5) ∈ [−127, 127]. At 100 TB this is the
+    * 4× memory/bandwidth cut every large embedding store takes before
+    * ANN search; dequantized error is bounded by s/254 per dimension
+    * (asserted in QuantizeSpec).
+    *
+    * Emitted as exploded (vec_id, dim, q, scale) ROWS, not an int8
+    * array column: integer rows hash-compare exactly against the DuckDB
+    * twin. The generator is posexplode of the RAW float array (plain
+    * column — lambda generators stall codegen, see LlmOps) with the
+    * double cast in the following projection; s comes from a whole-
+    * partition window max, one shuffle on vec_id. The 127·x/s + 0.5
+    * expression is written identically in the oracle — same IEEE double
+    * ops on the same exact inputs, so floor never diverges.
+    */
+  def simQuantizeQ8(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("vec_id")
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "xf")))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"),
+        col("xf").cast("double").as("x"))
+      .withColumn("scale", max(abs(col("x"))).over(w))
+      .select(
+        col("vec_id"), col("dim"),
+        when(col("scale") === 0d, 0L)
+          .otherwise(floor(lit(127.0) * col("x") / col("scale") + lit(0.5)).cast("long"))
+          .as("q"),
+        col("scale"))
+  }
 }
