@@ -34,6 +34,21 @@ class PlanSpec extends SparkTestBase {
     assert(plan(Relational.topkGlobal(spark, Sf)).contains("TakeOrderedAndProject"))
   }
 
+  test("dedup plans avoid interpreted per-row set ops and lambda generators") {
+    import graft.operators.LlmOps
+    // d4's intersection sizes are relational (shingle-row join +
+    // group-count) — a regression back to per-pair array_intersect
+    // (~175 µs/pair interpreted) would re-introduce the round-3 bottleneck.
+    val d4 = plan(LlmOps.d4NgramJaccard(spark, Sf))
+    assert(!d4.contains("array_intersect"), "d4 must not compute per-pair array_intersect")
+    // d2's band generator must be a plain-column explode, not a
+    // lambda-bound transform(...) (interpreted, stalls sibling tasks).
+    val d2 = plan(LlmOps.d2DedupMinhash(spark, Sf))
+    assert(!d2.contains("lambdafunction"), "d2 must not evaluate lambda HOFs per row")
+    val d6 = plan(LlmOps.d6SimhashNeardup(spark, Sf))
+    assert(!d6.contains("lambdafunction"), "d6 must not evaluate lambda HOFs per row")
+  }
+
   test("native cosine_milli stays inside whole-stage codegen") {
     val df = Similarity.simTopk(spark, Sf)
     // collect() (not count(), which plans a different query) finalizes
