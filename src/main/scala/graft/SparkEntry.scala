@@ -93,6 +93,7 @@ object SparkEntry {
     "t5_token_estimate" -> LlmOps.t5TokenEstimate _,
     "t6_pii_scrub"     -> LlmOps.t6PiiScrub _,
     "t7_token_freq"    -> LlmOps.t7TokenFreq _,
+    "t8_hash_split"    -> LlmOps.t8HashSplit _,
   )
 
   private val simQueries: Map[String, Query] = Map(
@@ -389,6 +390,13 @@ object SparkEntry {
       (s"WITH tokd AS ($duckTok) " +
         "SELECT tok, count(*) AS tf, count(DISTINCT doc_id) AS df FROM " +
         "(SELECT doc_id, unnest(tok) AS tok FROM tokd) GROUP BY tok"),
+    "t8_hash_split" ->
+      ("WITH b AS (SELECT doc_id, source, " +
+        "((strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), 1, 1)) - 1) * 16 + " +
+        "(strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), 2, 1)) - 1)) % 100 AS bucket " +
+        "FROM documents) " +
+        "SELECT doc_id, source, CAST(bucket AS BIGINT) AS bucket, " +
+        "CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split FROM b"),
   )
 
   // -- Similarity oracles ---------------------------------------------

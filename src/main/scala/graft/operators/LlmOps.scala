@@ -570,6 +570,27 @@ object LlmOps {
         count("*").as("tf"),
         countDistinct("doc_id").as("df"))
 
+  /** T8: deterministic train/val/test split — hash-mod bucketing, the
+    * reproducible-split primitive (seeded RNG sampling is engine- and
+    * partitioning-dependent; a content-addressed hash split gives the
+    * same assignment on any engine, any cluster size, any rerun, and
+    * stays stable when the corpus is re-partitioned or appended to).
+    * Bucket = first two md5 nibbles of the doc id (0-255) mod 100;
+    * split 90/5/5. Map-only, no shuffle, no RNG.
+    */
+  def t8HashSplit(spark: SparkSession, dir: String): DataFrame = {
+    val nib = (i: Int) =>
+      s"(instr('0123456789abcdef', substring(md5(cast(doc_id as string)), $i, 1)) - 1)"
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"), col("source"),
+        expr(s"(${nib(1)} * 16 + ${nib(2)}) % 100").as("bucket"))
+      .select(
+        col("doc_id"), col("source"), col("bucket").cast("long").as("bucket"),
+        expr("case when bucket < 90 then 'train' when bucket < 95 then 'val' else 'test' end")
+          .as("split"))
+  }
+
   /** T6: PII scrubbing — the redaction pass every training-data pipeline
     * runs before tokenization: emails, digit runs, and URLs replaced
     * with typed placeholder tokens (global regexp_replace, map-only,
