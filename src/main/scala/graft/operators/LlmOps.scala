@@ -433,9 +433,11 @@ object LlmOps {
       .persist()
     val identity = Tables.documents(spark, dir)
       .select(col("doc_id"), col("doc_id").as("canonical_id"))
-    // Clean-corpus fast path: no above-threshold pairs → every document
-    // is its own canonical; skip the propagation loop entirely.
-    if (edges.isEmpty) return identity
+    // No pre-emptive edges.isEmpty fast path: it cost a full extra
+    // materialization of the candidate pipeline (the selective ≥threshold
+    // filter means take(1) scans everything), while a clean corpus already
+    // converges in ONE cheap round inside the loop (empty adjacency →
+    // zero changes) and the left join below then yields pure identity.
     val (resolved, converged) = connectedComponents(edges, MaxResolveRounds)
     if (!converged)
       org.apache.log4j.Logger.getLogger(getClass)
@@ -498,17 +500,19 @@ object LlmOps {
           least(col("canonical_id"), coalesce(col("nmin"), col("canonical_id"))).as("canonical_id"))
       // Pointer jump: follow the label one more step (label's label).
       // canonical_id always names an edge node, so the self-join is total.
-      // localCheckpoint (eager) truncates the lineage: the jump self-join
-      // doubles the plan every round, so without a per-round cut the
-      // logical plan grows 2^rounds and the driver OOMs planning round ~20
-      // (measured). Blocks stay distributed on executors; at cluster scale
-      // a reliable checkpoint dir would back this instead.
+      // localCheckpoint truncates the lineage: the jump self-join doubles
+      // the plan every round, so without a per-round cut the logical plan
+      // grows 2^rounds and the driver OOMs planning round ~20 (measured).
+      // LAZY (eager = false): the convergence count below materializes the
+      // checkpoint in the same job — one action per round, not two.
+      // Blocks stay distributed on executors; at cluster scale a reliable
+      // checkpoint dir would back this instead.
       val next = stepped
         .join(
           stepped.select(col("doc_id").as("canonical_id"), col("canonical_id").as("jumped")),
           Seq("canonical_id"))
         .select(col("doc_id"), col("jumped").as("canonical_id"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val changed = next.join(labels.withColumnRenamed("canonical_id", "prev"), "doc_id")
         .filter(col("canonical_id") =!= col("prev")).count()
       labels.unpersist()
