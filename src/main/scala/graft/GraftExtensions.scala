@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.CosineMilli
+import graft.functions.{CosineMilli, DotDouble}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions into the session's function registry, so they are usable
@@ -17,5 +17,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_milli"),
       new ExpressionInfo(classOf[CosineMilli].getName, "cosine_milli"),
       (children: Seq[Expression]) => CosineMilli(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("dot_double"),
+      new ExpressionInfo(classOf[DotDouble].getName, "dot_double"),
+      (children: Seq[Expression]) => DotDouble(children.head, children(1))))
   }
 }

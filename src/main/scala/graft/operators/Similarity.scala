@@ -159,9 +159,12 @@ object Similarity {
       .select(col("vec_id").as("p"), expr(embExpr).as("pe"))
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), expr(embExpr).as("emb"))
+    // Native dot_double (codegen'd fused loop) — the HOF zip_with/
+    // aggregate formulation it replaces ran interpreted per (vec, plane)
+    // row; fold order is identical, so bucket values are unchanged.
     e.crossJoin(broadcast(planes))
       .select(col("vec_id"), col("emb"), col("p"),
-        expr("aggregate(zip_with(emb, pe, (x, y) -> x * y), cast(0 as double), (acc, v) -> acc + v)").as("d"))
+        expr("dot_double(emb, pe)").as("d"))
       .groupBy("vec_id", "emb")
       .agg(sum(when(col("d") > 0, expr("shiftleft(1L, p)")).otherwise(0L)).as("bucket"))
       .select(col("vec_id").as(idName), col("bucket").as(bucketName), col("emb").as(embName))

@@ -63,6 +63,23 @@ class SimilaritySpec extends SparkTestBase {
     assert(diff === 0L)
   }
 
+  test("native dot_double expression matches the interpreted HOF formulation") {
+    import org.apache.spark.sql.functions._
+    val pairs = spark.read.parquet(s"$Sf/embeddings.parquet")
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("ea"))
+      .crossJoin(
+        spark.read.parquet(s"$Sf/embeddings.parquet")
+          .filter(col("vec_id") < 20)
+          .select(col("vec_id").as("vb"), expr("transform(embedding, x -> cast(x as double))").as("eb")))
+    val diff = pairs
+      .select(
+        expr("dot_double(ea, eb)").as("native"),
+        expr("aggregate(zip_with(ea, eb, (x, y) -> x * y), cast(0 as double), (acc, v) -> acc + v)").as("hof"))
+      .filter(col("native") =!= col("hof"))
+      .count()
+    assert(diff === 0L)
+  }
+
   test("sim_lsh_pairs: identical vectors share a bucket and pair at cosine 1000") {
     val pairs = Similarity.simLshPairs(spark, embDir).collect()
       .map(r => (r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap
