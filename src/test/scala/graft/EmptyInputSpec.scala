@@ -38,6 +38,8 @@ class EmptyInputSpec extends SparkTestBase {
     assert(LlmOps.d7DedupResolve(spark, emptyDir).count() === 0)
     assert(LlmOps.t1TextStats(spark, emptyDir).count() === 0)
     assert(LlmOps.t5TokenEstimate(spark, emptyDir).count() === 0)
+    assert(LlmOps.t7TokenFreq(spark, emptyDir).count() === 0)
+    assert(LlmOps.t8HashSplit(spark, emptyDir).count() === 0)
     assert(Multimodal.m1MediaMeta(spark, emptyDir).count() === 0)
     assert(Multimodal.m2FrameSample(spark, emptyDir).count() === 0)
   }
@@ -46,5 +48,6 @@ class EmptyInputSpec extends SparkTestBase {
     assert(Similarity.simTopk(spark, emptyDir).count() === 0)
     assert(Similarity.simLshPairs(spark, emptyDir).count() === 0)
     assert(Similarity.simIvfTopk(spark, emptyDir).count() === 0)
+    assert(Similarity.simQuantizeQ8(spark, emptyDir).count() === 0)
   }
 }
