@@ -74,6 +74,7 @@ object SparkEntry {
     "p7_rename_lookup"     -> Relational.p7RenameLookup _,
     "j4_pick_first_supplier" -> Relational.j4PickFirstSupplier _,
     "j8_full_outer"        -> Relational.j8FullOuter _,
+    "j9_salted_join"       -> Relational.j9SaltedJoin _,
     "q_asof_join"          -> Relational.qAsofJoin _,
     "q_flagship"           -> Relational.flagship _,
   )
@@ -139,6 +140,9 @@ object SparkEntry {
     "j1_dim_join" ->
       "SELECT r_name, count(*) AS n_customers, round(sum(c_acctbal), 2) AS total_acctbal FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey GROUP BY r_name ORDER BY r_name",
     "j2_fact_join" ->
+      "SELECT o_orderpriority, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, count(*) AS n_items FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderpriority ORDER BY o_orderpriority",
+    // Salting only changes partitioning, never results — same twin as j2.
+    "j9_salted_join" ->
       "SELECT o_orderpriority, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, count(*) AS n_items FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderpriority ORDER BY o_orderpriority",
     "j3_left_join_default" ->
       "SELECT c_custkey, coalesce(CAST(CAST(first_date AS DATE) AS VARCHAR), '') AS first_order_date, coalesce(n_orders, 0) AS n_orders FROM customer LEFT JOIN (SELECT o_custkey, min(o_orderdate) AS first_date, count(*) AS n_orders FROM orders GROUP BY o_custkey) ON c_custkey = o_custkey ORDER BY c_custkey",

@@ -114,6 +114,26 @@ object Relational {
         round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
         count("*").as("n_items"))
 
+  /** J9: the same fact×fact aggregation as [[j2FactJoin]] driven through
+    * [[Scale.saltedEquiJoin]] — the skew-resistant plan a 100 TB run
+    * switches to when one join key dominates beyond what AQE's skew
+    * splitting absorbs. Salt = hash(l_linenumber) mod 4 spreads each
+    * order's line items over 4 salts; results are identical to the plain
+    * join (same oracle as j2 modulo aliases), only the partitioning
+    * differs.
+    */
+  def j9SaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"), col("l_discount"))
+    val small = Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    Scale.saltedEquiJoin(big, small, "l_orderkey", salts = 4, bigUniqueCol = "l_linenumber")
+      .groupBy("o_orderpriority")
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count("*").as("n_items"))
+  }
+
   /** J3/F7: left outer join with pick-first + ''-default on the right side
     * (primary email join, planning_center.py:63-65). Aggregating the right
     * side BEFORE the join keeps it 1:1 — partial aggregation happens
