@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// No "[success] Total time ..." trailer: the external bench harness
+// JSON-parses the LAST line of captured stdout, which must be the one
+// JSON line Bench prints (rounds 1-3 all failed to parse on this).
+Global / showSuccess := false
+// Forked run output goes straight to stdout/stderr — sbt's default
+// LoggedOutput would prefix every line with "[info] ", corrupting the
+// bench JSON line the harness parses.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / excludeLintKeys += outputStrategy
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -55,11 +55,24 @@ object Bench {
       case c if c < ' ' => " "
       case c => c.toString
     } + "\""
-    val qs = times.map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
-    val errs = errors.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
+    // Centisecond precision and no empty-errors object: the external
+    // harness captures only the tail of stdout and JSON-parses the LAST
+    // line — rounds 1-3 all came back `parsed: false` because
+    // full-precision doubles pushed the line past the capture window and
+    // sbt's "[success]" trailer (now suppressed in build.sbt) displaced
+    // the last line. Keep this line compact (<~1900 chars) and final.
+    def sec(v: Double): String = {
+      val c = math.round(v * 100)
+      s"${c / 100}.${"%02d".format(c % 100)}"
+    }
+    val qs = times.map { case (k, v) => s"${q(k)}:${sec(v)}" }.mkString("{", ",", "}")
+    val errs =
+      if (errors.isEmpty) ""
+      else errors.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString(""","errors":{""", ",", "}")
     val total = times.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_queries":${times.size},"n_errors":${errors.size},"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs$errs,"n_queries":${times.size},"n_errors":${errors.size},"sf":"$sfDir"}"""
     spark.stop()
+    println(line)
     if (errors.nonEmpty) sys.exit(1)
   }
 }
