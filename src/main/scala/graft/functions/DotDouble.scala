@@ -16,7 +16,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   *
   * Value parity: sequential element 0..n−1 fold in double — identical to
   * the HOF formulation and to the DuckDB oracle's `list_dot_product`
-  * (asserted in SimilaritySpec).
+  * (asserted in SimilaritySpec). Edge semantics also match the HOF
+  * (advisor finding — the first version truncated to the shorter array
+  * and read null elements as garbage): mismatched lengths → NULL (the
+  * `zip_with` pad-with-null path), and a null element in either array →
+  * NULL. The element null checks are emitted only when the input type's
+  * `containsNull` says they can occur, so the common
+  * `array<double> NOT NULL` path keeps the branch-free fused loop.
   */
 case class DotDouble(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -34,15 +40,27 @@ case class DotDouble(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // NULL on length mismatch / null element, even when both inputs are
+  // themselves non-null.
+  override def nullable: Boolean = true
+
   override def prettyName: String = "dot_double"
+
+  private def elementsNullable: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => false
+  })
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    val checkNulls = elementsNullable
     var dot = 0.0
     var i = 0
     while (i < n) {
+      if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
       dot += x.getDouble(i) * y.getDouble(i)
       i += 1
     }
@@ -54,13 +72,22 @@ case class DotDouble(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val dot = ctx.freshName("dot")
+      val nullCheck =
+        if (elementsNullable)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $dot += $a.getDouble($i) * $b.getDouble($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
+         |    $dot += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $dot; }
          |}
-         |${ev.value} = $dot;
        """.stripMargin
     })
 

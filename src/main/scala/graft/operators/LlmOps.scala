@@ -391,7 +391,13 @@ object LlmOps {
   def d5IncrementalAgainstIndex(spark: SparkSession, dir: String, prefix: String,
                                 newSource: String = "src0"): DataFrame = {
     val batchDocs = Tables.documents(spark, dir).filter(col("source") === newSource)
-    val batchShingles = shingleRowsOf(batchDocs).persist()
+    // Deliberately NOT persisted (advisor finding: the returned plan is
+    // lazy, so a persist here outlives the query and accumulates blocks
+    // across ingests in a long-lived session). The two consumers below
+    // recompute the batch shingles; that recompute is proportional to
+    // the BATCH, which is exactly the cost envelope this entry point
+    // promises — the corpus side stays materialized in the index tables.
+    val batchShingles = shingleRowsOf(batchDocs)
     val newBands = minhashBandsOf(batchShingles)
       .select(col("doc_id").as("new_doc"), col("band").as("band_n"), col("bkey").as("bkey_n"))
     val corpusBands = spark.table(s"${prefix}_bands")
@@ -439,6 +445,10 @@ object LlmOps {
     // converges in ONE cheap round inside the loop (empty adjacency →
     // zero changes) and the left join below then yields pure identity.
     val (resolved, converged) = connectedComponents(edges, MaxResolveRounds)
+    // The loop has materialized its final labels (checkpoint-backed), so
+    // the candidate-generation blocks can go now rather than lingering
+    // for the session's lifetime (advisor finding).
+    edges.unpersist()
     if (!converged)
       org.apache.log4j.Logger.getLogger(getClass)
         .warn(s"d7DedupResolve: label propagation did NOT converge within " +
@@ -515,13 +525,38 @@ object LlmOps {
         .localCheckpoint(false)
       val changed = next.join(labels.withColumnRenamed("canonical_id", "prev"), "doc_id")
         .filter(col("canonical_id") =!= col("prev")).count()
+      // Release the superseded round's storage NOW (advisor finding:
+      // checkpoint blocks otherwise accumulate for the session's
+      // lifetime). unpersist() handles the cached round-0 labels;
+      // releaseCheckpointBlocks the checkpointed rounds ≥ 1.
       labels.unpersist()
+      releaseCheckpointBlocks(labels)
       labels = next
       converged = changed == 0
       rounds += 1
     }
+    // After ≥1 round the surviving labels are checkpoint-backed and no
+    // longer reference the adjacency — its eager checkpoint can go too.
+    if (rounds > 0) releaseCheckpointBlocks(adj)
     (labels, converged)
   }
+
+  /** Free the executor blocks behind a `localCheckpoint`ed DataFrame.
+    * `Dataset.unpersist` only uncaches CacheManager entries; a local
+    * checkpoint's storage belongs to the materialized RDD inside the
+    * resulting `LogicalRDD` leaf, so that RDD is what must be
+    * unpersisted. Matches only when the DataFrame's plan root IS the
+    * checkpoint leaf — a tree-wide traversal would also release
+    * checkpoints this plan merely READS (e.g. round-0 labels derive from
+    * the adjacency checkpoint; releasing that mid-loop loses blocks a
+    * later round still needs). The DataFrame must not be used again
+    * afterwards (its lineage was truncated at the checkpoint).
+    */
+  private def releaseCheckpointBlocks(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
 
   // ---------------------------------------------------------------------
   // T1: per-document text statistics.

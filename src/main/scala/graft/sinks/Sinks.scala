@@ -78,8 +78,17 @@ object Sinks {
         d.getPath.getName.stripPrefix("csv_name="), "UTF-8")
       fs.listStatus(d.getPath)
         .map(_.getPath).find(_.getName.startsWith("part-"))
-        .foreach(part =>
-          fs.rename(part, new org.apache.hadoop.fs.Path(baseUri, s"$name.csv")))
+        .foreach { part =>
+          val dest = new org.apache.hadoop.fs.Path(baseUri, s"$name.csv")
+          // Hadoop rename returns false (does not throw) when the target
+          // exists — on a re-run that would silently keep stale data —
+          // and on any other failure. Delete-then-rename, and surface
+          // a failed promotion instead of swallowing it.
+          fs.delete(dest, false)
+          if (!fs.rename(part, dest))
+            throw new java.io.IOException(
+              s"failed to promote $part to $dest (rename returned false)")
+        }
     }
     fs.delete(stagingPath, true)
   }

@@ -53,13 +53,23 @@ object Sessionize {
       userId: Long,
       events: Iterator[Ev],
       state: GroupState[OpenSession]): Iterator[Session] = {
+    // Spark drops sub-watermark rows before flatMapGroupsWithState, but
+    // events ABOVE the watermark may still precede the remembered open
+    // session's bounds (delivered out of order across micro-batches);
+    // the min/max merge below folds those in without regressing either
+    // bound. Events within one invocation are sorted first.
     val sorted = events.map(e => toMicros(e.ts)).toArray.sorted
     var open = state.getOption
     val closed = scala.collection.mutable.ArrayBuffer[Session]()
     sorted.foreach { t =>
       open match {
         case Some(s) if t - s.lastMs < GapMicros =>
-          open = Some(s.copy(lastMs = t, n = s.n + 1))
+          // min/max, not overwrite (advisor finding): an out-of-order
+          // event from a later micro-batch can precede the open
+          // session's bounds; copying lastMs = t would regress the
+          // session end and never extend the start.
+          open = Some(OpenSession(math.min(s.startMs, t),
+            math.max(s.lastMs, t), s.n + 1))
         case Some(s) =>
           closed += Session(userId, fromMicros(s.startMs),
             fromMicros(s.lastMs + GapMicros), s.n)

@@ -28,6 +28,19 @@ class ConnectedComponentsSpec extends SparkTestBase {
     assert(labels.count() === 257)
   }
 
+  test("intermediate round checkpoints are released; only the final labels stay persisted") {
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val (labels, converged) = LlmOps.connectedComponents(chain(129), LlmOps.MaxResolveRounds)
+    labels.count()
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(converged)
+    // Multiple propagate+jump rounds ran; pre-fix each left its
+    // localCheckpoint blocks registered forever (advisor finding). Only
+    // the final labels checkpoint — which the caller still reads — may
+    // remain.
+    assert(after <= before + 1, s"leaked persistent RDDs: before=$before, after=$after")
+  }
+
   test("two components + pointer jumping: each node gets its component min") {
     val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
     val (labels, converged) = LlmOps.connectedComponents(edges, LlmOps.MaxResolveRounds)

@@ -134,6 +134,11 @@ class ReferencePipelineSpec extends SparkTestBase {
       .toDF("list_name", "csv_name")
     val out = tempDir("renamed_csv")
     Sinks.writeCsvRenamed(ReferencePipeline.applyCsvFormat(buildPeople(), fmt), out)
+    // Re-run over the same base URI: Hadoop rename returns false on an
+    // existing destination, so without the delete-then-rename the second
+    // run would silently keep stale files (advisor finding). Running it
+    // twice and asserting the same golden bytes proves idempotence.
+    Sinks.writeCsvRenamed(ReferencePipeline.applyCsvFormat(buildPeople(), fmt), out)
 
     // Drop the local ChecksumFileSystem's .crc sidecars — an artifact of
     // RawLocalFileSystem, not of the sink's layout.

@@ -66,4 +66,44 @@ class SessionizeSpec extends SparkTestBase {
       assert(r.getLong(2) === 3L)
     } finally query.stop()
   }
+
+  test("streaming: out-of-order event in a later micro-batch extends, never regresses, the open session") {
+    import java.time.Instant
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t0 = Instant.parse("2024-01-01T00:00:00Z")
+    def at(min: Long) = t0.plusSeconds(min * 60)
+    val input = MemoryStream[Sessionize.Ev]
+    val sessions = Sessionize.sessionsStream(
+      spark, input.toDS().withWatermark("ts", "10 minutes").as[Sessionize.Ev])
+    val query = sessions.writeStream
+      .format("memory").queryName("sess_ooo")
+      .outputMode("append")
+      .option("checkpointLocation", tempDir("sess_ooo_ckpt"))
+      .start()
+    try {
+      // Micro-batch 1: open session for user 1 spanning [10, 20]. The
+      // watermark after this batch is 20 − 10 = minute 10.
+      input.addData(Sessionize.Ev(1L, at(10)), Sessionize.Ev(1L, at(20)))
+      query.processAllAvailable()
+      // Micro-batch 2: an event at minute 12 — above the watermark (so
+      // Spark delivers it; sub-watermark rows are dropped before
+      // flatMapGroupsWithState) but BEFORE the remembered session's
+      // lastMs. The pre-fix merge copied lastMs = 12, regressing the
+      // session end from 20+gap to 12+gap.
+      input.addData(Sessionize.Ev(1L, at(12)))
+      query.processAllAvailable()
+      // Advance the watermark past session_end so the timeout closes it.
+      input.addData(Sessionize.Ev(2L, at(600)), Sessionize.Ev(2L, at(1200)))
+      query.processAllAvailable()
+      val user1 = spark.table("sess_ooo").where(col("user_id") === 1L)
+        .select("session_start", "session_end", "n_events")
+        .collect()
+      assert(user1.length === 1, s"expected ONE merged session, got ${user1.toSeq}")
+      val r = user1.head
+      assert(r.getAs[java.sql.Timestamp]("session_start").toInstant === at(10))
+      assert(r.getAs[java.sql.Timestamp]("session_end").toInstant === at(50))
+      assert(r.getLong(2) === 3L)
+    } finally query.stop()
+  }
 }

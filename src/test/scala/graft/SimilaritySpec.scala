@@ -80,6 +80,26 @@ class SimilaritySpec extends SparkTestBase {
     assert(diff === 0L)
   }
 
+  test("dot_double edge semantics match the HOF: length mismatch and null elements → NULL") {
+    import org.apache.spark.sql.functions._
+    val rows = Seq(
+      ("equal", Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](3.0, 4.0)),
+      ("shorter_b", Seq[java.lang.Double](1.0, 2.0, 3.0), Seq[java.lang.Double](1.0, 1.0)),
+      ("null_elem", Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](1.0, 1.0)))
+      .toDF("label", "ea", "eb")
+    val got = rows.select(
+        col("label"),
+        expr("dot_double(ea, eb)").as("native"),
+        expr("aggregate(zip_with(ea, eb, (x, y) -> x * y), cast(0 as double), (acc, v) -> acc + v)").as("hof"))
+      .collect()
+      .map(r => r.getString(0) -> (Option(r.get(1)), Option(r.get(2)))).toMap
+    assert(got("equal") === (Some(11.0), Some(11.0)))
+    // zip_with pads the shorter array with null → the fold goes null; the
+    // pre-fix native expression truncated to min length instead.
+    assert(got("shorter_b") === (None, None))
+    assert(got("null_elem") === (None, None))
+  }
+
   test("sim_lsh_pairs: identical vectors share a bucket and pair at cosine 1000") {
     val pairs = Similarity.simLshPairs(spark, embDir).collect()
       .map(r => (r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap
