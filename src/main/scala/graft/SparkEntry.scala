@@ -102,6 +102,7 @@ object SparkEntry {
     "sim_lsh_pairs" -> Similarity.simLshPairs _,
     "sim_ivf_topk"  -> Similarity.simIvfTopk _,
     "sim_quantize_q8" -> Similarity.simQuantizeQ8 _,
+    "d8_embed_neardup" -> Similarity.d8EmbedNeardup _,
   )
 
   private val streamingQueries: Map[String, Query] = Map(
@@ -442,6 +443,21 @@ object SparkEntry {
         s"row_number() OVER (PARTITION BY pr.query_id ORDER BY ${cosOf("pr.qe", "asg.emb")} DESC, asg.vec_id) AS rank " +
         "FROM pr JOIN asg ON pr.pvt = asg.pvt WHERE asg.vec_id != pr.query_id) " +
         s"WHERE rank <= ${Similarity.IvfTopK}"),
+    // Same bucketed-pair CTE as sim_lsh_pairs at the dedup threshold,
+    // then the one-hop canonical election over ALL documents.
+    "d8_embed_neardup" ->
+      ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings), " +
+        s"planes AS (SELECT vec_id AS p, emb AS pe FROM e WHERE vec_id < ${Similarity.NumLshPlanes}), " +
+        "buck AS (SELECT vec_id, CAST(sum(CASE WHEN list_dot_product(emb, pe) > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket FROM e CROSS JOIN planes GROUP BY vec_id), " +
+        "be AS (SELECT e.vec_id, bucket, emb FROM buck JOIN e ON buck.vec_id = e.vec_id), " +
+        s"np AS (SELECT vec_a, vec_b FROM (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ${cosOf("a.emb", "b.emb")} AS cos_milli " +
+        "FROM be a JOIN be b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) " +
+        s"WHERE cos_milli >= ${Similarity.EmbedDedupThreshold}), " +
+        "sym AS (SELECT vec_a AS doc_id, vec_b AS nb FROM np UNION ALL SELECT vec_b, vec_a FROM np), " +
+        "neigh AS (SELECT doc_id, min(nb) AS min_nb, count(*) AS n_neardups FROM sym GROUP BY doc_id) " +
+        "SELECT d.doc_id, coalesce(n_neardups, 0) AS n_neardups, " +
+        "least(d.doc_id, coalesce(min_nb, d.doc_id)) AS canonical_id " +
+        "FROM documents d LEFT JOIN neigh ON d.doc_id = neigh.doc_id"),
     // Identical double expression (127·x/s + 0.5, floor) on both sides —
     // same IEEE ops on the same exact inputs, so floor never diverges.
     "sim_quantize_q8" ->

@@ -184,6 +184,48 @@ object Similarity {
   }
 
   // ---------------------------------------------------------------------
+  // Embedding-cosine near-dup dedup (the semantic-dedup family member —
+  // d1/d2/d4 catch lexical copies, this catches paraphrases/translations
+  // whose EMBEDDINGS collide).
+  // ---------------------------------------------------------------------
+
+  /** Minimum cos_milli for an embedding pair to count as a semantic
+    * near-duplicate. On a real corpus with true paraphrase pairs this
+    * sits ~950; the synthetic fixture's random vectors top out at
+    * cos_milli ≈ 467, so the fixture threshold selects its upper tail.
+    */
+  val EmbedDedupThreshold = 300
+
+  /** D8: embedding-cosine near-dup dedup — candidate pairs from the LSH
+    * bucket join ([[simLshPairs]], never all-pairs), kept at
+    * [[EmbedDedupThreshold]], then a single-hop canonical election per
+    * document: canonical_id = min(doc_id, lowest near-dup neighbor) —
+    * the classic "keep a doc iff it has no lower-id near-dup" rule
+    * (keep ⇔ canonical_id = doc_id). Transitive-closure resolution is
+    * d7's job; the one-hop rule is what large semantic-dedup runs
+    * actually apply per batch.
+    *
+    * Scale shape: bucket equi-join for candidates + one groupBy on
+    * doc_id + a left join back to the corpus — all uniform keys; the
+    * corpus is touched once.
+    */
+  def d8EmbedNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = simLshPairs(spark, dir)
+      .filter(col("cos_milli") >= EmbedDedupThreshold)
+      .select(col("vec_a"), col("vec_b"))
+    val sym = pairs.select(col("vec_a").as("doc_id"), col("vec_b").as("nb"))
+      .unionAll(pairs.select(col("vec_b").as("doc_id"), col("vec_a").as("nb")))
+    val neigh = sym.groupBy("doc_id")
+      .agg(min("nb").as("min_nb"), count("*").as("n_neardups"))
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(neigh, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_neardups"), lit(0L)).as("n_neardups"),
+        least(col("doc_id"), coalesce(col("min_nb"), col("doc_id"))).as("canonical_id"))
+  }
+
+  // ---------------------------------------------------------------------
   // Int8 quantization (the embedding-store compression path).
   // ---------------------------------------------------------------------
 

@@ -27,6 +27,10 @@ class SimilaritySpec extends SparkTestBase {
       (11L, v(-0.6, -0.6, 0.2, 0.7), 4))
     vecs.toDF("vec_id", "embedding", "label")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    // d8 joins back to the documents table (doc_id ≡ vec_id).
+    vecs.map { case (id, _, _) => (id, s"doc body $id", "en", s"src${id % 3}", 11L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
     dir
   }
 
@@ -104,5 +108,20 @@ class SimilaritySpec extends SparkTestBase {
     val pairs = Similarity.simLshPairs(spark, embDir).collect()
       .map(r => (r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap
     assert(pairs.get((9L, 10L)) === Some(1000L))
+  }
+
+  test("d8 embed near-dup: planted duplicates elect the lower id as canonical; singletons keep their own") {
+    val rows = Similarity.d8EmbedNeardup(spark, embDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.keySet === (0L to 11L).toSet) // every document decided
+    // The exact copy (9, 10) and the scaled copy (0, 3) are cosine-1000
+    // pairs in shared buckets: the higher ids must NOT survive as
+    // canonical.
+    assert(rows(10L)._1 >= 1L && rows(10L)._2 <= 9L)
+    assert(rows(3L)._1 >= 1L && rows(3L)._2 === 0L)
+    // One-hop election invariant: canonical never exceeds the doc's own id.
+    rows.foreach { case (id, (_, canon)) => assert(canon <= id) }
+    // A doc with zero near-dups is its own canonical.
+    rows.collect { case (id, (0L, canon)) => assert(canon === id) }
   }
 }
