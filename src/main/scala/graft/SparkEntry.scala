@@ -47,6 +47,9 @@ object SparkEntry {
     "w3_lag_lead"          -> Relational.w3LagLead _,
     "w4_range_frame"       -> Relational.w4RangeFrame _,
     "w5_rank_family"       -> Relational.w5RankFamily _,
+    "w6_first_last"        -> Relational.w6FirstLast _,
+    "q_scalar_subquery"    -> Relational.qScalarSubquery _,
+    "q_correlated_scalar"  -> Relational.qCorrelatedScalar _,
     "a7_grouping_sets"     -> Relational.a7GroupingSets _,
     "a8_pivot"             -> Relational.a8Pivot _,
     "a10_percentile"       -> Relational.a10Percentile _,
@@ -184,6 +187,24 @@ object SparkEntry {
       ("SELECT o_orderpriority, o_orderkey, dense_rank() OVER w AS drank, percent_rank() OVER w AS prank, " +
         "cume_dist() OVER w AS cdist, ntile(4) OVER w AS quartile FROM orders WHERE o_custkey < 100 " +
         "WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)"),
+    "w6_first_last" ->
+      ("SELECT o_custkey, o_orderkey, first_value(o_orderkey) OVER w AS first_key, " +
+        "last_value(o_orderkey) OVER w AS last_key, " +
+        "coalesce(nth_value(o_orderkey, 2) OVER w, -1) AS second_key FROM orders " +
+        "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"),
+    "q_scalar_subquery" ->
+      "SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)",
+    // Correlated subqueries on the oracle side; the engine's window
+    // formulation computes the identical integers in one pass.
+    "q_correlated_scalar" ->
+      ("WITH spend AS (SELECT o_custkey, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents FROM orders GROUP BY o_custkey), " +
+        "cs AS (SELECT c_custkey, c_nationkey, coalesce(cents, 0) AS cents FROM customer LEFT JOIN spend ON c_custkey = o_custkey) " +
+        "SELECT c_custkey, cents, " +
+        "(SELECT CAST(sum(b.cents) AS BIGINT) FROM cs b WHERE b.c_nationkey = a.c_nationkey) AS nation_total_cents, " +
+        "(SELECT count(*) FROM cs b WHERE b.c_nationkey = a.c_nationkey) AS n_in_nation " +
+        "FROM cs a WHERE cents * (SELECT count(*) FROM cs b WHERE b.c_nationkey = a.c_nationkey) > " +
+        "(SELECT sum(b.cents) FROM cs b WHERE b.c_nationkey = a.c_nationkey)"),
     "a7_grouping_sets" ->
       ("SELECT coalesce(o_orderstatus, 'ALL') AS order_status, coalesce(o_orderpriority, 'ALL') AS order_priority, " +
         "count(*) AS n_orders FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())"),

@@ -349,6 +349,64 @@ object Relational {
         ntile(4).over(w).cast("long").as("quartile"))
   }
 
+  /** first/last/nth extrema within a window. last_value and nth_value use
+    * the explicit unbounded-unbounded frame: the default frame ends at
+    * CURRENT ROW, which silently turns last_value into "current value" —
+    * the classic window-function trap, pinned identically in the oracle.
+    */
+  def w6FirstLast(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(spark, dir)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        first("o_orderkey").over(w).as("first_key"),
+        last("o_orderkey").over(w).as("last_key"),
+        coalesce(nth_value(col("o_orderkey"), 2).over(w), lit(-1L)).as("second_key"))
+  }
+
+  /** Scalar subquery (uncorrelated): rows above a global aggregate. In
+    * Spark the one-row aggregate is joined back with a broadcast nested
+    * loop — exactly how a scalar subquery executes, but declared with
+    * the DataFrame API; the oracle states it as `(SELECT avg(...) ...)`.
+    * The filter compares against the UNROUNDED double average: order
+    * prices carry 2 decimals, so no price can sit within float-summation
+    * noise of the mean.
+    */
+  def qScalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val globalAvg = orders.agg(avg("o_totalprice").as("avg_price"))
+    orders.crossJoin(broadcast(globalAvg))
+      .filter(col("o_totalprice") > col("avg_price"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+  }
+
+  /** Correlated scalar subquery: customers whose spend exceeds their
+    * nation's average spend. The oracle states it with two correlated
+    * subqueries (re-scan per row); the engine states the same WHAT as
+    * ONE pass with window aggregates over the nation partition — the
+    * re-expression that makes the operator scale (a correlated re-scan
+    * is the N+1 anti-pattern of SURVEY.md §4 in SQL form). The
+    * comparison is the integer cross-multiplication
+    * spend·n > total — no division, no floats.
+    */
+  def qCorrelatedScalar(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(expr("cast(round(o_totalprice * 100) as bigint)")).as("cents"))
+    val perCustomer = Tables.customer(spark, dir)
+      .join(spend, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_custkey"), col("c_nationkey"),
+        coalesce(col("cents"), lit(0L)).as("cents"))
+    val w = Window.partitionBy("c_nationkey")
+    perCustomer
+      .withColumn("nation_total_cents", sum("cents").over(w))
+      .withColumn("n_in_nation", count(lit(1)).over(w))
+      .filter(col("cents") * col("n_in_nation") > col("nation_total_cents"))
+      .select(col("c_custkey"), col("cents"), col("nation_total_cents"), col("n_in_nation"))
+  }
+
   /** GROUPING SETS — the general form rollup/cube specialize. SQL-text
     * path for the same Spark 4.1.2 ambiguity reason as [[a4Rollup]].
     */
