@@ -98,6 +98,9 @@ object SparkEntry {
     "t6_pii_scrub"     -> LlmOps.t6PiiScrub _,
     "t7_token_freq"    -> LlmOps.t7TokenFreq _,
     "t8_hash_split"    -> LlmOps.t8HashSplit _,
+    "t9_repetition"    -> LlmOps.t9Repetition _,
+    "t10_mixture_sample" -> LlmOps.t10MixtureSample _,
+    "t11_decontaminate" -> LlmOps.t11Decontaminate _,
   )
 
   private val simQueries: Map[String, Query] = Map(
@@ -425,6 +428,29 @@ object SparkEntry {
         "CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split FROM b"),
   )
 
+  private val llmOracle2: Map[String, String] = Map(
+    "t9_repetition" ->
+      ("WITH tokd AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents), " +
+        "bg AS (SELECT doc_id, unnest(list_transform(range(1, len(tok)), i -> tok[i] || ' ' || tok[i+1])) AS bigram FROM tokd WHERE len(tok) >= 2), " +
+        "c AS (SELECT doc_id, bigram, count(*) AS tf FROM bg GROUP BY doc_id, bigram) " +
+        "SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams, CAST(max(tf) AS BIGINT) AS max_tf, " +
+        "CAST((2000 * max(tf) + sum(tf)) // (2 * sum(tf)) AS BIGINT) AS top_bigram_milli " +
+        "FROM c GROUP BY doc_id"),
+    "t10_mixture_sample" ->
+      ("WITH b AS (SELECT doc_id, source, " +
+        "((strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), 1, 1)) - 1) * 16 + " +
+        "(strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), 2, 1)) - 1)) % 100 AS bucket, " +
+        "CASE WHEN source = 'src0' THEN 100 WHEN source IN ('src1', 'src2', 'src3') THEN 50 ELSE 20 END AS rate_pct " +
+        "FROM documents) " +
+        "SELECT doc_id, source, CAST(bucket AS BIGINT) AS bucket FROM b WHERE bucket < rate_pct"),
+    "t11_decontaminate" ->
+      (s"WITH tokd AS ($duckTok), " +
+        s"sh AS (SELECT doc_id, unnest($duckShingles) AS shingle FROM tokd WHERE len(tok) >= 3), " +
+        s"bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < ${LlmOps.BenchmarkDocs}) " +
+        s"SELECT doc_id, count(*) AS n_shared_shingles FROM sh JOIN bench USING (shingle) " +
+        s"WHERE doc_id >= ${LlmOps.BenchmarkDocs} GROUP BY doc_id"),
+  )
+
   // -- Similarity oracles ---------------------------------------------
   // Vector math in double; cosines exported as floor(1000x + 0.5) ints;
   // rank key (cos_milli DESC, vec_id) matches the Spark window exactly.
@@ -545,5 +571,5 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    relationalOracle ++ llmOracle ++ simOracle ++ streamingOracle ++ multimodalOracle
+    relationalOracle ++ llmOracle ++ llmOracle2 ++ simOracle ++ streamingOracle ++ multimodalOracle
 }

@@ -630,6 +630,72 @@ object LlmOps {
           .as("split"))
   }
 
+  /** T9: repetition signal (Gopher-style quality rule): the fraction of a
+    * document's word bigrams taken by its single most-frequent bigram —
+    * high values mark boilerplate/template/spammy text that repetition
+    * filters drop before training. Relational shape: bigram rows via the
+    * same posexplode + lead construction as [[shingleRowsOf]] (lambda
+    * HOFs stay interpreted — see the minhash notes), two map-combinable
+    * groupBys. Docs with < 2 tokens have no bigrams and emit no row.
+    */
+  def t9Repetition(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("pos")
+    val bigrams = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(expr(tokExpr)).as(Seq("pos", "tok")))
+      .withColumn("n1", lead("tok", 1).over(w))
+      .filter(col("n1").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("tok"), col("n1")).as("bigram"))
+    bigrams
+      .groupBy("doc_id", "bigram").agg(count("*").as("tf"))
+      .groupBy("doc_id")
+      .agg(sum("tf").as("n_bigrams"), max("tf").as("max_tf"))
+      .select(
+        col("doc_id"), col("n_bigrams"), col("max_tf"),
+        expr(milli("max_tf", "n_bigrams")).as("top_bigram_milli"))
+  }
+
+  /** T10: deterministic mixture sampling — per-source keep rates (the
+    * data-mixing step that weights corpus sources before training),
+    * decided by the same engine-independent md5 bucket as
+    * [[t8HashSplit]]: no RNG, rerun/partitioning-stable, and a document
+    * keeps or loses its slot identically on any cluster. Map-only.
+    */
+  def t10MixtureSample(spark: SparkSession, dir: String): DataFrame = {
+    val nib = (i: Int) =>
+      s"(instr('0123456789abcdef', substring(md5(cast(doc_id as string)), $i, 1)) - 1)"
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"), col("source"),
+        expr(s"cast((${nib(1)} * 16 + ${nib(2)}) % 100 as bigint)").as("bucket"),
+        expr("case when source = 'src0' then 100 " +
+          "when source in ('src1', 'src2', 'src3') then 50 else 20 end").as("rate_pct"))
+      .filter(col("bucket") < col("rate_pct"))
+      .select(col("doc_id"), col("source"), col("bucket"))
+  }
+
+  /** Benchmark stand-in for [[t11Decontaminate]]: the lowest doc ids. */
+  val BenchmarkDocs = 10
+
+  /** T11: benchmark decontamination — flag training documents sharing
+    * any word 3-gram with an evaluation set (here: docs with id <
+    * [[BenchmarkDocs]] stand in for the benchmark). The overlap join is
+    * the real decontamination shape: distinct benchmark shingles are
+    * TINY next to the corpus (broadcast join at scale — candidate
+    * shingles only, never doc×benchmark pairs); output is per-doc
+    * shared-shingle counts, the evidence a removal pass acts on.
+    * Production runs use longer n-grams (8-13); the window-lead
+    * construction generalizes by adding leads.
+    */
+  def t11Decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingleRows(spark, dir).distinct()
+    val bench = sh.filter(col("doc_id") < BenchmarkDocs)
+      .select(col("shingle")).distinct()
+    sh.filter(col("doc_id") >= BenchmarkDocs)
+      .join(broadcast(bench), "shingle")
+      .groupBy("doc_id")
+      .agg(count("*").as("n_shared_shingles"))
+  }
+
   /** T6: PII scrubbing — the redaction pass every training-data pipeline
     * runs before tokenization: emails, digit runs, and URLs replaced
     * with typed placeholder tokens (global regexp_replace, map-only,

@@ -33,7 +33,8 @@ object ProfileDedup {
     Tables.documents(spark, dir).count() // warm
     def reset(): Unit = { spark.catalog.clearCache(); System.gc() }
 
-    // d4 sub-stages (mirrors LlmOps.d4NgramJaccard)
+    // d4 sub-stages (mirrors the CURRENT LlmOps.d4NgramJaccard — the
+    // relational shingle-row join formulation).
     val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("pos")
     val shingles = Tables.documents(spark, dir)
       .select(col("doc_id"), posexplode(expr("split(text, ' ')")).as(Seq("pos", "tok")))
@@ -41,22 +42,24 @@ object ProfileDedup {
       .withColumn("n2", lead("tok", 2).over(w))
       .filter(col("n2").isNotNull)
       .select(col("doc_id"), concat_ws(" ", col("tok"), col("n1"), col("n2")).as("shingle"))
-    val sets = shingles.groupBy("doc_id").agg(collect_set("shingle").as("s"))
-      .join(
-        Tables.documents(spark, dir)
-          .select(col("doc_id"), col("source"), expr("n_chars div 100").as("len_bucket")),
-        "doc_id")
-      .persist()
-    time("d4: sets persist")(sets.count())
-    def side(idName: String, setName: String): DataFrame =
-      sets.toDF(idName, setName, "source", "len_bucket")
-    val paired = side("doc_a", "sa").join(side("doc_b", "sb"), Seq("source", "len_bucket"))
+    time("d4: shingle rows raw")(shingles.count())
+    val meta = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), expr("n_chars div 100").as("len_bucket"))
+    val rows = shingles.distinct().join(meta, "doc_id").persist()
+    time("d4: rows distinct+persist")(rows.count())
+    val sizes = rows.groupBy("doc_id").agg(count("*").as("nsh"))
+    val inter = rows.toDF("doc_a", "shingle", "source", "len_bucket")
+      .join(rows.toDF("doc_b", "shingle", "source", "len_bucket"),
+        Seq("source", "len_bucket", "shingle"))
       .filter(col("doc_a") < col("doc_b"))
-    time("d4: block join pairs only")(paired.count())
-    time("d4: + jaccard")(
-      paired.select(
-        col("source"), col("doc_a"), col("doc_b"),
-        expr("(2000 * (size(array_intersect(sa, sb))) + (size(sa) + size(sb) - size(array_intersect(sa, sb)))) div (2 * (size(sa) + size(sb) - size(array_intersect(sa, sb))))").as("jaccard_milli"))
+      .groupBy("source", "doc_a", "doc_b")
+      .agg(count("*").as("i"))
+    time("d4: self-join group-count")(inter.count())
+    time("d4: + sizes joins")(
+      inter.join(sizes.toDF("doc_a", "na"), "doc_a")
+        .join(sizes.toDF("doc_b", "nb"), "doc_b")
+        .select(col("source"), col("doc_a"), col("doc_b"),
+          expr("(2000 * (i) + (na + nb - i)) div (2 * (na + nb - i))").as("jaccard_milli"))
         .filter(col("jaccard_milli") > 0)
         .count())
     reset()

@@ -114,6 +114,54 @@ class LlmOpsSpec extends SparkTestBase {
     assert(rows(1L)._1 === raw(1L)) // untouched doc keeps its hash
   }
 
+  // Fixture for t9/t11: docs 0-9 play the benchmark (BenchmarkDocs = 10);
+  // doc 10 is a verbatim copy of benchmark doc 7 (= base), doc 11 is
+  // maximally repetitive and shares nothing with the benchmark.
+  private lazy val contamDir: String = {
+    val dir = tempDir("llm_contam")
+    val texts = (fillers :+ base :+ nearDup :+
+      "zinc argon xenon krypton radon neon helium boron") ++
+      Seq(base, "spam spam spam spam")
+    texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "en", s"src${i % 3}", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("t9 repetition: an all-one-bigram doc scores 1000 milli; varied docs score low") {
+    val rows = LlmOps.t9Repetition(spark, contamDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // "spam spam spam spam" → 3 bigrams, all the same.
+    assert(rows(11L) === ((3L, 3L, 1000L)))
+    // The base sentence has no repeated bigram.
+    assert(rows(7L)._2 === 1L)
+    assert(rows(7L)._3 < 100L)
+  }
+
+  test("t10 mixture sample keeps every src0 doc and respects each source's rate") {
+    val kept = LlmOps.t10MixtureSample(spark, docsDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val srcOf = spark.read.parquet(s"$docsDir/documents.parquet")
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val src0 = srcOf.collect { case (id, "src0") => id }.toSet
+    assert(src0.subsetOf(kept.map(_._1).toSet)) // rate 100 keeps all
+    kept.foreach { case (_, source, bucket) =>
+      val rate = if (source == "src0") 100 else if (Set("src1", "src2", "src3")(source)) 50 else 20
+      assert(bucket < rate)
+    }
+  }
+
+  test("t11 decontamination flags the benchmark copy and ignores the disjoint doc") {
+    val rows = LlmOps.t11Decontaminate(spark, contamDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.contains(10L))            // verbatim copy of benchmark doc 7
+    assert(rows(10L) > 10L)               // shares (nearly) all of its shingles
+    assert(!rows.contains(11L))           // nothing shared
+    assert(rows.keySet.forall(_ >= LlmOps.BenchmarkDocs)) // benchmark never flags itself
+  }
+
   test("t4 fingerprint: identical docs share both fingerprints") {
     val fp = LlmOps.t4Fingerprint(spark, docsDir).collect()
       .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
