@@ -40,6 +40,9 @@ class EmptyInputSpec extends SparkTestBase {
     assert(LlmOps.t5TokenEstimate(spark, emptyDir).count() === 0)
     assert(LlmOps.t7TokenFreq(spark, emptyDir).count() === 0)
     assert(LlmOps.t8HashSplit(spark, emptyDir).count() === 0)
+    assert(LlmOps.t9Repetition(spark, emptyDir).count() === 0)
+    assert(LlmOps.t10MixtureSample(spark, emptyDir).count() === 0)
+    assert(LlmOps.t11Decontaminate(spark, emptyDir).count() === 0)
     assert(Multimodal.m1MediaMeta(spark, emptyDir).count() === 0)
     assert(Multimodal.m2FrameSample(spark, emptyDir).count() === 0)
   }
@@ -49,5 +52,6 @@ class EmptyInputSpec extends SparkTestBase {
     assert(Similarity.simLshPairs(spark, emptyDir).count() === 0)
     assert(Similarity.simIvfTopk(spark, emptyDir).count() === 0)
     assert(Similarity.simQuantizeQ8(spark, emptyDir).count() === 0)
+    assert(Similarity.d8EmbedNeardup(spark, emptyDir).count() === 0)
   }
 }
