@@ -19,7 +19,7 @@ Global / showSuccess := false
 // LoggedOutput would prefix every line with "[info] ", corrupting the
 // bench JSON line the harness parses.
 outputStrategy := Some(OutputStrategy.StdoutOutput)
-Global / excludeLintKeys += outputStrategy
+Global / excludeLintKeys ++= Set(outputStrategy, showSuccess)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

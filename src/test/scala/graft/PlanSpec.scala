@@ -49,6 +49,22 @@ class PlanSpec extends SparkTestBase {
     assert(!d6.contains("lambdafunction"), "d6 must not evaluate lambda HOFs per row")
   }
 
+  test("subquery + decontamination plans broadcast the small side (q_scalar, t11)") {
+    import graft.operators.LlmOps
+    // Scalar subquery = broadcast of the one-row aggregate, the probe
+    // side a single pruned scan.
+    val qs = plan(Relational.qScalarSubquery(spark, Sf))
+    assert(qs.contains("BroadcastNestedLoopJoin"))
+    assert(!qs.contains("SortMergeJoin"))
+    // The benchmark shingle set broadcasts; the corpus-side benchmark
+    // filter reaches the scan (DataFilters), so the corpus is never
+    // shuffled against the benchmark.
+    val t11 = plan(LlmOps.t11Decontaminate(spark, Sf))
+    assert(t11.contains("BroadcastHashJoin"))
+    assert(t11.contains("(doc_id"), "benchmark id filter should reach the scan")
+    assert(!t11.contains("SortMergeJoin"))
+  }
+
   test("native cosine_milli stays inside whole-stage codegen") {
     val df = Similarity.simTopk(spark, Sf)
     // collect() (not count(), which plans a different query) finalizes
