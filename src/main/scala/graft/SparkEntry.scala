@@ -66,6 +66,7 @@ object SparkEntry {
     "f8_datetime"          -> Relational.f8Datetime _,
     "f9_strings"           -> Relational.f9Strings _,
     "s5_parse_source"      -> Relational.s5ParseSource _,
+    "f10_arrays"           -> Relational.f10Arrays _,
     // S1's real form: the DSv2 paginated source (pages = partitions); the
     // deterministic offline fetcher makes it oracle-checkable arithmetic.
     "s6_paginated_rest"    -> ((s: SparkSession, _: String) =>
@@ -254,6 +255,12 @@ object SparkEntry {
         "lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded_key, " +
         "replace(c_name, '#', '-') AS clean_name, " +
         "levenshtein(c_mktsegment, 'BUILDING') AS seg_dist FROM customer"),
+    "f10_arrays" ->
+      ("SELECT doc_id, CAST(len(tok) AS BIGINT) AS n_tokens, " +
+        "array_to_string(tok[1:3], ' ') AS first3, " +
+        "list_sort(tok)[1] AS min_token, " +
+        "CASE WHEN list_contains(tok, 'the') THEN 1 ELSE 0 END AS has_the " +
+        "FROM (SELECT doc_id, string_split(text, ' ') AS tok FROM documents)"),
     "s5_parse_source" ->
       // CAST(sum() AS BIGINT): DuckDB sum(INTEGER) returns HUGEINT, which
       // pandas reads back as float64 — the typed hash compare then fails

@@ -407,6 +407,20 @@ object Relational {
       .select(col("c_custkey"), col("cents"), col("nation_total_cents"), col("n_in_nation"))
   }
 
+  /** Array-function family over the token arrays: size, slice+join,
+    * sort extremum, membership. All codegen'd built-ins, no lambda HOFs
+    * (those run interpreted — the LlmOps lesson); string sort order is
+    * binary/codepoint in both engines.
+    */
+  def f10Arrays(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        expr("cast(size(split(text, ' ')) as bigint)").as("n_tokens"),
+        expr("array_join(slice(split(text, ' '), 1, 3), ' ')").as("first3"),
+        expr("element_at(sort_array(split(text, ' ')), 1)").as("min_token"),
+        expr("cast(array_contains(split(text, ' '), 'the') as int)").as("has_the"))
+
   /** GROUPING SETS — the general form rollup/cube specialize. SQL-text
     * path for the same Spark 4.1.2 ambiguity reason as [[a4Rollup]].
     */
