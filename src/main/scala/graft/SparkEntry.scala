@@ -118,6 +118,7 @@ object SparkEntry {
     "st3_session_window"  -> Streaming.sessionCounts _,
     "st4_stream_join"     -> Streaming.streamStreamJoin _,
     "st5_stream_dedup"    -> Streaming.streamDedup _,
+    "st6_stream_static"   -> Streaming.streamStaticJoin _,
   )
 
   private val multimodalQueries: Map[String, Query] = Map(
@@ -551,6 +552,11 @@ object SparkEntry {
         "p AS (SELECT event_id AS purchase_id, user_id, CAST(ts AS TIMESTAMP) AS p_ts FROM events WHERE event_type = 'purchase') " +
         "SELECT signup_id, purchase_id, s.user_id AS user_id, s_ts, p_ts FROM s JOIN p ON s.user_id = p.user_id " +
         "AND p_ts >= s_ts AND p_ts <= s_ts + INTERVAL 7 DAY"),
+    // Stream-static join + AvailableNow ≡ the plain batch enrichment join.
+    "st6_stream_static" ->
+      ("SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start, " +
+        "c_mktsegment AS segment, event_type, count(*) AS n_events " +
+        "FROM events JOIN customer ON user_id = c_custkey GROUP BY 1, 2, 3"),
     // Single-batch AvailableNow run → dropDuplicatesWithinWatermark
     // equals a global DISTINCT over the key columns (see streamDedup).
     "st5_stream_dedup" ->

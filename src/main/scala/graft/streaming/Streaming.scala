@@ -213,6 +213,27 @@ object Streaming {
     spark.table(name).select("event_type", "user_id", "minute")
   }
 
+  /** ST6: stream-static enrichment join — the most common production
+    * streaming shape: events stream joined to a batch dimension table
+    * (customer segments) at ingest. The static side is re-planned per
+    * micro-batch as a BROADCAST hash join, so unlike the stream-stream
+    * join (st4) there is NO join state to bound — the only state is the
+    * downstream windowed aggregate. At 100 TB/day this is how dimension
+    * enrichment runs: broadcast the dim, never shuffle the stream.
+    */
+  def streamStaticJoin(spark: SparkSession, dir: String): DataFrame = {
+    val dim = graft.Tables.customer(spark, dir)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
+    val agged = eventsStream(spark, dir)
+      .withWatermark("ts", "10 minutes")
+      .join(broadcast(dim), "user_id")
+      .groupBy(window(col("ts"), "1 hour"), col("segment"), col("event_type"))
+      .agg(count("*").as("n_events"))
+    runToTable(spark, agged)
+      .select(col("window.start").as("window_start"), col("segment"),
+        col("event_type"), col("n_events"))
+  }
+
   /** 30-minute-gap session windows per user: start, end (last event +
     * gap), event count. Session state is the canonical
     * mapGroupsWithState-class workload expressed with the built-in
