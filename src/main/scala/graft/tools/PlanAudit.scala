@@ -1,0 +1,25 @@
+package graft.tools
+
+import graft.{Sessions, SparkEntry}
+
+/** Scratch audit: print join/scan pathology indicators for every query's
+  * initial physical plan (CartesianProduct anywhere, SortMergeJoin and
+  * BroadcastNestedLoopJoin counts) so accidental plan regressions surface
+  * without reading 80 plans by hand. Not part of the library surface.
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = Sessions.local("8")
+    val dir = "/root/testdata/sf0.01"
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val p = fn(spark, dir).queryExecution.executedPlan.toString
+        val cart = "CartesianProduct".r.findAllIn(p).length
+        val smj = "SortMergeJoin".r.findAllIn(p).length
+        val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+        println(f"AUDIT $name%-24s cart=$cart smj=$smj bnlj=$bnlj")
+      } catch { case e: Throwable => println(s"AUDIT $name ERROR ${e.getClass.getSimpleName}") }
+    }
+    spark.stop()
+  }
+}
