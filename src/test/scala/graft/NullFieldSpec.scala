@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import graft.operators.{LlmOps, Multimodal, Similarity}
+
+/** Null-field robustness: a 100 TB corpus always contains rows with null
+  * text / null embeddings (failed extractions, schema drift). Every
+  * operator must treat such rows as absent-or-null — never throw.
+  */
+class NullFieldSpec extends SparkTestBase {
+
+  private lazy val nullDir: String = {
+    val dir = tempDir("null_fields")
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val docs = Seq(
+      Row(0L, "the quick brown fox jumps over the lazy dog today", "en", "src0", 49L),
+      Row(1L, null, null, "src1", null),
+      Row(2L, "one two three four five six seven eight nine ten", "en", "src1", 48L))
+    spark.createDataFrame(spark.sparkContext.parallelize(docs), docSchema)
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val embSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    val embs = Seq(
+      Row(0L, Seq(0.5f, -0.2f, 0.8f, 0.1f), 0),
+      Row(1L, null, 0),
+      Row(2L, Seq(1.0f, -0.4f, 1.6f, 0.2f), 1))
+    spark.createDataFrame(spark.sparkContext.parallelize(embs), embSchema)
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("document operators tolerate a null-text row") {
+    // Must not throw; the null row contributes no shingles/tokens.
+    LlmOps.d1DedupExact(spark, nullDir).count()
+    LlmOps.d2DedupMinhash(spark, nullDir).count()
+    LlmOps.d3Simhash(spark, nullDir).count()
+    LlmOps.d4NgramJaccard(spark, nullDir).count()
+    LlmOps.d7DedupResolve(spark, nullDir).count()
+    LlmOps.t1TextStats(spark, nullDir).count()
+    LlmOps.t4Fingerprint(spark, nullDir).count()
+    LlmOps.t6PiiScrub(spark, nullDir).count()
+    LlmOps.t9Repetition(spark, nullDir).count()
+    LlmOps.t10MixtureSample(spark, nullDir).count()
+    LlmOps.t11Decontaminate(spark, nullDir).count()
+    Multimodal.m1MediaMeta(spark, nullDir).count()
+    Multimodal.m2FrameSample(spark, nullDir).count()
+  }
+
+  test("similarity operators tolerate a null-embedding row") {
+    Similarity.simTopk(spark, nullDir).count()
+    Similarity.simLshPairs(spark, nullDir).count()
+    Similarity.simQuantizeQ8(spark, nullDir).count()
+    Similarity.d8EmbedNeardup(spark, nullDir).count()
+  }
+}
