@@ -102,6 +102,7 @@ object SparkEntry {
     "t9_repetition"    -> LlmOps.t9Repetition _,
     "t10_mixture_sample" -> LlmOps.t10MixtureSample _,
     "t11_decontaminate" -> LlmOps.t11Decontaminate _,
+    "q_curation_pipeline" -> LlmOps.curationManifest _,
   )
 
   private val simQueries: Map[String, Query] = Map(
@@ -457,6 +458,33 @@ object SparkEntry {
         s"bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < ${LlmOps.BenchmarkDocs}) " +
         s"SELECT doc_id, count(*) AS n_shared_shingles FROM sh JOIN bench USING (shingle) " +
         s"WHERE doc_id >= ${LlmOps.BenchmarkDocs} GROUP BY doc_id"),
+    // The composed curation pass: every CTE is the corresponding
+    // component oracle; the final SELECT applies the same keep rules.
+    "q_curation_pipeline" ->
+      (s"WITH tokd AS ($duckTok), " +
+        "canon AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)), " +
+        "c AS (SELECT doc_id, len(tok)::BIGINT AS n, len(list_distinct(tok))::BIGINT AS u, " +
+        "len(list_filter(tok, t -> t IN ('the', 'a')))::BIGINT AS stop FROM tokd), " +
+        "q AS (SELECT doc_id, (400*(n - stop)) // n + least(3*n, 300) + (300*u) // n AS quality_milli FROM c), " +
+        "quality_ok AS (SELECT doc_id FROM q WHERE quality_milli >= 400), " +
+        s"sh AS (SELECT doc_id, unnest($duckShingles) AS shingle FROM tokd WHERE len(tok) >= 3), " +
+        s"bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < ${LlmOps.BenchmarkDocs}), " +
+        s"cont AS (SELECT DISTINCT sh.doc_id FROM sh JOIN bench USING (shingle) WHERE sh.doc_id >= ${LlmOps.BenchmarkDocs}), " +
+        "samp AS (SELECT doc_id, source, " +
+        "((strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), 1, 1)) - 1) * 16 + " +
+        "(strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), 2, 1)) - 1)) % 100 AS bucket, " +
+        "CASE WHEN source = 'src0' THEN 100 WHEN source IN ('src1', 'src2', 'src3') THEN 50 ELSE 20 END AS rate_pct " +
+        "FROM documents), " +
+        "spl AS (SELECT doc_id, CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split " +
+        "FROM (SELECT doc_id, ((strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), 1, 1)) - 1) * 16 + " +
+        "(strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), 2, 1)) - 1)) % 100 AS bucket FROM documents)) " +
+        "SELECT s.doc_id, s.source, CAST(s.bucket AS BIGINT) AS bucket, spl.split " +
+        "FROM samp s " +
+        "JOIN canon ON s.doc_id = canon.doc_id " +
+        "JOIN quality_ok ON s.doc_id = quality_ok.doc_id " +
+        "LEFT JOIN cont ON s.doc_id = cont.doc_id " +
+        "JOIN spl ON s.doc_id = spl.doc_id " +
+        s"WHERE s.bucket < s.rate_pct AND s.doc_id >= ${LlmOps.BenchmarkDocs} AND cont.doc_id IS NULL"),
   )
 
   // -- Similarity oracles ---------------------------------------------

@@ -696,6 +696,41 @@ object LlmOps {
       .agg(count("*").as("n_shared_shingles"))
   }
 
+  /** The end-to-end curation manifest — the whole training-data pass as
+    * ONE declarative plan composed from the family's operators:
+    *
+    *  1. exact dedup (d1): only each content-hash group's canonical
+    *     (min-id) document survives;
+    *  2. quality gate (t3): tier 'low' dropped;
+    *  3. decontamination (t11): docs overlapping the benchmark dropped,
+    *     and the benchmark docs themselves excluded;
+    *  4. mixture sampling (t10): per-source keep rates;
+    *  5. split assignment (t8): train/val/test labels.
+    *
+    * Output: (doc_id, source, bucket, split) — the manifest a tokenizer
+    * run would consume. Every stage is the already-verified operator;
+    * Catalyst plans the composition (the scans dedupe via exchange reuse
+    * where plans align, and each stage's join is on the uniform doc_id
+    * key). This is the "switch your pipeline to one Spark plan" story at
+    * the corpus level.
+    */
+  def curationManifest(spark: SparkSession, dir: String): DataFrame = {
+    val canonical = d1DedupExact(spark, dir)
+      .select(col("canonical_doc_id").as("doc_id"))
+    val qualityOk = t3QualityScore(spark, dir)
+      .filter(col("tier") =!= "low").select("doc_id")
+    val contaminated = t11Decontaminate(spark, dir).select("doc_id")
+    val sampled = t10MixtureSample(spark, dir)
+    val split = t8HashSplit(spark, dir).select("doc_id", "split")
+    sampled
+      .filter(col("doc_id") >= BenchmarkDocs)
+      .join(canonical, "doc_id")
+      .join(qualityOk, "doc_id")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .join(split, "doc_id")
+      .select(col("doc_id"), col("source"), col("bucket"), col("split"))
+  }
+
   /** T6: PII scrubbing — the redaction pass every training-data pipeline
     * runs before tokenization: emails, digit runs, and URLs replaced
     * with typed placeholder tokens (global regexp_replace, map-only,

@@ -162,6 +162,15 @@ class LlmOpsSpec extends SparkTestBase {
     assert(rows.keySet.forall(_ >= LlmOps.BenchmarkDocs)) // benchmark never flags itself
   }
 
+  test("curation manifest: benchmark and contaminated docs never survive; splits well-formed") {
+    val rows = LlmOps.curationManifest(spark, contamDir).collect()
+      .map(r => (r.getLong(0), r.getString(3)))
+    // Benchmark docs (0-9) and the contaminated copy (10) are excluded
+    // by construction; only doc 11 can possibly remain.
+    assert(rows.map(_._1).toSet.subsetOf(Set(11L)))
+    assert(rows.forall(r => Set("train", "val", "test")(r._2)))
+  }
+
   test("t4 fingerprint: identical docs share both fingerprints") {
     val fp = LlmOps.t4Fingerprint(spark, docsDir).collect()
       .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
