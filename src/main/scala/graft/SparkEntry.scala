@@ -81,6 +81,14 @@ object SparkEntry {
     "j9_salted_join"       -> Relational.j9SaltedJoin _,
     "q_asof_join"          -> Relational.qAsofJoin _,
     "q_flagship"           -> Relational.flagship _,
+    "q_data_quality"       -> ((s: SparkSession, dir: String) =>
+      graft.operators.Validation.checkConstraints(
+        graft.Tables.orders(s, dir),
+        Seq(
+          "null_custkey"      -> "o_custkey is null",
+          "nonpositive_price" -> "o_totalprice <= 0",
+          "bad_status"        -> "o_orderstatus not in ('F', 'O', 'P')"),
+        uniqueKey = Some("o_orderkey"))),
   )
 
   private val llmQueries: Map[String, Query] = Map(
@@ -296,6 +304,17 @@ object SparkEntry {
         "SELECT err.error_id, err.user_id, err.error_ts, oth.ts, oth.event_id, oth.event_type, " +
         "row_number() OVER (PARTITION BY err.error_id ORDER BY oth.ts DESC, oth.event_id DESC) AS rn " +
         "FROM err JOIN oth ON err.user_id = oth.user_id AND oth.ts <= err.error_ts) WHERE rn = 1"),
+    "q_data_quality" ->
+      ("WITH w AS (SELECT " +
+        "CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_custkey, " +
+        "CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS nonpositive_price, " +
+        "CAST(sum(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P') THEN 1 ELSE 0 END) AS BIGINT) AS bad_status, " +
+        "CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS BIGINT) AS dup_o_orderkey FROM orders) " +
+        "SELECT rule, n_violations, CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS pass FROM (" +
+        "SELECT 'null_custkey' AS rule, null_custkey AS n_violations FROM w " +
+        "UNION ALL SELECT 'nonpositive_price', nonpositive_price FROM w " +
+        "UNION ALL SELECT 'bad_status', bad_status FROM w " +
+        "UNION ALL SELECT 'dup_o_orderkey', dup_o_orderkey FROM w)"),
     "q_flagship" ->
       (s"WITH dims AS (SELECT n_nationkey, n_name FROM nation JOIN region ON n_regionkey = r_regionkey WHERE r_name LIKE '%A%'), " +
         s"joined AS (SELECT n_name, $ageExpr AS order_age, o_totalprice FROM customer JOIN dims ON c_nationkey = n_nationkey JOIN orders ON c_custkey = o_custkey), " +

@@ -37,4 +37,30 @@ object Validation {
     */
   def overallVerdict(verdicts: DataFrame): DataFrame =
     verdicts.agg(min(col("valid")).as("all_valid"), count(lit(1)).as("n_checks"))
+
+  /** Declarative data-quality constraint gate — the generalization of the
+    * reference's count reconciliation to column-level rules (the check a
+    * pipeline runs before shipping a table to training): completeness
+    * (null counts), uniqueness (key duplicates), and domain rules, all
+    * evaluated in ONE scan as conditional aggregates — no per-rule pass,
+    * no shuffle beyond the single two-phase aggregation.
+    *
+    * `rules` maps a rule name to a boolean violation predicate (SQL
+    * text); uniqueness is handled separately because it needs a distinct
+    * count, not a row predicate. Output: one row per rule with its
+    * violation count and pass flag.
+    */
+  def checkConstraints(df: DataFrame, rules: Seq[(String, String)],
+                       uniqueKey: Option[String] = None): DataFrame = {
+    val ruleCols = rules.map { case (name, pred) =>
+      sum(when(expr(pred), 1L).otherwise(0L)).as(name)
+    }
+    val uniqCols = uniqueKey.toSeq.map(k =>
+      (count(col(k)) - countDistinct(col(k))).as(s"dup_$k"))
+    val wide = df.agg((ruleCols ++ uniqCols).head, (ruleCols ++ uniqCols).tail: _*)
+    val names = rules.map(_._1) ++ uniqueKey.map(k => s"dup_$k")
+    wide.unpivot(Array.empty, names.map(col).toArray, "rule", "n_violations")
+      .select(col("rule"), col("n_violations"),
+        when(col("n_violations") === 0L, 1).otherwise(0).as("pass"))
+  }
 }

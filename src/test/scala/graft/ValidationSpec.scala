@@ -23,6 +23,26 @@ class ValidationSpec extends SparkTestBase {
     assert(got("ghost") === ((0L, 0)))   // never observed → invalid, count 0
   }
 
+  test("checkConstraints counts planted violations per rule in one pass") {
+    val rows = Seq(
+      (1L, Option(10L), 5.0, "F"),
+      (2L, None, -1.0, "F"),        // null key + nonpositive price
+      (2L, Option(11L), 3.0, "Z"),  // duplicate id + bad status
+      (3L, Option(12L), 0.0, "O"))  // nonpositive price (boundary)
+      .toDF("id", "custkey", "price", "status")
+    val got = Validation.checkConstraints(rows, Seq(
+        "null_custkey" -> "custkey is null",
+        "nonpositive_price" -> "price <= 0",
+        "bad_status" -> "status not in ('F', 'O', 'P')"),
+      uniqueKey = Some("id"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(got === Map(
+      "null_custkey" -> ((1L, 0)),
+      "nonpositive_price" -> ((2L, 0)),
+      "bad_status" -> ((1L, 0)),
+      "dup_id" -> ((1L, 0))))
+  }
+
   test("overallVerdict: all-valid iff every per-key check passed") {
     val allGood = Seq(("a", 1L, 1L), ("b", 2L, 2L)).toDF("k", "expected_count", "actual_count")
     val oneBad = Seq(("a", 1L, 1L), ("b", 2L, 9L)).toDF("k", "expected_count", "actual_count")
