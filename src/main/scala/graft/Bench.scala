@@ -70,13 +70,16 @@ object Bench {
       if (errors.isEmpty) ""
       else errors.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString(""","errors":{""", ",", "}")
     val total = times.values.sum
-    def build(decimals: Int): String = {
+    def build(decimals: Int, counts: Boolean): String = {
       val qs = times.map { case (k, v) => s"${q(k)}:${sec(v, decimals)}" }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${sec(total, 2)},"unit":"sec","queries":$qs$errs,"n_queries":${times.size},"n_errors":${errors.size},"sf":"$sfDir"}"""
+      val tail = if (counts) s""","n_queries":${times.size},"n_errors":${errors.size}""" else ""
+      s"""{"metric":"total","value":${sec(total, 2)},"unit":"sec","queries":$qs$errs$tail,"sf":"$sfDir"}"""
     }
-    // Centiseconds normally; decisecond fallback keeps the line inside
-    // the harness's ~2000-char stdout capture if the query count grows.
-    val line = { val l2 = build(2); if (l2.length <= 1900) l2 else build(1) }
+    // The harness keeps a ~2000-char stdout tail and parses its last
+    // line, so the line must stay under that budget: centiseconds
+    // first, then drop the count fields, then deciseconds.
+    val line = Seq(build(2, true), build(2, false), build(1, false))
+      .find(_.length <= 1960).getOrElse(build(1, false))
     spark.stop()
     println(line)
     if (errors.nonEmpty) sys.exit(1)
