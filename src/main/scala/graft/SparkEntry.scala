@@ -133,6 +133,7 @@ object SparkEntry {
   private val multimodalQueries: Map[String, Query] = Map(
     "m1_media_meta"   -> Multimodal.m1MediaMeta _,
     "m2_frame_sample" -> Multimodal.m2FrameSample _,
+    "m3_resize"       -> Multimodal.m3Resize _,
   )
 
   def queries: Map[String, Query] =
@@ -627,9 +628,20 @@ object SparkEntry {
         "md5(substr(text, frame_idx * 100 + 1, 100)) AS frame_checksum FROM f"),
   )
 
+  private val multimodalOracle2: Map[String, String] = Map(
+    // Same nearest-neighbor index arithmetic, all integer division.
+    "m3_resize" ->
+      ("SELECT doc_id, CAST(length(text) AS BIGINT) AS orig_len, " +
+        s"CAST(least(length(text), ${graft.operators.Multimodal.ResizeTarget}) AS BIGINT) AS resized_len, " +
+        s"md5(array_to_string(list_transform(range(0, least(length(text), ${graft.operators.Multimodal.ResizeTarget})), " +
+        s"i -> substr(text, CAST((i * length(text)) // least(length(text), ${graft.operators.Multimodal.ResizeTarget}) AS INTEGER) + 1, 1)), '')) AS resized_md5 " +
+        "FROM documents"),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    relationalOracle ++ llmOracle ++ llmOracle2 ++ simOracle ++ streamingOracle ++ multimodalOracle
+    relationalOracle ++ llmOracle ++ llmOracle2 ++ simOracle ++ streamingOracle ++
+      multimodalOracle ++ multimodalOracle2
 }

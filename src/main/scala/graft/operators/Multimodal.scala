@@ -88,6 +88,30 @@ object Multimodal {
         expr("cast(length(substring(text, frame_idx * 100 + 1, 100)) as bigint)").as("frame_len"),
         expr("md5(substring(text, frame_idx * 100 + 1, 100))").as("frame_checksum"))
 
+  /** M3: resize — fixed-target nearest-neighbor downsampling of the
+    * payload (position i of the output samples position
+    * floor(i·len/target) of the input), the index arithmetic every image
+    * resize performs, applied to the stand-in payload; a real codec
+    * would run the same plan with pixel rows. Map-only, output size
+    * bounded at [[ResizeTarget]] units regardless of input size —
+    * payloads never grow through this operator. The per-doc transform
+    * is a fixed-64-element lambda (bounded, cold path); hot-path ops
+    * keep the no-lambda rule.
+    */
+  val ResizeTarget = 64
+
+  def m3Resize(spark: SparkSession, dir: String): DataFrame = {
+    val nOut = s"least(length(text), $ResizeTarget)"
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        expr("cast(length(text) as bigint)").as("orig_len"),
+        expr(s"cast($nOut as bigint)").as("resized_len"),
+        expr(s"md5(array_join(transform(sequence(0, cast($nOut as int) - 1), " +
+          s"i -> substring(text, cast((i * length(text)) div $nOut as int) + 1, 1)), ''))")
+          .as("resized_md5"))
+  }
+
   /** Batched decode path (the mapInPandas analog in Scala): one
     * partition's records per call, iterator-in/iterator-out so a real
     * implementation can batch onto an accelerator. The decode itself is

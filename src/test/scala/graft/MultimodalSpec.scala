@@ -31,6 +31,20 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("m3 resize bounds output size and samples deterministically") {
+    val rows = Multimodal.m3Resize(spark, Sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(rows.nonEmpty)
+    rows.values.foreach { case (orig, resized, md5) =>
+      assert(resized === math.min(orig, Multimodal.ResizeTarget.toLong))
+      assert(md5.length === 32)
+    }
+    // Determinism: same input → same sample positions → same hash.
+    val again = Multimodal.m3Resize(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    rows.foreach { case (id, (_, _, md5)) => assert(again(id) === md5) }
+  }
+
   test("decodeFeatures handles zero-byte media (empty payload)") {
     val media = Seq(
       MediaRecord(1L, Array.emptyByteArray, "application/octet-stream"),
