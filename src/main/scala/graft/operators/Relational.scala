@@ -628,15 +628,26 @@ object Relational {
   /** J4: the second pick-first+default instance (phones,
     * planning_center.py:68-70, same pattern as emails :63-65): cheapest
     * supplier per part from lineitem, parts with no lineitem defaulting.
-    * Window pick-first runs BEFORE the left join so the join stays 1:1.
+    * Pick-first runs BEFORE the left join so the join stays 1:1.
+    *
+    * The pick is an argmin via `min(struct(price, suppkey))` — struct
+    * ordering is lexicographic, so this selects exactly the window
+    * row_number()-over-(price, suppkey) = 1 row, but as a PARTIALLY
+    * AGGREGATED groupBy: each map task reduces its partition to one
+    * candidate per part BEFORE the shuffle, so the exchange carries
+    * |parts| rows, not |lineitem|. (Struct min plans as SortAggregate —
+    * a map-side sort on the group key only; the win is shuffle volume.)
+    * The window form (kept in [[p4PickFirst]], where the windowed
+    * family is the point) shuffles every fact row and sorts each
+    * partition by the full (key, price, suppkey) order — at 100 TB the
+    * difference is shuffling the whole fact table.
     */
   def j4PickFirstSupplier(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("l_partkey").orderBy(col("l_extendedprice"), col("l_suppkey"))
     val cheapest = Tables.lineitem(spark, dir)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("l_partkey"), col("l_suppkey").as("cheapest_suppkey"),
-        col("l_extendedprice").as("cheapest_price"))
+      .groupBy("l_partkey")
+      .agg(min(struct(col("l_extendedprice"), col("l_suppkey"))).as("best"))
+      .select(col("l_partkey"), col("best.l_suppkey").as("cheapest_suppkey"),
+        col("best.l_extendedprice").as("cheapest_price"))
     Tables.part(spark, dir)
       .join(cheapest, col("p_partkey") === col("l_partkey"), "left")
       .select(
