@@ -708,11 +708,14 @@ object LlmOps {
     *  5. split assignment (t8): train/val/test labels.
     *
     * Output: (doc_id, source, bucket, split) — the manifest a tokenizer
-    * run would consume. Every stage is the already-verified operator;
-    * Catalyst plans the composition (the scans dedupe via exchange reuse
-    * where plans align, and each stage's join is on the uniform doc_id
-    * key). This is the "switch your pipeline to one Spark plan" story at
-    * the corpus level.
+    * run would consume. Every stage is the already-verified operator and
+    * every stage join keys on the uniform doc_id (all broadcast-able:
+    * the gate outputs are per-doc keys, small next to the corpus rows).
+    * The composition re-scans the (column-pruned) documents table once
+    * per stage — at 100 TB a production run would persist the tokenized
+    * scan first, or run the stages against a shared materialized
+    * signature table (see [[buildCorpusIndex]]); the manifest layout and
+    * keep rules are identical either way.
     */
   def curationManifest(spark: SparkSession, dir: String): DataFrame = {
     val canonical = d1DedupExact(spark, dir)
