@@ -111,6 +111,7 @@ object SparkEntry {
     "t10_mixture_sample" -> LlmOps.t10MixtureSample _,
     "t11_decontaminate" -> LlmOps.t11Decontaminate _,
     "q_curation_pipeline" -> LlmOps.curationManifest _,
+    "t12_stopwords"    -> LlmOps.t12Stopwords _,
   )
 
   private val simQueries: Map[String, Query] = Map(
@@ -458,6 +459,11 @@ object SparkEntry {
   )
 
   private val llmOracle2: Map[String, String] = Map(
+    "t12_stopwords" ->
+      (s"WITH tokd AS ($duckTok), " +
+        "v AS (SELECT tok, count(*) AS tf, count(DISTINCT doc_id) AS df FROM " +
+        "(SELECT doc_id, unnest(tok) AS tok FROM tokd) GROUP BY tok) " +
+        "SELECT tok, tf, df FROM v WHERE df * 2 > (SELECT count(*) FROM documents)"),
     "t9_repetition" ->
       ("WITH tokd AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents), " +
         "bg AS (SELECT doc_id, unnest(list_transform(range(1, len(tok)), i -> tok[i] || ' ' || tok[i+1])) AS bigram FROM tokd WHERE len(tok) >= 2), " +

@@ -630,6 +630,21 @@ object LlmOps {
           .as("split"))
   }
 
+  /** T12: stopword selection from the corpus vocabulary — tokens whose
+    * document frequency exceeds half the corpus ([[t7TokenFreq]]'s
+    * stopword/IDF use, materialized): the df-threshold rule every
+    * tokenizer-vocab / stopword-removal pass applies. The threshold
+    * compare is the integer cross-multiplication 2·df > n_docs (no
+    * ratio, no floats); the one-row corpus count broadcasts.
+    */
+  def t12Stopwords(spark: SparkSession, dir: String): DataFrame = {
+    val nDocs = Tables.documents(spark, dir).agg(count("*").as("n_docs"))
+    t7TokenFreq(spark, dir)
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") * 2 > col("n_docs"))
+      .select(col("tok"), col("tf"), col("df"))
+  }
+
   /** T9: repetition signal (Gopher-style quality rule): the fraction of a
     * document's word bigrams taken by its single most-frequent bigram —
     * high values mark boilerplate/template/spammy text that repetition
