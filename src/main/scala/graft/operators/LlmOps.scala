@@ -134,8 +134,11 @@ object LlmOps {
   private def docShingles(spark: SparkSession, dir: String, idName: String, setName: String): DataFrame =
     docShinglesOf(shingleRows(spark, dir), idName, setName)
 
-  /** Round-half-up(1000 * num / den) in pure integer arithmetic. */
-  private def milli(num: String, den: String): String =
+  /** Round-half-up(1000 * num / den) in pure integer arithmetic.
+    * private[graft] so MilliSpec can property-test it against the
+    * BigDecimal definition — ~15 oracles rest on this primitive.
+    */
+  private[graft] def milli(num: String, den: String): String =
     s"(2000 * ($num) + ($den)) div (2 * ($den))"
 
   // ---------------------------------------------------------------------
