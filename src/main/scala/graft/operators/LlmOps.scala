@@ -41,27 +41,30 @@ object LlmOps {
   /** Word tokens; the corpus is single-spaced. */
   private val tokExpr = "split(text, ' ')"
 
-  /** Distinct word 3-gram shingles as ROWS (doc_id, shingle).
+  /** Word 3-gram shingles as ROWS (doc_id, shingle).
     *
-    * Relational construction — posexplode tokens (split evaluated ONCE
-    * per doc), window lead(1)/lead(2) to form the 3-grams, distinct —
-    * instead of a higher-order transform over element_at(split(...), i):
-    * lambda-bound HOFs run interpreted and re-tokenize the document on
-    * every element access (measured ~300 splits/doc; the round's
-    * dominant cost before this rewrite). Every step here is codegen'd;
-    * the window and distinct shuffles partition on doc_id / shingle —
-    * both uniform keys at any scale. Documents with <3 tokens produce no
+    * Shuffle-free construction: split ONCE per doc, posexplode the
+    * token array while CARRYING it, and read the two following tokens
+    * with `element_at` lookups into the carried array — every step a
+    * codegen'd plain expression, zero exchanges. Two prior forms
+    * measured slower at sf0.1: a lambda-bound `transform` over
+    * element_at(split(...), i) ran interpreted and re-tokenized the doc
+    * per element (~300 splits/doc), and a window lead(1)/lead(2) form
+    * paid a full exchange + per-doc sort before the leads (~2× this
+    * form, measured with tools/ShingleBench; byte-identical output).
+    * Carrying the array widens the explode's rows transiently, which is
+    * cheaper than shuffling them. Documents with <3 tokens produce no
     * shingles (and can never pair).
     */
-  private def shingleRowsOf(docs: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("pos")
+  private def shingleRowsOf(docs: DataFrame): DataFrame =
     docs
-      .select(col("doc_id"), posexplode(expr(tokExpr)).as(Seq("pos", "tok")))
-      .withColumn("n1", lead("tok", 1).over(w))
-      .withColumn("n2", lead("tok", 2).over(w))
-      .filter(col("n2").isNotNull)
-      .select(col("doc_id"), concat_ws(" ", col("tok"), col("n1"), col("n2")).as("shingle"))
-  }
+      .select(col("doc_id"), expr(tokExpr).as("toks"))
+      .select(col("doc_id"), col("toks"), posexplode(col("toks")).as(Seq("pos", "tok")))
+      .filter(col("pos") <= size(col("toks")) - 3)
+      .select(col("doc_id"),
+        concat_ws(" ", col("tok"),
+          element_at(col("toks"), col("pos") + 2),
+          element_at(col("toks"), col("pos") + 3)).as("shingle"))
 
   private def shingleRows(spark: SparkSession, dir: String): DataFrame =
     shingleRowsOf(Tables.documents(spark, dir))
