@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineMilli, DotDouble}
+import graft.functions.{CosineMilli, DotDouble, RollingMinHash}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions into the session's function registry, so they are usable
@@ -21,5 +21,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("dot_double"),
       new ExpressionInfo(classOf[DotDouble].getName, "dot_double"),
       (children: Seq[Expression]) => DotDouble(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("rolling_min_hash"),
+      new ExpressionInfo(classOf[RollingMinHash].getName, "rolling_min_hash"),
+      (children: Seq[Expression]) => RollingMinHash(
+        children.head,
+        children(1).eval().asInstanceOf[Int])))
   }
 }

@@ -112,6 +112,7 @@ object SparkEntry {
     "t11_decontaminate" -> LlmOps.t11Decontaminate _,
     "q_curation_pipeline" -> LlmOps.curationManifest _,
     "t12_stopwords"    -> LlmOps.t12Stopwords _,
+    "t13_rolling_fp"   -> LlmOps.t13RollingFp _,
   )
 
   private val simQueries: Map[String, Query] = Map(
@@ -458,7 +459,23 @@ object SparkEntry {
         "CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split FROM b"),
   )
 
+  // Rabin-Karp window-hash constants shared with RollingMinHash: the
+  // oracle brute-forces Σ code·B^(w−1−j) mod M per window; the engine's
+  // rolling update computes the identical polynomial.
+  private val rkSql: String = {
+    import graft.functions.RollingMinHash.{Base, Mod}
+    val w = LlmOps.RollingWindow
+    val pows = (0 until w).map { j =>
+      (0 until (w - 1 - j)).foldLeft(1L)((p, _) => p * Base % Mod)
+    }
+    val terms = pows.zipWithIndex
+      .map { case (p, j) => s"CAST(ord(substr(text, i + $j, 1)) AS BIGINT) * $p" }.mkString(" + ")
+    s"SELECT doc_id, CAST(list_min(list_transform(range(1, length(text) - ${w - 2}), " +
+      s"i -> ($terms) % $Mod)) AS BIGINT) AS rk_fingerprint FROM documents"
+  }
+
   private val llmOracle2: Map[String, String] = Map(
+    "t13_rolling_fp" -> rkSql,
     "t12_stopwords" ->
       (s"WITH tokd AS ($duckTok), " +
         "v AS (SELECT tok, count(*) AS tf, count(DISTINCT doc_id) AS df FROM " +

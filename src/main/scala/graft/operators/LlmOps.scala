@@ -636,6 +636,21 @@ object LlmOps {
           .as("split"))
   }
 
+  /** T13: rolling-hash document fingerprint — the true Rabin-Karp form
+    * of t4's shingle-min idea, via the native codegen'd
+    * [[graft.functions.RollingMinHash]] expression: min over all 8-char
+    * window polynomial hashes, O(1) per position instead of a full hash
+    * per window. Map-only; equal fingerprints flag candidate duplicates
+    * exactly like t4's min_shingle_hash, at a fraction of the per-byte
+    * cost — the form a 100 TB fingerprint pass actually runs.
+    */
+  val RollingWindow = 8
+
+  def t13RollingFp(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        expr(s"rolling_min_hash(text, $RollingWindow)").as("rk_fingerprint"))
+
   /** T12: stopword selection from the corpus vocabulary — tokens whose
     * document frequency exceeds half the corpus ([[t7TokenFreq]]'s
     * stopword/IDF use, materialized): the df-threshold rule every

@@ -65,6 +65,16 @@ class PlanSpec extends SparkTestBase {
     assert(!t11.contains("SortMergeJoin"))
   }
 
+  test("native rolling_min_hash stays inside whole-stage codegen") {
+    import graft.operators.LlmOps
+    val df = LlmOps.t13RollingFp(spark, Sf)
+    df.collect()
+    val p = plan(df)
+    val projLine = p.linesIterator.find(l => l.contains("rolling_min_hash") && l.contains("Project"))
+    assert(projLine.isDefined, s"no rolling_min_hash projection found in plan:\n$p")
+    assert(projLine.get.contains("*("), s"rolling_min_hash projection not codegen'd: ${projLine.get}")
+  }
+
   test("native cosine_milli stays inside whole-stage codegen") {
     val df = Similarity.simTopk(spark, Sf)
     // collect() (not count(), which plans a different query) finalizes
