@@ -64,22 +64,31 @@ object Bench {
     def sec(v: Double, decimals: Int): String = {
       val pow = math.pow(10, decimals).toLong
       val c = math.round(v * pow)
-      s"${c / pow}.${s"%0${decimals}d".format(c % pow)}"
+      if (decimals == 0) c.toString
+      else s"${c / pow}.${s"%0${decimals}d".format(c % pow)}"
     }
-    val errs =
+    // Full error detail goes to stderr; the JSON line carries a
+    // truncated form so failures can never blow the line budget.
+    errors.foreach { case (k, v) => System.err.println(s"[bench] FAILED $k — $v") }
+    def errsJson(maxMsg: Int): String =
       if (errors.isEmpty) ""
-      else errors.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString(""","errors":{""", ",", "}")
+      else errors.map { case (k, v) => s"${q(k)}:${q(v.take(maxMsg))}" }
+        .mkString(""","errors":{""", ",", "}")
     val total = times.values.sum
-    def build(decimals: Int, counts: Boolean): String = {
+    def build(decimals: Int, counts: Boolean, maxMsg: Int): String = {
       val qs = times.map { case (k, v) => s"${q(k)}:${sec(v, decimals)}" }.mkString("{", ",", "}")
       val tail = if (counts) s""","n_queries":${times.size},"n_errors":${errors.size}""" else ""
-      s"""{"metric":"total","value":${sec(total, 2)},"unit":"sec","queries":$qs$errs$tail,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${sec(total, 2)},"unit":"sec","queries":$qs${errsJson(maxMsg)}$tail,"sf":"$sfDir"}"""
     }
     // The harness keeps a ~2000-char stdout tail and parses its last
     // line, so the line must stay under that budget: centiseconds
-    // first, then drop the count fields, then deciseconds.
-    val line = Seq(build(2, true), build(2, false), build(1, false))
-      .find(_.length <= 1960).getOrElse(build(1, false))
+    // first, then drop the count fields, then deciseconds, then shrink
+    // error messages, then whole seconds — the final variant is the
+    // floor and is emitted even if oversized (nothing further to cut).
+    val line = Seq(
+      build(2, true, 120), build(2, false, 120), build(1, false, 120),
+      build(1, false, 20), build(0, false, 20))
+      .find(_.length <= 1960).getOrElse(build(0, false, 0))
     spark.stop()
     println(line)
     if (errors.nonEmpty) sys.exit(1)

@@ -24,8 +24,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("rolling_min_hash"),
       new ExpressionInfo(classOf[RollingMinHash].getName, "rolling_min_hash"),
-      (children: Seq[Expression]) => RollingMinHash(
-        children.head,
-        children(1).eval().asInstanceOf[Int])))
+      (children: Seq[Expression]) => {
+        // The builder runs at analysis time: surface malformed calls as
+        // analysis errors, not raw CCE/NPE/IndexOutOfBounds (reviewer
+        // finding). The window must be a non-null integer literal.
+        if (children.size != 2)
+          throw new IllegalArgumentException(
+            s"rolling_min_hash(text, window) takes 2 arguments, got ${children.size}")
+        val w = children(1) match {
+          case e if e.foldable => e.eval() match {
+            case i: java.lang.Integer => i.intValue()
+            case l: java.lang.Long => l.intValue()
+            case s: java.lang.Short => s.intValue()
+            case other => throw new IllegalArgumentException(
+              s"rolling_min_hash window must be a non-null integer literal, got $other")
+          }
+          case _ => throw new IllegalArgumentException(
+            "rolling_min_hash window must be a literal, not a column")
+        }
+        RollingMinHash(children.head, w)
+      }))
   }
 }

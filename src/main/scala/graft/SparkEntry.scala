@@ -471,7 +471,8 @@ object SparkEntry {
     val terms = pows.zipWithIndex
       .map { case (p, j) => s"CAST(ord(substr(text, i + $j, 1)) AS BIGINT) * $p" }.mkString(" + ")
     s"SELECT doc_id, CAST(list_min(list_transform(range(1, length(text) - ${w - 2}), " +
-      s"i -> ($terms) % $Mod)) AS BIGINT) AS rk_fingerprint FROM documents"
+      s"i -> ($terms) % $Mod)) AS BIGINT) AS rk_fingerprint FROM documents " +
+      s"WHERE length(text) >= $w"
   }
 
   private val llmOracle2: Map[String, String] = Map(

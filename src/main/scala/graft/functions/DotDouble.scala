@@ -46,7 +46,9 @@ case class DotDouble(left: Expression, right: Expression)
 
   override def prettyName: String = "dot_double"
 
-  private def elementsNullable: Boolean = Seq(left, right).exists(_.dataType match {
+  // lazy val: constant for the expression's lifetime; the interpreted
+  // path reads it per row (reviewer finding).
+  private lazy val elementsNullable: Boolean = Seq(left, right).exists(_.dataType match {
     case ArrayType(_, containsNull) => containsNull
     case _ => false
   })

@@ -648,6 +648,11 @@ object LlmOps {
 
   def t13RollingFp(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
+      // Fingerprints are defined for docs that fill at least one window;
+      // shorter docs are excluded on BOTH sides (the oracle's window
+      // enumeration would yield NULL where the expression degenerates
+      // to a whole-string hash — reviewer finding).
+      .filter(length(col("text")) >= RollingWindow)
       .select(col("doc_id"),
         expr(s"rolling_min_hash(text, $RollingWindow)").as("rk_fingerprint"))
 

@@ -102,13 +102,18 @@ object Multimodal {
 
   def m3Resize(spark: SparkSession, dir: String): DataFrame = {
     val nOut = s"least(length(text), $ResizeTarget)"
+    // Index arithmetic in BIGINT (an int multiply overflows past ~34M
+    // chars under ANSI mode); empty payloads short-circuit to md5('') —
+    // sequence(0, -1) would otherwise step DOWNWARD and the div by
+    // nOut = 0 would throw (reviewer findings).
+    val sampled = s"md5(array_join(transform(sequence(0, cast($nOut as int) - 1), " +
+      s"i -> substring(text, cast((cast(i as bigint) * cast(length(text) as bigint)) div $nOut as int) + 1, 1)), ''))"
     Tables.documents(spark, dir)
       .select(
         col("doc_id"),
         expr("cast(length(text) as bigint)").as("orig_len"),
         expr(s"cast($nOut as bigint)").as("resized_len"),
-        expr(s"md5(array_join(transform(sequence(0, cast($nOut as int) - 1), " +
-          s"i -> substring(text, cast((i * length(text)) div $nOut as int) + 1, 1)), ''))")
+        expr(s"case when length(text) = 0 then md5('') else $sampled end")
           .as("resized_md5"))
   }
 

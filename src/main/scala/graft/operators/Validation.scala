@@ -52,12 +52,18 @@ object Validation {
     */
   def checkConstraints(df: DataFrame, rules: Seq[(String, String)],
                        uniqueKey: Option[String] = None): DataFrame = {
+    require(rules.nonEmpty || uniqueKey.nonEmpty,
+      "checkConstraints needs at least one rule or a uniqueKey")
+    // coalesce: over ZERO rows sum() is NULL, which must read as zero
+    // violations (pass), matching the uniqueness count's behavior — an
+    // empty table satisfies every constraint (reviewer finding).
     val ruleCols = rules.map { case (name, pred) =>
-      sum(when(expr(pred), 1L).otherwise(0L)).as(name)
+      coalesce(sum(when(expr(pred), 1L).otherwise(0L)), lit(0L)).as(name)
     }
     val uniqCols = uniqueKey.toSeq.map(k =>
       (count(col(k)) - countDistinct(col(k))).as(s"dup_$k"))
-    val wide = df.agg((ruleCols ++ uniqCols).head, (ruleCols ++ uniqCols).tail: _*)
+    val cols = ruleCols ++ uniqCols
+    val wide = df.agg(cols.head, cols.tail: _*)
     val names = rules.map(_._1) ++ uniqueKey.map(k => s"dup_$k")
     wide.unpivot(Array.empty, names.map(col).toArray, "rule", "n_violations")
       .select(col("rule"), col("n_violations"),

@@ -17,11 +17,16 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * < 30 min merge; session_end = last ts + gap) so SessionizeSpec can
   * assert equality against the built-in operator.
   *
-  * Works in batch (each key's full history in one invocation — state
-  * stays empty) and in streaming (state carries the open session across
-  * micro-batches; EventTimeTimeout closes it when the watermark passes).
-  * Built-ins first (SURVEY.md §2.10): session_window remains the default
-  * path; this operator exists for the custom-state surface.
+  * State is a LIST of open sessions, exactly like session_window's
+  * per-key window state (reviewer finding: a single-open-session state
+  * silently absorbed an out-of-order event that belonged to a separate
+  * EARLIER session whenever the watermark delay exceeded the gap).
+  * Each invocation folds the batch's events into intervals, merges them
+  * with the remembered intervals under the gap rule, emits every
+  * interval the watermark has closed (lastMs + gap ≤ watermark), and
+  * keeps the rest in state with the earliest close time as the event
+  * timeout. Works in batch (each key's full history in one invocation —
+  * watermark 0, everything emitted via `emitTrailing`) and in streaming.
   */
 object Sessionize {
 
@@ -29,6 +34,8 @@ object Sessionize {
   final case class Session(user_id: Long, session_start: Instant,
                            session_end: Instant, n_events: Long)
   final case class OpenSession(startMs: Long, lastMs: Long, n: Long)
+  /** State wrapper (a bare Seq has no bean/product encoder of its own). */
+  final case class OpenSessions(sessions: Seq[OpenSession])
 
   val GapMicros: Long = 30L * 60 * 1000 * 1000
 
@@ -38,70 +45,62 @@ object Sessionize {
   private def fromMicros(us: Long): Instant =
     Instant.ofEpochSecond(Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L)
 
-  /** Fold a key's (possibly unsorted) events into closed sessions.
+  /** Gap-rule union of intervals (any order in, disjoint sorted out). */
+  private def mergeIntervals(xs: Seq[OpenSession]): Seq[OpenSession] =
+    xs.sortBy(s => (s.startMs, s.lastMs))
+      .foldLeft(List.empty[OpenSession]) { (acc, s) =>
+        acc match {
+          case head :: tail if s.startMs - head.lastMs < GapMicros =>
+            OpenSession(head.startMs, math.max(head.lastMs, s.lastMs), head.n + s.n) :: tail
+          case _ => s :: acc
+        }
+      }.reverse
+
+  /** Fold a key's events (this batch + remembered state) into sessions.
     *
     * `emitTrailing` makes batch-vs-streaming EXPLICIT (round-2 advisor
     * finding: inferring batch mode from `!state.exists` misfires on a
-    * streaming key's FIRST micro-batch, which also has no state — the
-    * open session was emitted as closed and never carried forward):
-    *  - batch (`true`): the group is complete, emit the trailing open
-    *    session immediately;
-    *  - streaming (`false`): save the open session in `state` and let
-    *    EventTimeTimeout close it when the watermark passes.
+    * streaming key's FIRST micro-batch):
+    *  - batch (`true`): the group is complete — emit everything;
+    *  - streaming (`false`): emit only watermark-closed sessions; open
+    *    ones stay in state until EventTimeTimeout (or a later batch)
+    *    closes them. A timeout invocation (no events) flows through the
+    *    same partition logic.
     */
   def sessionizeGroup(emitTrailing: Boolean)(
       userId: Long,
       events: Iterator[Ev],
-      state: GroupState[OpenSession]): Iterator[Session] = {
-    // Spark drops sub-watermark rows before flatMapGroupsWithState, but
-    // events ABOVE the watermark may still precede the remembered open
-    // session's bounds (delivered out of order across micro-batches);
-    // the min/max merge below folds those in without regressing either
-    // bound. Events within one invocation are sorted first.
+      state: GroupState[OpenSessions]): Iterator[Session] = {
     val sorted = events.map(e => toMicros(e.ts)).toArray.sorted
-    var open = state.getOption
-    val closed = scala.collection.mutable.ArrayBuffer[Session]()
-    sorted.foreach { t =>
-      open match {
-        case Some(s) if t - s.lastMs < GapMicros =>
-          // min/max, not overwrite (advisor finding): an out-of-order
-          // event from a later micro-batch can precede the open
-          // session's bounds; copying lastMs = t would regress the
-          // session end and never extend the start.
-          open = Some(OpenSession(math.min(s.startMs, t),
-            math.max(s.lastMs, t), s.n + 1))
-        case Some(s) =>
-          closed += Session(userId, fromMicros(s.startMs),
-            fromMicros(s.lastMs + GapMicros), s.n)
-          open = Some(OpenSession(t, t, 1))
-        case None =>
-          open = Some(OpenSession(t, t, 1))
+    val batch = sorted.foldLeft(List.empty[OpenSession]) { (acc, t) =>
+      acc match {
+        case head :: tail if t - head.lastMs < GapMicros =>
+          head.copy(lastMs = t, n = head.n + 1) :: tail
+        case _ => OpenSession(t, t, 1) :: acc
       }
-    }
-    if (state.hasTimedOut) {
-      // Watermark passed the open session's end: close and clear.
-      state.getOption.foreach { s =>
-        closed += Session(userId, fromMicros(s.startMs),
-          fromMicros(s.lastMs + GapMicros), s.n)
-      }
-      state.remove()
+    }.reverse
+    val all = mergeIntervals(state.getOption.map(_.sessions).getOrElse(Nil) ++ batch)
+    def close(s: OpenSession) =
+      Session(userId, fromMicros(s.startMs), fromMicros(s.lastMs + GapMicros), s.n)
+    if (emitTrailing) {
+      if (state.exists) state.remove()
+      all.iterator.map(close)
     } else {
-      open match {
-        case Some(s) if emitTrailing =>
-          // Batch mode: the group is complete, emit the trailing session.
-          closed += Session(userId, fromMicros(s.startMs),
-            fromMicros(s.lastMs + GapMicros), s.n)
-        case Some(s) =>
-          state.update(s)
-          state.setTimeoutTimestamp((s.lastMs + GapMicros) / 1000L)
-        case None => ()
-      }
+      val wmMs = scala.util.Try(state.getCurrentWatermarkMs()).getOrElse(0L)
+      val (expired, open) = all.partition(s => s.lastMs + GapMicros <= wmMs * 1000L)
+      if (open.nonEmpty) {
+        state.update(OpenSessions(open))
+        // Earliest close time, floored to millis but kept strictly past
+        // the current watermark (setTimeoutTimestamp rejects otherwise).
+        val earliest = open.map(s => (s.lastMs + GapMicros) / 1000L).min
+        state.setTimeoutTimestamp(math.max(earliest, wmMs + 1))
+      } else if (state.exists) state.remove()
+      expired.iterator.map(close)
     }
-    closed.iterator
   }
 
   /** Batch-mode entry: sessionize a static events Dataset (each key's
-    * full history arrives in one invocation; trailing session emitted).
+    * full history arrives in one invocation; everything emitted).
     */
   def sessions(spark: SparkSession, events: Dataset[Ev]): Dataset[Session] = {
     import spark.implicits._
@@ -111,9 +110,9 @@ object Sessionize {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(sessionizeGroup(emitTrailing = true))
   }
 
-  /** Streaming entry: the open session is carried in state across
-    * micro-batches and closed by EventTimeTimeout once the watermark
-    * passes session_end. `events` must carry a watermark on `ts`.
+  /** Streaming entry: open sessions are carried in state across
+    * micro-batches and closed as the watermark passes each session_end.
+    * `events` must carry a watermark on `ts`.
     */
   def sessionsStream(spark: SparkSession, events: Dataset[Ev]): Dataset[Session] = {
     import spark.implicits._

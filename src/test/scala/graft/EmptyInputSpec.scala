@@ -43,6 +43,9 @@ class EmptyInputSpec extends SparkTestBase {
     assert(LlmOps.t9Repetition(spark, emptyDir).count() === 0)
     assert(LlmOps.t10MixtureSample(spark, emptyDir).count() === 0)
     assert(LlmOps.t11Decontaminate(spark, emptyDir).count() === 0)
+    assert(LlmOps.t12Stopwords(spark, emptyDir).count() === 0)
+    assert(LlmOps.t13RollingFp(spark, emptyDir).count() === 0)
+    assert(LlmOps.curationManifest(spark, emptyDir).count() === 0)
     assert(Multimodal.m1MediaMeta(spark, emptyDir).count() === 0)
     assert(Multimodal.m2FrameSample(spark, emptyDir).count() === 0)
   }
@@ -53,5 +56,17 @@ class EmptyInputSpec extends SparkTestBase {
     assert(Similarity.simIvfTopk(spark, emptyDir).count() === 0)
     assert(Similarity.simQuantizeQ8(spark, emptyDir).count() === 0)
     assert(Similarity.d8EmbedNeardup(spark, emptyDir).count() === 0)
+  }
+
+  test("an empty table satisfies every data-quality constraint") {
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("id", LongType), StructField("v", DoubleType))))
+    val verdicts = graft.operators.Validation.checkConstraints(
+        empty, Seq("neg_v" -> "v < 0"), uniqueKey = Some("id"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getInt(2))).toMap
+    // Zero rows → zero violations → pass, for predicate AND uniqueness
+    // rules alike (pre-fix, sum() over no rows was NULL → pass = 0).
+    assert(verdicts === Map("neg_v" -> ((0L, 1)), "dup_id" -> ((0L, 1))))
   }
 }

@@ -106,4 +106,42 @@ class SessionizeSpec extends SparkTestBase {
       assert(r.getLong(2) === 3L)
     } finally query.stop()
   }
+
+  test("streaming: an above-watermark event a full gap BEFORE the open session forms its own session") {
+    import java.time.Instant
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t0 = Instant.parse("2024-01-01T00:00:00Z")
+    def at(min: Long) = t0.plusSeconds(min * 60)
+    val input = MemoryStream[Sessionize.Ev]
+    // Watermark delay (120 min) > gap (30 min): the configuration where
+    // the pre-fix single-open-session state over-merged (reviewer
+    // finding) — the vacuous `t - lastMs < gap` for any t < lastMs
+    // absorbed the earlier event into [30, 130] instead of two sessions.
+    val sessions = Sessionize.sessionsStream(
+      spark, input.toDS().withWatermark("ts", "120 minutes").as[Sessionize.Ev])
+    val query = sessions.writeStream
+      .format("memory").queryName("sess_sep")
+      .outputMode("append")
+      .option("checkpointLocation", tempDir("sess_sep_ckpt"))
+      .start()
+    try {
+      input.addData(Sessionize.Ev(1L, at(100)))
+      query.processAllAvailable()
+      // Above the watermark (wm < 0 here) but 70 min before the open
+      // session's start — a SEPARATE earlier session.
+      input.addData(Sessionize.Ev(1L, at(30)))
+      query.processAllAvailable()
+      input.addData(Sessionize.Ev(2L, at(1000)), Sessionize.Ev(2L, at(2000)))
+      query.processAllAvailable()
+      val user1 = spark.table("sess_sep").where(col("user_id") === 1L)
+        .select("session_start", "session_end", "n_events")
+        .collect()
+        .map(r => (r.getTimestamp(0).toInstant, r.getTimestamp(1).toInstant, r.getLong(2)))
+        .sortBy(_._1)
+      assert(user1.toSeq === Seq(
+        (at(30), at(60), 1L),
+        (at(100), at(130), 1L)))
+    } finally query.stop()
+  }
 }
