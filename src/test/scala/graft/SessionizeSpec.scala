@@ -28,6 +28,32 @@ class SessionizeSpec extends SparkTestBase {
     assert(builtin.exceptAll(custom).count() === 0)
   }
 
+  test("batch sessionizer: disjoint gap-separated output, event counts preserved (random)") {
+    import java.time.Instant
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = Gen.listOfN(200,
+      for {
+        u <- Gen.chooseNum(1L, 5L)
+        m <- Gen.chooseNum(0L, 3000L)
+      } yield Sessionize.Ev(u, Instant.ofEpochSecond(m * 60)))
+    val events = gen.apply(Gen.Parameters.default, Seed(11L)).get
+    val out = Sessionize.sessions(spark, events.toDS()).collect()
+    assert(out.map(_.n_events).sum === events.length)
+    out.groupBy(_.user_id).values.foreach { ss =>
+      val sorted = ss.sortBy(_.session_start)
+      sorted.foreach(s =>
+        assert(!s.session_end.isBefore(s.session_start.plusSeconds(30 * 60))))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          // session_end = last + gap, so the next session's start must
+          // be at or after it — sessions are gap-separated by design.
+          assert(!b.session_start.isBefore(a.session_end))
+        case _ => ()
+      }
+    }
+  }
+
   test("streaming: the open session carries across micro-batches (round-2 advisor bug)") {
     import java.time.Instant
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
