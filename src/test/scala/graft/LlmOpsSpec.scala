@@ -162,6 +162,14 @@ class LlmOpsSpec extends SparkTestBase {
     assert(rows.keySet.forall(_ >= LlmOps.BenchmarkDocs)) // benchmark never flags itself
   }
 
+  test("t13 rolling fingerprints: identical docs collide, unrelated docs differ") {
+    val fp = LlmOps.t13RollingFp(spark, contamDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(7L) === fp(10L)) // doc 10 is a verbatim copy of doc 7
+    assert(fp(7L) !== fp(0L))  // unrelated filler text
+    assert(fp.contains(11L))   // short-but-over-window doc still fingerprints
+  }
+
   test("curation manifest: benchmark and contaminated docs never survive; splits well-formed") {
     val rows = LlmOps.curationManifest(spark, contamDir).collect()
       .map(r => (r.getLong(0), r.getString(3)))
