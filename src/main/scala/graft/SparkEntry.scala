@@ -48,6 +48,8 @@ object SparkEntry {
     "w4_range_frame"       -> Relational.w4RangeFrame _,
     "w5_rank_family"       -> Relational.w5RankFamily _,
     "w6_first_last"        -> Relational.w6FirstLast _,
+    "w7_sessionize"        -> Relational.w7Sessionize _,
+    "q_range_join"         -> Relational.qRangeJoin _,
     "q_scalar_subquery"    -> Relational.qScalarSubquery _,
     "q_correlated_scalar"  -> Relational.qCorrelatedScalar _,
     "a7_grouping_sets"     -> Relational.a7GroupingSets _,
@@ -210,6 +212,26 @@ object SparkEntry {
         "coalesce(nth_value(o_orderkey, 2) OVER w, -1) AS second_key FROM orders " +
         "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"),
+    // Gaps-and-islands sessionization twin: identical integer-milli gap
+    // arithmetic; CAST on the running sum (DuckDB sum(int) → HUGEINT).
+    "w7_sessionize" ->
+      ("WITH ev AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events), " +
+        "f AS (SELECT user_id, event_id, ts_ms, CASE WHEN ts_ms - lag(ts_ms) OVER w > 1800000 " +
+        "OR lag(ts_ms) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess FROM ev " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)), " +
+        "s AS (SELECT user_id, ts_ms, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq FROM f) " +
+        "SELECT user_id, session_seq, count(*) AS n_events, min(ts_ms) AS start_ms, " +
+        "max(ts_ms) AS end_ms, max(ts_ms) - min(ts_ms) AS duration_ms FROM s GROUP BY user_id, session_seq"),
+    // Range-containment join stated naively (inequality join); the engine
+    // side computes the same matches through the bucketed equi-join.
+    "q_range_join" ->
+      ("WITH ev AS (SELECT epoch_ms(ts) AS ts_ms, CAST(round(value * 1000) AS BIGINT) AS value_milli FROM events), " +
+        "b AS (SELECT min(ts_ms) AS lo, max(ts_ms) AS hi FROM ev), " +
+        "w AS (SELECT r AS w_id, lo + r * ((hi - lo + 1) // 64) AS w_start, " +
+        "lo + r * ((hi - lo + 1) // 64) + ((hi - lo + 1) // 32 + 1) AS w_end FROM range(0, 48) t(r), b) " +
+        "SELECT w_id, count(*) AS n_events, CAST(sum(value_milli) AS BIGINT) AS sum_value_milli " +
+        "FROM w JOIN ev ON ts_ms >= w_start AND ts_ms < w_end GROUP BY w_id"),
     "q_scalar_subquery" ->
       "SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)",
     // Correlated subqueries on the oracle side; the engine's window

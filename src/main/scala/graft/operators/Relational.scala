@@ -366,6 +366,42 @@ object Relational {
         coalesce(nth_value(col("o_orderkey"), 2).over(w), lit(-1L)).as("second_key"))
   }
 
+  /** Batch sessionization (gaps-and-islands): per user, events separated
+    * by more than `gapMs` of silence start a new session; a running sum
+    * over the new-session flags numbers the islands, then one aggregate
+    * emits per-session stats. The streaming twin is
+    * [[graft.streaming.Sessionize]]; this is the same semantics as a
+    * single batch plan — two windowed passes over ONE partitioning
+    * (user_id), so the sort is done once and reused, then a hash
+    * aggregate on (user_id, session_seq) that lands in the same
+    * partitioning — no extra shuffle (the reference has no session
+    * concept; this is the events-table analog of its per-list grouping,
+    * `dags/tasks/planning_center.py:29`).
+    *
+    * Timestamps are compared as integer epoch millis so gap arithmetic
+    * is exact and identical in the oracle. At 100 TB this is one shuffle
+    * on user_id — the partitioning a sessionizing pipeline would already
+    * keep its events in.
+    */
+  def w7Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val gapMs = 30L * 60 * 1000
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ts_ms"))
+    val w = Window.partitionBy("user_id").orderBy(col("ts_ms"), col("event_id"))
+    val flagged = ev.withColumn("new_sess",
+      when(col("ts_ms") - lag("ts_ms", 1).over(w) > gapMs
+        || lag("ts_ms", 1).over(w).isNull, 1L).otherwise(0L))
+    flagged
+      .withColumn("session_seq",
+        sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_seq")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min("ts_ms").as("start_ms"),
+        max("ts_ms").as("end_ms"),
+        (max("ts_ms") - min("ts_ms")).as("duration_ms"))
+  }
+
   /** Scalar subquery (uncorrelated): rows above a global aggregate. In
     * Spark the one-row aggregate is joined back with a broadcast nested
     * loop — exactly how a scalar subquery executes, but declared with
@@ -700,6 +736,31 @@ object Relational {
         col("prev.ts").as("prev_ts"),
         col("prev.event_id").as("prev_event_id"),
         col("prev.event_type").as("prev_event_type"))
+  }
+
+  /** Range join: events against 48 overlapping time windows derived from
+    * the corpus's own [min, max] span — executed via [[Scale.rangeJoin]]
+    * as a bucketed equi-join (1-hour buckets), never a nested loop over
+    * data×data. All window arithmetic is integer epoch millis (`div`,
+    * never float division) so the oracle's `//` computes the identical
+    * bounds. Values are summed as integer millis. The window table here
+    * is small, but the plan shape is the one that survives both sides
+    * being large — see the scaladoc on [[Scale.rangeJoin]].
+    */
+  def qRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(
+      unix_millis(col("ts")).as("ts_ms"),
+      expr("cast(round(value * 1000) as bigint)").as("value_milli"))
+    val bounds = ev.agg(min("ts_ms").as("lo"), max("ts_ms").as("hi"))
+    val windows = spark.range(48).toDF("w_id")
+      .crossJoin(broadcast(bounds))
+      .select(col("w_id"),
+        (col("lo") + col("w_id") * expr("(hi - lo + 1) div 64")).as("w_start"),
+        (col("lo") + col("w_id") * expr("(hi - lo + 1) div 64")
+          + expr("(hi - lo + 1) div 32 + 1")).as("w_end"))
+    Scale.rangeJoin(ev, "ts_ms", windows, "w_start", "w_end", bucketWidth = 3600000L)
+      .groupBy("w_id")
+      .agg(count(lit(1)).as("n_events"), sum("value_milli").as("sum_value_milli"))
   }
 
   // ---------------------------------------------------------------------

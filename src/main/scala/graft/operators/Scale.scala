@@ -31,6 +31,42 @@ object Scale {
       .mode(SaveMode.Overwrite)
       .saveAsTable(table)
 
+  /** Point-in-interval range join as a bucketed equi-join — the scale
+    * path for joins whose ONLY predicate is a range containment
+    * (`lo <= point < hi`). Naively planned, such a join is a
+    * BroadcastNestedLoopJoin (fine when one side is tiny, O(n×m) when
+    * both are large). Here both sides are mapped onto fixed-width
+    * buckets — each point to the single bucket it falls in, each range
+    * exploded to every bucket it overlaps — so the join becomes a plain
+    * shuffled equi-join on the bucket id with the exact containment
+    * re-checked after the match. No all-pairs work anywhere; cost scales
+    * with (#points + #ranges × avg buckets per range).
+    *
+    * `bucketWidth` tunes replication vs selectivity: pick it near the
+    * typical range width so a range explodes to ~2 buckets. Bucket ids
+    * use a sign-correct floor division (Spark's `div` truncates toward
+    * zero, which would disagree with interval coverage on negative
+    * values — e.g. epoch offsets before 1970).
+    *
+    * Intervals are half-open `[lo, hi)`; rows with a NULL point or
+    * bound never match (the containment predicate is null-rejecting),
+    * matching SQL inequality-join semantics.
+    */
+  def rangeJoin(points: DataFrame, pointCol: String,
+                ranges: DataFrame, loCol: String, hiCol: String,
+                bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    def floorDiv(c: String): String =
+      s"(($c div ${bucketWidth}L) - (CASE WHEN $c % ${bucketWidth}L < 0 THEN 1 ELSE 0 END))"
+    val pb = points.withColumn("__bucket", expr(floorDiv(pointCol)))
+    // Last covered bucket is floor((hi-1)/W): hi itself is exclusive.
+    val rb = ranges.withColumn("__bucket",
+      explode(expr(s"sequence(${floorDiv(loCol)}, ${floorDiv(s"($hiCol - 1)")})")))
+    pb.join(rb, Seq("__bucket"))
+      .where(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
+      .drop("__bucket")
+  }
+
   /** Skew-resistant equi-join of a large (skewed) side against a smaller
     * side: `big` is salted by hash(`bigUniqueCol`) mod `salts`, `small`
     * is replicated once per salt, and the join key becomes

@@ -26,6 +26,34 @@ class ScaleSpec extends SparkTestBase {
       s"bucketed join should not shuffle; plan:\n$plan")
   }
 
+  test("range join matches the naive inequality join, incl. negative domain") {
+    import spark.implicits._
+    // Points straddle zero so the sign-correct floor-div is exercised:
+    // Spark's `div` truncates toward zero, which would misbucket
+    // negatives and silently DROP matches near bucket boundaries.
+    val points = (-50L to 50L).map(p => (p, s"p$p")).toDF("v", "tag")
+    val ranges = Seq(
+      (0L, -45L, -20L), (1L, -10L, 12L), (2L, -3L, 3L),
+      (3L, 7L, 7L) /* empty: hi not > lo */, (4L, 30L, 61L)).toDF("rid", "lo", "hi")
+    val naive = points.join(ranges, col("v") >= col("lo") && col("v") < col("hi"))
+      .select("rid", "v")
+    val bucketed = Scale.rangeJoin(points, "v", ranges, "lo", "hi", bucketWidth = 7L)
+      .select("rid", "v")
+    assert(naive.count() > 0)
+    assert(bucketed.exceptAll(naive).count() === 0)
+    assert(naive.exceptAll(bucketed).count() === 0)
+  }
+
+  test("range join plans as an equi-join on the bucket, not a nested loop") {
+    import spark.implicits._
+    val points = (0L until 1000L).toDF("v")
+    val ranges = (0L until 100L).map(r => (r, r * 10, r * 10 + 25)).toDF("rid", "lo", "hi")
+    val plan = Scale.rangeJoin(points, "v", ranges, "lo", "hi", bucketWidth = 16L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"range join must not plan a nested loop; plan:\n$plan")
+  }
+
   test("salted join returns exactly the plain join's rows") {
     val orders = Tables.orders(spark, Sf)
     val customer = Tables.customer(spark, Sf)
