@@ -115,6 +115,9 @@ object SparkEntry {
     "q_curation_pipeline" -> LlmOps.curationManifest _,
     "t12_stopwords"    -> LlmOps.t12Stopwords _,
     "t13_rolling_fp"   -> LlmOps.t13RollingFp _,
+    "t14_pack"         -> LlmOps.t14PackSequences _,
+    "t15_chunk"        -> LlmOps.t15Chunk _,
+    "t16_tfidf"        -> LlmOps.t16TfIdf _,
   )
 
   private val simQueries: Map[String, Query] = Map(
@@ -504,6 +507,35 @@ object SparkEntry {
         "v AS (SELECT tok, count(*) AS tf, count(DISTINCT doc_id) AS df FROM " +
         "(SELECT doc_id, unnest(tok) AS tok FROM tokd) GROUP BY tok) " +
         "SELECT tok, tf, df FROM v WHERE df * 2 > (SELECT count(*) FROM documents)"),
+    // Offset-based sequence packing: identical integer prefix-sum + div;
+    // CAST on every windowed/summed integer (DuckDB promotes to HUGEINT).
+    "t14_pack" ->
+      (s"WITH d AS (SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents), " +
+        "c AS (SELECT source, n_tokens, CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens FROM d), " +
+        s"b AS (SELECT source, n_tokens, (cum_tokens - n_tokens) // ${LlmOps.PackBudget} AS bin, " +
+        s"CASE WHEN (cum_tokens - 1) // ${LlmOps.PackBudget} > (cum_tokens - n_tokens) // ${LlmOps.PackBudget} THEN 1 ELSE 0 END AS straddles FROM c) " +
+        "SELECT source, bin, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens, " +
+        "CAST(sum(straddles) AS BIGINT) AS n_straddling FROM b GROUP BY source, bin"),
+    // Sliding-window chunking: DuckDB's 1-based inclusive list slice
+    // tok[a:b] clamps exactly like Spark's slice(tok, a, n).
+    "t15_chunk" ->
+      (s"WITH d AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents), " +
+        s"s AS (SELECT doc_id, tok, unnest(generate_series(0, len(tok) - 1, ${LlmOps.ChunkStride})) AS start FROM d) " +
+        s"SELECT doc_id, CAST(start // ${LlmOps.ChunkStride} AS BIGINT) AS chunk_idx, " +
+        s"CAST(len(tok[start + 1 : start + ${LlmOps.ChunkSize}]) AS BIGINT) AS chunk_tokens, " +
+        s"md5(array_to_string(tok[start + 1 : start + ${LlmOps.ChunkSize}], ' ')) AS chunk_md5 FROM s"),
+    // Fixed-point tf-idf: rarity = (n_docs * 1e6) div df — pure integer
+    // weighting, so no log/float parity trap exists by construction.
+    "t16_tfidf" ->
+      ("WITH tokd AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), " +
+        "vocab AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tokd GROUP BY tok), " +
+        "n AS (SELECT count(*) AS n_docs FROM documents), " +
+        "r AS (SELECT tok, CAST((n_docs * 1000000) // df AS BIGINT) AS rarity FROM vocab, n), " +
+        "tf AS (SELECT doc_id, tok, count(*) AS tf FROM tokd GROUP BY doc_id, tok) " +
+        "SELECT doc_id, CAST(sum(tf * rarity) AS BIGINT) AS tfidf_score, " +
+        "CAST(max(rarity) AS BIGINT) AS max_rarity, count(*) AS n_terms " +
+        "FROM tf JOIN r USING (tok) GROUP BY doc_id"),
     "t9_repetition" ->
       ("WITH tokd AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents), " +
         "bg AS (SELECT doc_id, unnest(list_transform(range(1, len(tok)), i -> tok[i] || ' ' || tok[i+1])) AS bigram FROM tokd WHERE len(tok) >= 2), " +

@@ -656,6 +656,95 @@ object LlmOps {
       .select(col("doc_id"),
         expr(s"rolling_min_hash(text, $RollingWindow)").as("rk_fingerprint"))
 
+  /** T14: sequence packing (concat-and-chunk) — the layout step between
+    * curation and training: documents are conceptually concatenated per
+    * source in doc_id order and cut into fixed token-budget bins, the
+    * standard way LLM pretraining fills context windows without padding.
+    * A document's bin is the bin its START offset falls in (so documents
+    * can straddle a boundary; `straddles` counts how often, the padding/
+    * fragmentation signal a packing run reports). Everything is one
+    * windowed prefix-sum over (source, doc_id order) + integer div —
+    * one shuffle on source, then a same-partitioning aggregate; no
+    * per-bin iteration anywhere, which is what makes the layout pass
+    * feasible at corpus scale (first-fit bin packing is inherently
+    * sequential; offset packing is the parallelizable form production
+    * uses).
+    */
+  val PackBudget = 512
+
+  def t14PackSequences(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        expr(s"cast(size($tokExpr) as bigint)").as("n_tokens"))
+      .withColumn("cum_tokens", sum("n_tokens").over(w))
+      .withColumn("bin", expr(s"(cum_tokens - n_tokens) div ${PackBudget}L"))
+      .withColumn("straddles",
+        expr(s"case when (cum_tokens - 1) div ${PackBudget}L > bin then 1L else 0L end"))
+      .groupBy("source", "bin")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("bin_tokens"),
+        sum("straddles").as("n_straddling"))
+  }
+
+  /** T15: document chunking — fixed-size sliding token windows (window
+    * [[ChunkSize]], stride [[ChunkStride]]; trailing chunks may be
+    * short), the pass that turns curated documents into training /
+    * retrieval units. Shape: ONE split per doc, explode the stride grid
+    * (`sequence`), slice the carried token array — all codegen'd
+    * expressions, map-only, zero shuffles; output grows by the overlap
+    * factor only. Each chunk carries its md5 so downstream exact-dedup
+    * can run on chunks without re-reading text.
+    */
+  val ChunkSize = 64
+  val ChunkStride = 48
+
+  def t15Chunk(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), expr(tokExpr).as("tok"))
+      .select(col("doc_id"), col("tok"),
+        explode(expr(s"sequence(0, size(tok) - 1, $ChunkStride)")).as("start"))
+      .select(
+        col("doc_id"),
+        expr(s"start div $ChunkStride").cast("long").as("chunk_idx"),
+        expr(s"slice(tok, start + 1, $ChunkSize)").as("chunk"))
+      .select(
+        col("doc_id"), col("chunk_idx"),
+        expr("cast(size(chunk) as bigint)").as("chunk_tokens"),
+        expr("md5(array_join(chunk, ' '))").as("chunk_md5"))
+
+  /** T16: tf-idf document scoring in pure integers — term weighting for
+    * retrieval/quality ranking without a single float: a token's rarity
+    * is `(n_docs * 1000000) div df` (a fixed-point idf analog, monotone
+    * in 1/df), a document's score the tf-weighted sum of its tokens'
+    * rarities. Two relational passes over the SAME exploded tokens:
+    * the vocabulary aggregate ([[t7TokenFreq]]'s shape, map-combinable
+    * head-skew handling and all), then a broadcast join of the
+    * vocabulary back onto per-doc term counts — the vocabulary is
+    * orders of magnitude smaller than the corpus, so the second pass
+    * never shuffles the data side on token.
+    */
+  def t16TfIdf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val vocab = t7TokenFreq(spark, dir)
+      .crossJoin(broadcast(nDocs))
+      .select(col("tok"), expr("(n_docs * 1000000L) div df").as("rarity"))
+    docs
+      .select(col("doc_id"), explode(expr(tokExpr)).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      .join(broadcast(vocab), "tok")
+      .groupBy("doc_id")
+      .agg(
+        sum(expr("tf * rarity")).as("tfidf_score"),
+        max(expr("rarity")).as("max_rarity"),
+        count(lit(1)).as("n_terms"))
+  }
+
   /** T12: stopword selection from the corpus vocabulary — tokens whose
     * document frequency exceeds half the corpus ([[t7TokenFreq]]'s
     * stopword/IDF use, materialized): the df-threshold rule every

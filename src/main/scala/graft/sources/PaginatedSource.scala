@@ -6,7 +6,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -79,19 +79,71 @@ private[sources] class PaginatedTable(pages: Int, pageSize: Int)
 }
 
 private[sources] class PaginatedScanBuilder(pages: Int, pageSize: Int)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = PaginatedSource.Schema
+  private var pushed: Array[Filter] = Array.empty
+  // Row-index bounds implied by pushed list_id comparisons (inclusive).
+  private var loRow: Long = 0L
+  private var hiRow: Long = pages.toLong * pageSize - 1
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new PaginatedScan(pages, pageSize, required)
+
+  /** Filter pushdown → PAGE pruning: `list_id` is the collection's row
+    * index, so a comparison against it bounds the covered index range and
+    * with it the set of pages worth fetching — the DSv2 analog of
+    * parquet's row-group-stats pruning, applied to HTTP round-trips: a
+    * `list_id < 50` probe against a million-page collection plans (and
+    * fetches) two pages, not a million. Pruning is page-granular, so
+    * every filter is also returned as residual for Spark to re-apply
+    * row-by-row; `pushedFilters` reports the comparisons the source
+    * actually consumed (visible as PushedFilters in explain).
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    def longVal(v: Any): Option[Long] = v match {
+      case l: Long => Some(l)
+      case i: Int  => Some(i.toLong)
+      case s: Short => Some(s.toLong)
+      case _ => None
+    }
+    pushed = filters.flatMap {
+      case f @ EqualTo("list_id", v) => longVal(v).map { x =>
+        loRow = math.max(loRow, x); hiRow = math.min(hiRow, x); f }
+      case f @ GreaterThan("list_id", v) => longVal(v).map { x =>
+        loRow = math.max(loRow, x + 1); f }
+      case f @ GreaterThanOrEqual("list_id", v) => longVal(v).map { x =>
+        loRow = math.max(loRow, x); f }
+      case f @ LessThan("list_id", v) => longVal(v).map { x =>
+        hiRow = math.min(hiRow, x - 1); f }
+      case f @ LessThanOrEqual("list_id", v) => longVal(v).map { x =>
+        hiRow = math.min(hiRow, x); f }
+      case _ => None
+    }
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan =
+    new PaginatedScan(pages, pageSize, required, loRow, hiRow)
 }
 
-private[sources] class PaginatedScan(pages: Int, pageSize: Int, required: StructType)
+private[sources] class PaginatedScan(pages: Int, pageSize: Int,
+    required: StructType, loRow: Long, hiRow: Long)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
-  override def planInputPartitions(): Array[InputPartition] =
-    Array.tabulate(pages)(p => PagePartition(p, pageSize, pages.toLong * pageSize))
+  /** Only pages intersecting the pushed [loRow, hiRow] index range are
+    * planned; an unsatisfiable range plans zero partitions (no fetch at
+    * all). Untouched by pruning this is every page, as before.
+    */
+  override def planInputPartitions(): Array[InputPartition] = {
+    if (hiRow < loRow) return Array.empty
+    val pLo = math.max(0L, loRow / pageSize).toInt
+    val pHi = math.min(pages - 1L, hiRow / pageSize).toInt
+    (pLo to pHi).map(p => PagePartition(p, pageSize, pages.toLong * pageSize))
+      .toArray[InputPartition]
+  }
   override def createReaderFactory(): PartitionReaderFactory =
     new PageReaderFactory(required.fieldNames)
 }

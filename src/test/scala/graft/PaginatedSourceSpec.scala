@@ -21,6 +21,28 @@ class PaginatedSourceSpec extends SparkTestBase {
     assert(df.as[(Long, String, Long)].collect().sorted.toSeq === expected)
   }
 
+  test("list_id filters prune pages: only covered partitions are planned") {
+    import org.apache.spark.sql.functions.col
+    val base = read(pages = 10, pageSize = 25)
+    // list_id < 50 covers rows 0-49 = pages 0-1 of 10.
+    val lt = base.filter(col("list_id") < 50L)
+    assert(lt.rdd.getNumPartitions === 2)
+    assert(lt.count() === 50)
+    // A closed interval lands on interior pages only.
+    val mid = base.filter(col("list_id") >= 60L && col("list_id") <= 120L)
+    assert(mid.rdd.getNumPartitions === 3) // pages 2, 3, 4
+    assert(mid.count() === 61)
+    // Unsatisfiable bounds plan ZERO partitions — nothing is fetched.
+    val none = base.filter(col("list_id") > 100L && col("list_id") < 90L)
+    assert(none.rdd.getNumPartitions === 0)
+    assert(none.count() === 0)
+    // The pruning comparisons surface as PushedFilters in the plan, and
+    // rows are still exact (page-granular pruning + Spark's residual).
+    val scan = lt.queryExecution.executedPlan.toString
+      .split("\n").find(_.contains("BatchScan")).getOrElse("")
+    assert(scan.contains("list_id"), s"expected pushed list_id filter in: $scan")
+  }
+
   test("column pruning is pushed into the reader (ReadSchema shrinks)") {
     val pruned = read(4, 10).select(sum("n_members").as("s"))
     assert(pruned.as[Long].head() === (0L until 40L).map(k => (7 * k + 3) % 100).sum)
