@@ -5,14 +5,18 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.functions.{CosineMilli, DotDouble, RollingMinHash}
+import graft.plans.RangeJoinRewrite
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions into the session's function registry, so they are usable
-  * from SQL text and expr() exactly like built-ins
+  * from SQL text and expr() exactly like built-ins, plus the optimizer
+  * rule that turns naive range-containment joins into bucketed
+  * equi-joins ([[graft.plans.RangeJoinRewrite]], opt-in by conf)
   * (`spark.sql.extensions=graft.GraftExtensions`, set in [[Sessions]]).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => RangeJoinRewrite)
     ext.injectFunction((
       FunctionIdentifier("cosine_milli"),
       new ExpressionInfo(classOf[CosineMilli].getName, "cosine_milli"),
