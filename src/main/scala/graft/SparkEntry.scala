@@ -50,6 +50,7 @@ object SparkEntry {
     "w6_first_last"        -> Relational.w6FirstLast _,
     "w7_sessionize"        -> Relational.w7Sessionize _,
     "q_range_join"         -> Relational.qRangeJoin _,
+    "q_scd2"               -> Relational.qScd2 _,
     "q_scalar_subquery"    -> Relational.qScalarSubquery _,
     "q_correlated_scalar"  -> Relational.qCorrelatedScalar _,
     "a7_grouping_sets"     -> Relational.a7GroupingSets _,
@@ -135,6 +136,7 @@ object SparkEntry {
     "st4_stream_join"     -> Streaming.streamStreamJoin _,
     "st5_stream_dedup"    -> Streaming.streamDedup _,
     "st6_stream_static"   -> Streaming.streamStaticJoin _,
+    "st7_stream_left_join" -> Streaming.streamStreamLeftJoin _,
   )
 
   private val multimodalQueries: Map[String, Query] = Map(
@@ -226,6 +228,16 @@ object SparkEntry {
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq FROM f) " +
         "SELECT user_id, session_seq, count(*) AS n_events, min(ts_ms) AS start_ms, " +
         "max(ts_ms) AS end_ms, max(ts_ms) - min(ts_ms) AS duration_ms FROM s GROUP BY user_id, session_seq"),
+    // SCD2 twin: same change-detect (lag) → close (lead) → number
+    // (row_number) pipeline; windows re-stated over the filtered set.
+    "q_scd2" ->
+      ("WITH ev AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, event_type FROM events), " +
+        "c AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS prev_type FROM ev), " +
+        "ch AS (SELECT user_id, event_id, ts_ms, event_type FROM c WHERE prev_type IS NULL OR prev_type <> event_type) " +
+        "SELECT user_id, event_type, ts_ms AS valid_from_ms, " +
+        "coalesce(lead(ts_ms) OVER w2 - 1, -1) AS valid_to_ms, " +
+        "CAST(row_number() OVER w2 AS BIGINT) AS version " +
+        "FROM ch WINDOW w2 AS (PARTITION BY user_id ORDER BY ts_ms, event_id)"),
     // Range-containment join stated naively (inequality join); the engine
     // side computes the same matches through the bucketed equi-join.
     "q_range_join" ->
@@ -678,6 +690,20 @@ object SparkEntry {
         "p AS (SELECT event_id AS purchase_id, user_id, CAST(ts AS TIMESTAMP) AS p_ts FROM events WHERE event_type = 'purchase') " +
         "SELECT signup_id, purchase_id, s.user_id AS user_id, s_ts, p_ts FROM s JOIN p ON s.user_id = p.user_id " +
         "AND p_ts >= s_ts AND p_ts <= s_ts + INTERVAL 7 DAY"),
+    // Left-outer adds the watermark-eviction contract to st4's twin: an
+    // unmatched signup emits (with -1 sentinels) only once the global
+    // watermark — min(max s_ts, max p_ts) − 10 min — passes its whole
+    // 7-day match window. Younger unmatched signups emit nothing.
+    "st7_stream_left_join" ->
+      ("WITH s AS (SELECT event_id AS signup_id, user_id, CAST(ts AS TIMESTAMP) AS s_ts FROM events WHERE event_type = 'signup'), " +
+        "p AS (SELECT event_id AS purchase_id, user_id, CAST(ts AS TIMESTAMP) AS p_ts FROM events WHERE event_type = 'purchase'), " +
+        "gw AS (SELECT least((SELECT max(s_ts) FROM s), (SELECT max(p_ts) FROM p)) - INTERVAL 10 MINUTE AS wm) " +
+        "SELECT signup_id, s.user_id AS user_id, s_ts, purchase_id, epoch_ms(p_ts) AS p_ms FROM s JOIN p ON s.user_id = p.user_id " +
+        "AND p_ts >= s_ts AND p_ts <= s_ts + INTERVAL 7 DAY " +
+        "UNION ALL " +
+        "SELECT signup_id, user_id, s_ts, -1 AS purchase_id, -1 AS p_ms FROM s " +
+        "WHERE NOT EXISTS (SELECT 1 FROM p WHERE p.user_id = s.user_id AND p_ts >= s_ts AND p_ts <= s_ts + INTERVAL 7 DAY) " +
+        "AND s_ts + INTERVAL 7 DAY < (SELECT wm FROM gw)"),
     // Stream-static join + AvailableNow ≡ the plain batch enrichment join.
     "st6_stream_static" ->
       ("SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start, " +

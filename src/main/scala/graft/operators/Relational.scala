@@ -738,6 +738,31 @@ object Relational {
         col("prev.event_type").as("prev_event_type"))
   }
 
+  /** SCD type-2 history build: compress each user's event stream into
+    * versioned validity intervals — a new version starts whenever the
+    * tracked attribute (event_type) CHANGES, valid_to is the instant
+    * before the next change (-1 sentinel = still current). The classic
+    * slowly-changing-dimension construction: change detection via lag,
+    * interval close via lead, version numbers via row_number — three
+    * window functions over ONE (user_id) partitioning, so the whole
+    * history builds in a single shuffle; at 100 TB this is the
+    * change-data-capture compaction pass run per ingest window.
+    * Integer epoch millis throughout (exact arithmetic, oracle-aligned).
+    */
+  def qScd2(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_ms"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("ts_ms"), col("event_type"))
+      .withColumn("prev_type", lag("event_type", 1).over(w))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      .select(
+        col("user_id"), col("event_type"),
+        col("ts_ms").as("valid_from_ms"),
+        coalesce(lead("ts_ms", 1).over(w) - 1, lit(-1L)).as("valid_to_ms"),
+        row_number().over(w).cast("long").as("version"))
+  }
+
   /** Range join: events against 48 overlapping time windows derived from
     * the corpus's own [min, max] span — executed via [[Scale.rangeJoin]]
     * as a bucketed equi-join (1-hour buckets), never a nested loop over

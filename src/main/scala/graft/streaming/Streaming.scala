@@ -177,6 +177,59 @@ object Streaming {
         col("s_user").as("user_id"), col("s_ts"), col("p_ts"))
   }
 
+  /** ST7: stream-stream LEFT OUTER join with event-time bounds — the
+    * semantics st4's inner join can't express: a signup with no purchase
+    * in its 7-day window still emits, null-extended, once the watermark
+    * proves no match can arrive. This is the funnel/abandonment query
+    * (signups that never converted) as an incremental computation.
+    *
+    * The contract being exercised: an outer match is emittable only
+    * after the GLOBAL watermark (min over both streams' watermarks,
+    * Spark's default multi-watermark policy) passes the left row's last
+    * possible match time (s_ts + 7 days). AvailableNow runs the
+    * data batch, then a final no-data batch in which the advanced
+    * watermark evicts-and-emits those unmatched rows — so signups
+    * younger than 7 days + 10 min before the stream's end correctly
+    * do NOT emit (their window is still open; a longer-running stream
+    * would emit them later). The DuckDB twin states the same cutoff
+    * explicitly: NOT EXISTS ∧ s_ts + 7 days < min(max s_ts, max p_ts)
+    * − 10 min. Null-extended columns are coalesced to -1 sentinels ON
+    * BOTH SIDES so the hash compare never meets a NULL.
+    */
+  def streamStreamLeftJoin(spark: SparkSession, dir: String): DataFrame = {
+    val signups = eventsStream(spark, dir)
+      .filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("user_id").as("s_user"),
+        col("ts").as("s_ts"))
+      .withWatermark("s_ts", "10 minutes")
+    val purchases = eventsStream(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "10 minutes")
+    val joined = signups.join(purchases,
+      col("s_user") === col("p_user") &&
+        col("p_ts") >= col("s_ts") &&
+        col("p_ts") <= col("s_ts") + expr("INTERVAL 7 DAYS"),
+      "leftOuter")
+    val name = s"graft_stream_${runId.incrementAndGet()}"
+    withStreamPartitions(spark, 8) {
+      val q = joined.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft_ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.table(name)
+      .select(col("signup_id"), col("s_user").as("user_id"), col("s_ts"),
+        coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"),
+        coalesce(unix_millis(col("p_ts")), lit(-1L)).as("p_ms"))
+  }
+
   /** ST5: streaming ingestion dedup — the at-ingest half of the dedup
     * family (d1 is the batch half): duplicate events dropped as they
     * stream in, keyed on (event_type, user_id, minute bucket).

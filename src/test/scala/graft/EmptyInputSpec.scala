@@ -25,7 +25,26 @@ class EmptyInputSpec extends SparkTestBase {
       .write.parquet(s"$dir/documents.parquet")
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], embSchema)
       .write.parquet(s"$dir/embeddings.parquet")
+    // events.ts is written as LongType: Tables.events reads raw nanos
+    // (nanosAsLong session) and truncates to micros itself.
+    val evSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], evSchema)
+      .write.parquet(s"$dir/events.parquet")
     dir
+  }
+
+  test("round-5 operators return empty on an empty corpus") {
+    assert(LlmOps.t14PackSequences(spark, emptyDir).count() === 0)
+    assert(LlmOps.t15Chunk(spark, emptyDir).count() === 0)
+    assert(LlmOps.t16TfIdf(spark, emptyDir).count() === 0)
+    assert(graft.operators.Relational.w7Sessionize(spark, emptyDir).count() === 0)
+    assert(graft.operators.Relational.qScd2(spark, emptyDir).count() === 0)
+    // Empty events → NULL min/max bounds → null-rejecting containment:
+    // the bucketed range join must yield zero rows, not throw.
+    assert(graft.operators.Relational.qRangeJoin(spark, emptyDir).count() === 0)
   }
 
   test("document operators return empty on an empty corpus") {
