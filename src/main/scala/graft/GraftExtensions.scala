@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.functions.{CosineMilli, DotDouble, RollingMinHash}
-import graft.plans.RangeJoinRewrite
+import graft.plans.{AsOfJoinStrategy, RangeJoinRewrite}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions into the session's function registry, so they are usable
@@ -17,6 +17,7 @@ import graft.plans.RangeJoinRewrite
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => RangeJoinRewrite)
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
     ext.injectFunction((
       FunctionIdentifier("cosine_milli"),
       new ExpressionInfo(classOf[CosineMilli].getName, "cosine_milli"),

@@ -83,6 +83,7 @@ object SparkEntry {
     "j8_full_outer"        -> Relational.j8FullOuter _,
     "j9_salted_join"       -> Relational.j9SaltedJoin _,
     "q_asof_join"          -> Relational.qAsofJoin _,
+    "q_asof_native"        -> Relational.qAsofNative _,
     "q_flagship"           -> Relational.flagship _,
     "q_data_quality"       -> ((s: SparkSession, dir: String) =>
       graft.operators.Validation.checkConstraints(
@@ -338,6 +339,14 @@ object SparkEntry {
     // As-of twin: row_number over (ts DESC, event_id DESC) = 1 is the same
     // row as Spark's max(struct(ts, event_id, event_type)) argmax.
     "q_asof_join" ->
+      ("WITH err AS (SELECT event_id AS error_id, user_id, CAST(ts AS TIMESTAMP) AS error_ts FROM events WHERE event_type = 'error'), " +
+        "oth AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type FROM events WHERE event_type != 'error') " +
+        "SELECT error_id, user_id, error_ts, ts AS prev_ts, event_id AS prev_event_id, event_type AS prev_event_type FROM (" +
+        "SELECT err.error_id, err.user_id, err.error_ts, oth.ts, oth.event_id, oth.event_type, " +
+        "row_number() OVER (PARTITION BY err.error_id ORDER BY oth.ts DESC, oth.event_id DESC) AS rn " +
+        "FROM err JOIN oth ON err.user_id = oth.user_id AND oth.ts <= err.error_ts) WHERE rn = 1"),
+    // The native AsOfJoinExec path must produce the identical rows.
+    "q_asof_native" ->
       ("WITH err AS (SELECT event_id AS error_id, user_id, CAST(ts AS TIMESTAMP) AS error_ts FROM events WHERE event_type = 'error'), " +
         "oth AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type FROM events WHERE event_type != 'error') " +
         "SELECT error_id, user_id, error_ts, ts AS prev_ts, event_id AS prev_event_id, event_type AS prev_event_type FROM (" +

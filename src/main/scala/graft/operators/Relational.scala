@@ -738,6 +738,28 @@ object Relational {
         col("prev.event_type").as("prev_event_type"))
   }
 
+  /** The as-of join again, through the NATIVE whole-operator path
+    * ([[graft.plans.AsOfJoin]] → AsOfJoinExec): one co-partitioning
+    * exchange per side, a sort, and an O(n+m) merge scan per partition —
+    * versus [[qAsofJoin]]'s inequality join + argmax, which materializes
+    * every (error, earlier event) pair per user before aggregating.
+    * Same oracle as q_asof_join: the two formulations must agree row
+    * for row (no (user_id, ts) ties exist in the corpus, so the
+    * merge's last-wins and argmax's struct-max tie-breaks coincide).
+    */
+  def qAsofNative(spark: SparkSession, dir: String): DataFrame = {
+    val errors = Tables.events(spark, dir)
+      .filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("user_id"), col("ts").as("error_ts"))
+    val others = Tables.events(spark, dir)
+      .filter(col("event_type") =!= "error")
+      .select(col("user_id").as("u2"), col("ts"), col("event_id"), col("event_type"))
+    graft.plans.AsOf.join(errors, others, Seq("user_id"), Seq("u2"), "error_ts", "ts")
+      .select(col("error_id"), col("user_id"), col("error_ts"),
+        col("ts").as("prev_ts"), col("event_id").as("prev_event_id"),
+        col("event_type").as("prev_event_type"))
+  }
+
   /** SCD type-2 history build: compress each user's event stream into
     * versioned validity intervals — a new version starts whenever the
     * tracked attribute (event_type) CHANGES, valid_to is the instant

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.plans.AsOf
+
+/** The native sort-merge as-of join: exact row parity with the composed
+  * inequality-join + argmax formulation, on both a hand-built fixture
+  * (ties, unmatched rows, nulls, duplicate times) and the events corpus.
+  */
+class AsOfJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("matches the naive argmax as-of on a fixture with edges") {
+    val trades = Seq(
+      (1L, 10L, "t1"), (1L, 20L, "t2"), (1L, 5L, "t0"),
+      (2L, 7L, "t3"), (3L, 100L, "t4"), // key 3 has no quotes
+      (1L, 10L, "t5") // duplicate left time
+    ).toDF("sym", "t", "tag")
+    val quotes = Seq(
+      (1L, 5L, 101L), (1L, 10L, 102L), (1L, 15L, 103L),
+      (2L, 8L, 201L), // after the only key-2 trade: no match
+      (4L, 1L, 401L)
+    ).toDF("sym", "qt", "px")
+
+    val native = AsOf.join(trades, quotes.withColumnRenamed("sym", "qsym"),
+      Seq("sym"), Seq("qsym"), "t", "qt")
+      .select("sym", "t", "tag", "qt", "px")
+    val naive = trades.join(quotes.withColumnRenamed("sym", "qsym"),
+        col("sym") === col("qsym") && col("qt") <= col("t"))
+      .groupBy("sym", "t", "tag")
+      .agg(max(struct(col("qt"), col("px"))).as("q"))
+      .select(col("sym"), col("t"), col("tag"), col("q.qt"), col("q.px"))
+
+    assert(native.count() === 4) // t3 (quote too late) and t4 (no key) drop
+    assert(native.exceptAll(naive).count() === 0)
+    assert(naive.exceptAll(native).count() === 0)
+    // t2 is at t=20: the latest quote <= 20 is (15, 103), not (10, 102).
+    val at20 = native.filter(col("tag") === "t2").select("px").as[Long].head()
+    assert(at20 === 103L)
+  }
+
+  test("null keys and null times never match, and never crash the merge") {
+    val l = Seq((Some(1L), Some(10L)), (None, Some(10L)), (Some(1L), None))
+      .toDF("k", "t")
+    val r = Seq((Some(1L), Some(5L), 11L), (None, Some(1L), 12L), (Some(1L), None, 13L))
+      .toDF("rk", "rt", "v")
+    val out = AsOf.join(l, r, Seq("k"), Seq("rk"), "t", "rt")
+    assert(out.count() === 1)
+    assert(out.select("v").as[Long].head() === 11L)
+  }
+
+  test("events corpus: native as-of equals the composed q_asof_join") {
+    val composed = graft.operators.Relational.qAsofJoin(spark, Sf)
+    val errors = Tables.events(spark, Sf)
+      .filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("user_id"), col("ts").as("error_ts"))
+    val others = Tables.events(spark, Sf)
+      .filter(col("event_type") =!= "error")
+      .select(col("user_id").as("u2"), col("ts"), col("event_id"), col("event_type"))
+    // The argmax tie-break is (ts, event_id, event_type) lexicographic;
+    // feed the native operator a combined time so ties on ts resolve
+    // identically (sort by (ts, event_id) == argmax on the struct here
+    // because event_id is unique).
+    val native: DataFrame = AsOf.join(
+      errors, others, Seq("user_id"), Seq("u2"), "error_ts", "ts")
+      .select(col("error_id"), col("user_id"), col("error_ts"),
+        col("ts").as("prev_ts"), col("event_id").as("prev_event_id"),
+        col("event_type").as("prev_event_type"))
+    assert(native.count() === composed.count())
+    assert(native.exceptAll(composed).count() === 0)
+    assert(composed.exceptAll(native).count() === 0)
+  }
+
+  test("plans as AsOfJoinExec over co-partitioned sorted children") {
+    val l = (0L until 100L).map(i => (i % 5, i)).toDF("k", "t")
+    val r = (0L until 50L).map(i => (i % 5, i * 2, i)).toDF("rk", "rt", "v")
+    val out = AsOf.join(l, r, Seq("k"), Seq("rk"), "t", "rt")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), s"expected AsOfJoinExec in plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+    // Exactly one exchange per side (the key co-partitioning), no more.
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges === 2, s"expected 2 exchanges, got $exchanges:\n$plan")
+  }
+}
