@@ -51,6 +51,8 @@ object SparkEntry {
     "w7_sessionize"        -> Relational.w7Sessionize _,
     "q_range_join"         -> Relational.qRangeJoin _,
     "q_scd2"               -> Relational.qScd2 _,
+    "f11_collect"          -> Relational.f11Collect _,
+    "a11_histogram"        -> Relational.a11Histogram _,
     "q_scalar_subquery"    -> Relational.qScalarSubquery _,
     "q_correlated_scalar"  -> Relational.qCorrelatedScalar _,
     "a7_grouping_sets"     -> Relational.a7GroupingSets _,
@@ -229,6 +231,18 @@ object SparkEntry {
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq FROM f) " +
         "SELECT user_id, session_seq, count(*) AS n_events, min(ts_ms) AS start_ms, " +
         "max(ts_ms) AS end_ms, max(ts_ms) - min(ts_ms) AS duration_ms FROM s GROUP BY user_id, session_seq"),
+    // Ordered-collection twin: string_agg with ORDER BY states what the
+    // engine's collect→array_sort→join pipeline computes.
+    "f11_collect" ->
+      ("SELECT o_custkey, string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderdate, o_orderkey) AS order_keys, " +
+        "count(*) AS n_orders FROM orders GROUP BY o_custkey"),
+    // Integer-milli histogram: identical exact bucket arithmetic.
+    "a11_histogram" ->
+      ("WITH ev AS (SELECT CAST(round(value * 1000) AS BIGINT) AS v_milli FROM events WHERE value IS NOT NULL), " +
+        "b AS (SELECT min(v_milli) AS lo, max(v_milli) AS hi FROM ev) " +
+        "SELECT least(19, ((v_milli - lo) * 20) // (hi - lo + 1)) AS bucket, " +
+        "count(*) AS n_events, min(v_milli) AS min_v_milli, max(v_milli) AS max_v_milli " +
+        "FROM ev, b GROUP BY 1"),
     // SCD2 twin: same change-detect (lag) → close (lead) → number
     // (row_number) pipeline; windows re-stated over the filtered set.
     "q_scd2" ->

@@ -738,6 +738,48 @@ object Relational {
         col("prev.event_type").as("prev_event_type"))
   }
 
+  /** Ordered collection aggregate: each customer's order keys as one
+    * comma-joined string in (date, key) order. collect_list gives NO
+    * ordering guarantee across partitions — the deterministic form is
+    * collect structs → array_sort (lexicographic on the struct) →
+    * project+join; the oracle states the same thing as
+    * `string_agg(... ORDER BY)`. The transform lambda runs interpreted
+    * (see the minhash notes) but touches one small array per GROUP, not
+    * per row — off the hot path.
+    */
+  def f11Collect(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy("o_custkey")
+      .agg(
+        concat_ws(",",
+          expr("transform(array_sort(collect_list(struct(o_orderdate, o_orderkey))), " +
+            "x -> cast(x.o_orderkey as string))")).as("order_keys"),
+        count(lit(1)).as("n_orders"))
+
+  /** Equi-width histogram over event values with data-derived bounds —
+    * 20 buckets between [min, max], edges computed in integer millis so
+    * the bucket function is exact integer arithmetic on both engines
+    * (a float `(v-lo)/width` would put boundary values on different
+    * sides after one ulp of divergence). One scan for bounds (broadcast
+    * single row), one scan for the bucketed aggregate — the standard
+    * two-pass distributed histogram; at 100 TB both passes are map-side
+    * combinable.
+    */
+  def a11Histogram(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(expr("cast(round(value * 1000) as bigint)").as("v_milli"))
+    val bounds = ev.agg(min("v_milli").as("lo"), max("v_milli").as("hi"))
+    ev.crossJoin(broadcast(bounds))
+      .select(col("v_milli"),
+        least(lit(19L), expr("((v_milli - lo) * 20) div (hi - lo + 1)")).as("bucket"))
+      .groupBy("bucket")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min("v_milli").as("min_v_milli"),
+        max("v_milli").as("max_v_milli"))
+  }
+
   /** The as-of join again, through the NATIVE whole-operator path
     * ([[graft.plans.AsOfJoin]] → AsOfJoinExec): one co-partitioning
     * exchange per side, a sort, and an O(n+m) merge scan per partition —
