@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expressi
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 
 /** As-of join as a WHOLE-OPERATOR Catalyst extension — the brief's
   * preference rung (c): a custom `LogicalPlan` + `SparkStrategy` +
@@ -62,6 +63,9 @@ case class AsOfJoinExec(
 
   override def output: Seq[Attribute] = left.output ++ right.output
 
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"))
+
   /** Same contract as SortMergeJoinExec: cluster each side on its keys;
     * EnsureRequirements gives both the same hash partitioning.
     */
@@ -86,6 +90,7 @@ case class AsOfJoinExec(
     val rOut = right.output
     val keyTypes = leftKeys.map(_.dataType)
     val timeType = leftTime.dataType
+    val numOutputRows = longMetric("numOutputRows")
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(leftKeys, lOut)
       val rKeyProj = UnsafeProjection.create(rightKeys, rOut)
@@ -141,6 +146,7 @@ case class AsOfJoinExec(
                 } else cont = false
               }
               if (cand != null && keyOrd.compare(candKey, lKey) == 0) {
+                numOutputRows += 1
                 return resultProj(joined(l, cand))
               }
             }

@@ -53,6 +53,30 @@ class NullFieldSpec extends SparkTestBase {
     Multimodal.m2FrameSample(spark, nullDir).count()
   }
 
+  test("round-5 operators tolerate null text and null event fields") {
+    // Null text: contributes no tokens/chunks/terms; must not throw.
+    LlmOps.t14PackSequences(spark, nullDir).count()
+    LlmOps.t15Chunk(spark, nullDir).count()
+    LlmOps.t16TfIdf(spark, nullDir).count()
+    // Events with null ts / user_id / value / event_type.
+    val evSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val base = 1704067200000000000L // 2024-01-01 in ns
+    val evs = Seq(
+      Row(0L, base, 1L, "click", 1.5, null),
+      Row(1L, base + 3600L * 1000000000L, 1L, null, null, null),
+      Row(2L, null, 2L, "click", -0.5, null),
+      Row(3L, base + 2L * 3600 * 1000000000L, null, "error", 2.0, null))
+    spark.createDataFrame(spark.sparkContext.parallelize(evs), evSchema)
+      .coalesce(1).write.mode("overwrite").parquet(s"$nullDir/events.parquet")
+    graft.operators.Relational.w7Sessionize(spark, nullDir).count()
+    graft.operators.Relational.qScd2(spark, nullDir).count()
+    graft.operators.Relational.qRangeJoin(spark, nullDir).count()
+    graft.operators.Relational.a11Histogram(spark, nullDir).count()
+  }
+
   test("similarity operators tolerate a null-embedding row") {
     Similarity.simTopk(spark, nullDir).count()
     Similarity.simLshPairs(spark, nullDir).count()

@@ -58,6 +58,21 @@ class RangeJoinRewriteSpec extends SparkTestBase {
     }
   }
 
+  test("points on the RIGHT side of the join rewrite too") {
+    // Same join stated with the ranges table as the left relation —
+    // exercises the pointFromLeft=false branch of the rule.
+    def flipped = ranges.join(points, col("v") >= col("lo") && col("v") < col("hi"))
+      .select("rid", "v", "tag")
+    val expected = flipped.collect().toSeq.sortBy(_.toString)
+    withWidth(16L) {
+      val rewritten = flipped
+      val plan = rewritten.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"flipped rewrite should remove the nested loop:\n$plan")
+      assert(rewritten.collect().toSeq.sortBy(_.toString) === expected)
+    }
+  }
+
   test("equi-joins and non-integral bounds are left untouched") {
     withWidth(16L) {
       // An equi-join with a residual range predicate keeps its shape.
