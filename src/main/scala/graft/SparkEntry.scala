@@ -53,6 +53,10 @@ object SparkEntry {
     "q_scd2"               -> Relational.qScd2 _,
     "f11_collect"          -> Relational.f11Collect _,
     "a11_histogram"        -> Relational.a11Histogram _,
+    // a12: intentionally NO oracle entry — sketch percentiles are
+    // engine-specific; ApproxDistinctSpec bounds them against exact
+    // percentiles (a6's contract).
+    "a12_approx_percentile" -> Relational.a12ApproxPercentile _,
     "q_scalar_subquery"    -> Relational.qScalarSubquery _,
     "q_correlated_scalar"  -> Relational.qCorrelatedScalar _,
     "a7_grouping_sets"     -> Relational.a7GroupingSets _,

@@ -738,6 +738,25 @@ object Relational {
         col("prev.event_type").as("prev_event_type"))
   }
 
+  /** Approximate percentiles (GK sketch): the constant-memory
+    * counterpart to [[a10Percentile]]'s exact quantiles — at 100 TB the
+    * exact form needs a full sort per group, the sketch one pass and a
+    * mergeable O(1/ε) summary (same contract family as
+    * approx_count_distinct, a6). No DuckDB oracle BY CONTRACT (sketch
+    * results are engine-specific); ApproxDistinctSpec bounds the error
+    * against the exact percentiles instead.
+    */
+  def a12ApproxPercentile(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy("o_orderstatus")
+      .agg(
+        expr("percentile_approx(o_totalprice, array(0.5D, 0.9D), 10000)").as("pcts"),
+        count(lit(1)).as("n"))
+      .select(col("o_orderstatus"),
+        col("pcts").getItem(0).as("p50_approx"),
+        col("pcts").getItem(1).as("p90_approx"),
+        col("n"))
+
   /** Ordered collection aggregate: each customer's order keys as one
     * comma-joined string in (date, key) order. collect_list gives NO
     * ordering guarantee across partitions — the deterministic form is

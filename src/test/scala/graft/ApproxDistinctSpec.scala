@@ -23,6 +23,26 @@ class ApproxDistinctSpec extends SparkTestBase {
       s"approx median $approx outside exact rank window [$p40, $p60]")
   }
 
+  test("a12 per-group approx percentiles land within exact rank windows") {
+    val approx = Relational.a12ApproxPercentile(spark, Sf)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = Tables.orders(spark, Sf)
+      .groupBy("o_orderstatus")
+      .agg(
+        expr("percentile(o_totalprice, 0.45)").as("p45"),
+        expr("percentile(o_totalprice, 0.55)").as("p55"),
+        expr("percentile(o_totalprice, 0.85)").as("p85"),
+        expr("percentile(o_totalprice, 0.95)").as("p95"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(approx.keySet === exact.keySet && approx.nonEmpty)
+    exact.foreach { case (k, (p45, p55, p85, p95)) =>
+      val (a50, a90) = approx(k)
+      assert(a50 >= p45 && a50 <= p55, s"group $k: p50 $a50 outside [$p45, $p55]")
+      assert(a90 >= p85 && a90 <= p95, s"group $k: p90 $a90 outside [$p85, $p95]")
+    }
+  }
+
   test("approx_count_distinct stays within 3×rsd of the exact count per group") {
     val approx = Relational.aApproxDistinct(spark, Sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
