@@ -37,9 +37,12 @@ import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 case class AsOfJoin(
     left: LogicalPlan, right: LogicalPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
-    leftTime: Expression, rightTime: Expression) extends BinaryNode {
+    leftTime: Expression, rightTime: Expression,
+    isLeftOuter: Boolean) extends BinaryNode {
   require(leftKeys.length == rightKeys.length && leftKeys.nonEmpty)
-  override def output: Seq[Attribute] = left.output ++ right.output
+  override def output: Seq[Attribute] =
+    if (isLeftOuter) left.output ++ right.output.map(_.withNullability(true))
+    else left.output ++ right.output
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoin =
     copy(left = newLeft, right = newRight)
@@ -50,8 +53,8 @@ case class AsOfJoin(
   */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case AsOfJoin(l, r, lk, rk, lt, rt, outer) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, outer) :: Nil
     case _ => Nil
   }
 }
@@ -59,9 +62,12 @@ object AsOfJoinStrategy extends SparkStrategy {
 case class AsOfJoinExec(
     left: SparkPlan, right: SparkPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
-    leftTime: Expression, rightTime: Expression) extends BinaryExecNode {
+    leftTime: Expression, rightTime: Expression,
+    isLeftOuter: Boolean) extends BinaryExecNode {
 
-  override def output: Seq[Attribute] = left.output ++ right.output
+  override def output: Seq[Attribute] =
+    if (isLeftOuter) left.output ++ right.output.map(_.withNullability(true))
+    else left.output ++ right.output
 
   override lazy val metrics: Map[String, SQLMetric] = Map(
     "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"))
@@ -98,8 +104,15 @@ case class AsOfJoinExec(
       val rTimeProj = UnsafeProjection.create(Seq(rightTime), rOut)
       val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
       val timeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(timeType))
-      val resultProj = UnsafeProjection.create(output, output)
+      // Bind against NULLABLE right attrs in outer mode: bindReference
+      // takes nullability from the input side, and a non-nullable
+      // BoundReference would skip the null check and read garbage from
+      // the all-null extension row.
+      val projInput =
+        if (isLeftOuter) lOut ++ rOut.map(_.withNullability(true)) else lOut ++ rOut
+      val resultProj = UnsafeProjection.create(output, projInput)
       val joined = new JoinedRow
+      val nullRight = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(rOut.size)
 
       new Iterator[InternalRow] {
         // Right cursor: the next unconsumed right row (owned copies —
@@ -148,7 +161,16 @@ case class AsOfJoinExec(
               if (cand != null && keyOrd.compare(candKey, lKey) == 0) {
                 numOutputRows += 1
                 return resultProj(joined(l, cand))
+              } else if (isLeftOuter) {
+                numOutputRows += 1
+                return resultProj(joined(l, nullRight))
               }
+            } else if (isLeftOuter) {
+              // Left-outer keeps null-keyed/null-timed left rows too
+              // (they can never match), null-extended — SQL outer-join
+              // null semantics.
+              numOutputRows += 1
+              return resultProj(joined(l, nullRight))
             }
           }
           null
@@ -170,12 +192,21 @@ case class AsOfJoinExec(
 }
 
 /** Public API: `AsOf.join(trades, quotes, Seq("sym"), Seq("sym"), "t", "qt")`
-  * — each trade matched to the latest quote at or before it.
+  * — each trade matched to the latest quote at or before it. `joinType`
+  * "inner" (default) drops unmatched left rows; "left"/"left_outer"
+  * keeps them null-extended (pandas merge_asof / kdb aj semantics).
   */
 object AsOf {
   def join(left: DataFrame, right: DataFrame,
            leftKeys: Seq[String], rightKeys: Seq[String],
-           leftTime: String, rightTime: String): DataFrame = {
+           leftTime: String, rightTime: String,
+           joinType: String = "inner"): DataFrame = {
+    val isLeftOuter = joinType.toLowerCase match {
+      case "inner" => false
+      case "left" | "left_outer" | "leftouter" => true
+      case other => throw new IllegalArgumentException(
+        s"as-of joinType must be inner or left_outer, got '$other'")
+    }
     def attr(df: DataFrame, name: String): Attribute =
       df.queryExecution.analyzed.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(
@@ -183,7 +214,7 @@ object AsOf {
     val plan = AsOfJoin(
       left.queryExecution.analyzed, right.queryExecution.analyzed,
       leftKeys.map(attr(left, _)), rightKeys.map(attr(right, _)),
-      attr(left, leftTime), attr(right, rightTime))
+      attr(left, leftTime), attr(right, rightTime), isLeftOuter)
     org.apache.spark.sql.graftshim.PlanBridge.ofRows(left.sparkSession, plan)
   }
 }

@@ -41,6 +41,24 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(at20 === 103L)
   }
 
+  test("left-outer as-of keeps unmatched and null-keyed left rows, null-extended") {
+    val trades = Seq(
+      (1L, 10L, "t1"), (2L, 7L, "t3"), (3L, 100L, "t4")
+    ).toDF("sym", "t", "tag")
+    val quotes = Seq((1L, 5L, 101L), (2L, 8L, 201L)).toDF("qsym", "qt", "px")
+    val out = AsOf.join(trades, quotes, Seq("sym"), Seq("qsym"), "t", "qt", "left_outer")
+      .select(col("tag"), coalesce(col("px"), lit(-1L)).as("px"))
+      .as[(String, Long)].collect().toMap
+    // t1 matches (5, 101); t3's only quote is later; t4 has no key.
+    assert(out === Map("t1" -> 101L, "t3" -> -1L, "t4" -> -1L))
+    // A null-keyed left row survives a left-outer as-of, null-extended.
+    val l = Seq((Some(1L), Some(10L)), (None, Some(10L))).toDF("k", "t")
+    val r = Seq((1L, 5L, 11L)).toDF("rk", "rt", "v")
+    val outer = AsOf.join(l, r, Seq("k"), Seq("rk"), "t", "rt", "left")
+    assert(outer.count() === 2)
+    assert(outer.filter(col("k").isNull).select(col("v")).collect()(0).isNullAt(0))
+  }
+
   test("null keys and null times never match, and never crash the merge") {
     val l = Seq((Some(1L), Some(10L)), (None, Some(10L)), (Some(1L), None))
       .toDF("k", "t")
