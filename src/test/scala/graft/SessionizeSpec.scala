@@ -28,6 +28,27 @@ class SessionizeSpec extends SparkTestBase {
     assert(builtin.exceptAll(custom).count() === 0)
   }
 
+  test("SQL gaps-and-islands (w7) agrees with the typed sessionizer on the corpus") {
+    // Three formulations of one semantic: built-in session_window (st3),
+    // typed flatMapGroupsWithState (above), SQL windows (w7). The SQL
+    // form breaks sessions on gap > 30 min (inclusive merge at exactly
+    // 30:00.000000) where session_window merges strictly below the gap;
+    // the corpus's microsecond timestamps hit no exact boundary, so all
+    // three must agree event-for-event here.
+    val typed = Sessionize.sessions(spark,
+        Tables.events(spark, Sf).select(col("user_id"), col("ts")).as[Sessionize.Ev])
+      .toDF
+      .select(col("user_id"),
+        unix_millis(col("session_start")).as("start_ms"),
+        (unix_millis(col("session_end")) - 30L * 60 * 1000).as("end_ms"),
+        col("n_events"))
+    val sql = graft.operators.Relational.w7Sessionize(spark, Sf)
+      .select(col("user_id"), col("start_ms"), col("end_ms"), col("n_events"))
+    assert(typed.count() > 0 && typed.count() === sql.count())
+    assert(typed.exceptAll(sql).count() === 0)
+    assert(sql.exceptAll(typed).count() === 0)
+  }
+
   test("batch sessionizer: disjoint gap-separated output, event counts preserved (random)") {
     import java.time.Instant
     import org.scalacheck.Gen
