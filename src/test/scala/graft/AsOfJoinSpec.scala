@@ -69,6 +69,18 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(out.select("v").as[Long].head() === 11L)
   }
 
+  test("empty sides: AQE must keep the two shuffles zip-compatible") {
+    val l = (0L until 100L).map(i => (i % 5, i)).toDF("k", "t")
+    val r = (0L until 50L).map(i => (i % 5, i * 2, i)).toDF("rk", "rt", "v")
+    val emptyL = l.filter(col("t") < -1)
+    val emptyR = r.filter(col("rt") < -1)
+    assert(AsOf.join(emptyL, r, Seq("k"), Seq("rk"), "t", "rt").count() === 0)
+    assert(AsOf.join(l, emptyR, Seq("k"), Seq("rk"), "t", "rt").count() === 0)
+    assert(AsOf.join(l, emptyR, Seq("k"), Seq("rk"), "t", "rt", "left_outer")
+      .count() === 100)
+    assert(AsOf.join(emptyL, emptyR, Seq("k"), Seq("rk"), "t", "rt").count() === 0)
+  }
+
   test("events corpus: native as-of equals the composed q_asof_join") {
     val composed = graft.operators.Relational.qAsofJoin(spark, Sf)
     val errors = Tables.events(spark, Sf)
