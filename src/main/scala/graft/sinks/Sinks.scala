@@ -109,4 +109,29 @@ object Sinks {
     if (format == "csv") w = w.option("header", true)
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).save(baseUri)
   }
+
+  /** K6: dynamic partition overwrite — replace ONLY the partitions the
+    * batch contains, leave every other partition untouched. This is the
+    * production incremental-sink contract (an ingest window rewrites its
+    * own day/source partitions; a full Overwrite would silently DELETE
+    * the rest of the table — the classic data-loss footgun). Static vs
+    * dynamic is a session conf; scoping it here, around this one write,
+    * keeps the engine's other overwrite sinks (K3 full-replace
+    * semantics) untouched.
+    */
+  def overwritePartitions(df: DataFrame, baseUri: String,
+                          partitionCols: Seq[String]): Unit = {
+    require(partitionCols.nonEmpty, "dynamic overwrite needs partition columns")
+    val spark = df.sparkSession
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try {
+      df.write.mode(SaveMode.Overwrite).format("parquet")
+        .partitionBy(partitionCols: _*).save(baseUri)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }

@@ -74,6 +74,26 @@ class SourcesSpec extends SparkTestBase {
     }
   }
 
+  test("K6 dynamic partition overwrite replaces only the batch's partitions") {
+    import spark.implicits._
+    val out = tempDir("dyn_overwrite")
+    val day1 = Seq((1L, "2024-01-01", "a"), (2L, "2024-01-01", "b"),
+      (3L, "2024-01-02", "c")).toDF("id", "day", "v")
+    Sinks.overwritePartitions(day1, out, Seq("day"))
+    // Re-ingest ONLY day 2 with corrected rows; day 1 must survive.
+    val day2fix = Seq((3L, "2024-01-02", "c2"), (4L, "2024-01-02", "d"))
+      .toDF("id", "day", "v")
+    Sinks.overwritePartitions(day2fix, out, Seq("day"))
+    val back = spark.read.parquet(out)
+      .select("id", "day", "v").as[(Long, String, String)].collect().toSet
+    assert(back === Set(
+      (1L, "2024-01-01", "a"), (2L, "2024-01-01", "b"),
+      (3L, "2024-01-02", "c2"), (4L, "2024-01-02", "d")))
+    // The conf is restored: a plain Overwrite afterwards is full-replace.
+    assert(spark.conf.getOption("spark.sql.sources.partitionOverwriteMode").isEmpty
+      || spark.conf.get("spark.sql.sources.partitionOverwriteMode") != "dynamic")
+  }
+
   test("partition pruning: filter on the partition column prunes at scan") {
     val out = tempDir("part_prune")
     val df = Tables.orders(spark, Sf)
