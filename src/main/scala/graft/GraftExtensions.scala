@@ -7,12 +7,16 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import graft.functions.{CosineMilli, DotDouble, RollingMinHash}
 import graft.plans.{AsOfJoinStrategy, RangeJoinRewrite}
 
-/** SparkSessionExtensions entry point: registers the engine's native
-  * expressions into the session's function registry, so they are usable
-  * from SQL text and expr() exactly like built-ins, plus the optimizer
-  * rule that turns naive range-containment joins into bucketed
-  * equi-joins ([[graft.plans.RangeJoinRewrite]], opt-in by conf)
-  * (`spark.sql.extensions=graft.GraftExtensions`, set in [[Sessions]]).
+/** SparkSessionExtensions entry point
+  * (`spark.sql.extensions=graft.GraftExtensions`, set in [[Sessions]]):
+  *
+  *  - native expressions into the session's function registry, usable
+  *    from SQL text and expr() exactly like built-ins;
+  *  - the optimizer rule turning naive range-containment joins into
+  *    bucketed equi-joins ([[graft.plans.RangeJoinRewrite]], opt-in
+  *    by conf);
+  *  - the planner strategy for the whole-operator as-of join
+  *    ([[graft.plans.AsOfJoinStrategy]] → AsOfJoinExec).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
