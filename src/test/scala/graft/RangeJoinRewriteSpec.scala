@@ -73,6 +73,31 @@ class RangeJoinRewriteSpec extends SparkTestBase {
     }
   }
 
+  test("SQL-text inequality joins rewrite identically") {
+    points.createOrReplaceTempView("rjr_points")
+    ranges.createOrReplaceTempView("rjr_ranges")
+    def sqlJoin = spark.sql(
+      "SELECT rid, v FROM rjr_points JOIN rjr_ranges ON v >= lo AND v < hi")
+    val expected = sqlJoin.collect().toSeq.sortBy(_.toString)
+    withWidth(16L) {
+      val rewritten = sqlJoin
+      assert(!rewritten.queryExecution.executedPlan.toString
+        .contains("BroadcastNestedLoopJoin"))
+      assert(rewritten.collect().toSeq.sortBy(_.toString) === expected)
+    }
+  }
+
+  test("outer joins are never rewritten (rule matches Inner only)") {
+    def outer = points.join(ranges,
+      col("v") >= col("lo") && col("v") < col("hi"), "left_outer")
+    val expected = outer.count()
+    withWidth(16L) {
+      val o = outer
+      assert(!o.queryExecution.optimizedPlan.toString.contains("__range_bucket"))
+      assert(o.count() === expected)
+    }
+  }
+
   test("equi-joins and non-integral bounds are left untouched") {
     withWidth(16L) {
       // An equi-join with a residual range predicate keeps its shape.
