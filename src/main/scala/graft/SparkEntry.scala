@@ -57,6 +57,7 @@ object SparkEntry {
     // engine-specific; ApproxDistinctSpec bounds them against exact
     // percentiles (a6's contract).
     "a12_approx_percentile" -> Relational.a12ApproxPercentile _,
+    "q_global_rownum"      -> Relational.qGlobalRownum _,
     "q_scalar_subquery"    -> Relational.qScalarSubquery _,
     "q_correlated_scalar"  -> Relational.qCorrelatedScalar _,
     "a7_grouping_sets"     -> Relational.a7GroupingSets _,
@@ -235,6 +236,9 @@ object SparkEntry {
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq FROM f) " +
         "SELECT user_id, session_seq, count(*) AS n_events, min(ts_ms) AS start_ms, " +
         "max(ts_ms) AS end_ms, max(ts_ms) - min(ts_ms) AS duration_ms FROM s GROUP BY user_id, session_seq"),
+    // Two-pass scalable numbering ≡ the naive total-order row_number.
+    "q_global_rownum" ->
+      "SELECT o_orderkey, row_number() OVER (ORDER BY o_orderkey) AS rn FROM orders",
     // Ordered-collection twin: string_agg with ORDER BY states what the
     // engine's collect→array_sort→join pipeline computes.
     "f11_collect" ->

@@ -738,6 +738,19 @@ object Relational {
         col("prev.event_type").as("prev_event_type"))
   }
 
+  /** Global row numbers over a total order, the scale-safe way — see
+    * [[Scale.globalRowNumbers]]: range-partitioned sort + per-partition
+    * offsets instead of the naive empty-PARTITION-BY window that funnels
+    * the whole table through one task. Unique sort key (o_orderkey)
+    * makes the numbering independent of sampler-chosen partition
+    * boundaries, so the oracle is a plain row_number OVER (ORDER BY).
+    */
+  def qGlobalRownum(spark: SparkSession, dir: String): DataFrame =
+    Scale.globalRowNumbers(
+        Tables.orders(spark, dir).select("o_orderkey", "o_totalprice"),
+        Seq("o_orderkey"))
+      .select(col("o_orderkey"), col("rn"))
+
   /** Approximate percentiles (GK sketch): the constant-memory
     * counterpart to [[a10Percentile]]'s exact quantiles — at 100 TB the
     * exact form needs a full sort per group, the sketch one pass and a

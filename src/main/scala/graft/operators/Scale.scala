@@ -67,6 +67,46 @@ object Scale {
       .drop("__bucket")
   }
 
+  /** Global row numbering WITHOUT the single-partition trap. The naive
+    * `row_number() OVER (ORDER BY k)` has an empty PARTITION BY — Spark
+    * plans one task holding the entire dataset, the canonical way a
+    * query that passed at 60k rows dies at 100 TB. The scalable form is
+    * two declarative passes over a range-partitioned sort:
+    *
+    *  1. range-partition + sort by the key; per-partition row counts
+    *     (a tiny aggregate — one row per partition);
+    *  2. cumulative counts → each partition's global offset (a window
+    *     over the partition-id table: metadata-sized, single task is
+    *     CORRECT there); broadcast-join the offsets back and add the
+    *     within-partition row_number.
+    *
+    * Numbers are 1-based in total `sortCols` order. With a unique sort
+    * key the result is independent of where the range sampler happens
+    * to place partition boundaries. One wide sort (the unavoidable
+    * cost of a total order) + one metadata aggregate — no stage ever
+    * sees more than its partition.
+    */
+  def globalRowNumbers(df: DataFrame, sortCols: Seq[String],
+                       numPartitions: Int = 0): DataFrame = {
+    val n = if (numPartitions > 0) numPartitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val keys = sortCols.map(col)
+    val parted = df.repartitionByRange(n, keys: _*)
+      .sortWithinPartitions(keys: _*)
+      .withColumn("__pid", spark_partition_id())
+    val offsets = parted.groupBy("__pid").count()
+      .withColumn("__offset",
+        coalesce(sum("count").over(
+          org.apache.spark.sql.expressions.Window.orderBy("__pid")
+            .rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .select("__pid", "__offset")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__pid").orderBy(keys: _*)
+    parted.join(broadcast(offsets), "__pid")
+      .withColumn("rn", row_number().over(w) + col("__offset"))
+      .drop("__pid", "__offset")
+  }
+
   /** Skew-resistant equi-join of a large (skewed) side against a smaller
     * side: `big` is salted by hash(`bigUniqueCol`) mod `salts`, `small`
     * is replicated once per salt, and the join key becomes

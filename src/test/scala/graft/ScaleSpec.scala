@@ -54,6 +54,23 @@ class ScaleSpec extends SparkTestBase {
       s"range join must not plan a nested loop; plan:\n$plan")
   }
 
+  test("global row numbers: range-partitioned two-pass equals the naive window") {
+    import spark.implicits._
+    val df = (0L until 10000L).map(i => ((i * 2654435761L) % 100000L, i % 7))
+      .toDF("k", "grp").distinct()
+    val naive = df.select(col("k"),
+      org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("k")).cast("long").as("rn"))
+    val scaled = Scale.globalRowNumbers(df, Seq("k"), numPartitions = 8)
+      .select(col("k"), col("rn"))
+    assert(scaled.exceptAll(naive).count() === 0)
+    assert(naive.exceptAll(scaled).count() === 0)
+    // The data path is range-partitioned — the whole point: the naive
+    // form funnels every row through ONE task.
+    val plan = scaled.queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"), s"expected range partitioning:\n$plan")
+  }
+
   test("salted join returns exactly the plain join's rows") {
     val orders = Tables.orders(spark, Sf)
     val customer = Tables.customer(spark, Sf)
