@@ -58,6 +58,7 @@ object SparkEntry {
     // percentiles (a6's contract).
     "a12_approx_percentile" -> Relational.a12ApproxPercentile _,
     "q_global_rownum"      -> Relational.qGlobalRownum _,
+    "f12_conditional_agg"  -> Relational.f12ConditionalAgg _,
     "q_scalar_subquery"    -> Relational.qScalarSubquery _,
     "q_correlated_scalar"  -> Relational.qCorrelatedScalar _,
     "a7_grouping_sets"     -> Relational.a7GroupingSets _,
@@ -236,6 +237,15 @@ object SparkEntry {
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq FROM f) " +
         "SELECT user_id, session_seq, count(*) AS n_events, min(ts_ms) AS start_ms, " +
         "max(ts_ms) AS end_ms, max(ts_ms) - min(ts_ms) AS duration_ms FROM s GROUP BY user_id, session_seq"),
+    // Boolean/conditional aggregate twins; arg_max on the same
+    // integer ordinal so exact-price ties break identically.
+    "f12_conditional_agg" ->
+      ("SELECT o_orderstatus, " +
+        "CAST(count(*) FILTER (o_totalprice > 100000) AS BIGINT) AS n_big, " +
+        "bool_and(o_totalprice > 0) AS all_positive, " +
+        "bool_or(o_orderpriority = '1-URGENT') AS any_urgent, " +
+        "arg_max(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey) AS priciest_key " +
+        "FROM orders GROUP BY o_orderstatus"),
     // Two-pass scalable numbering ≡ the naive total-order row_number.
     "q_global_rownum" ->
       "SELECT o_orderkey, row_number() OVER (ORDER BY o_orderkey) AS rn FROM orders",

@@ -738,6 +738,24 @@ object Relational {
         col("prev.event_type").as("prev_event_type"))
   }
 
+  /** Conditional / boolean aggregate family: count_if, bool_and,
+    * bool_or, and a deterministic max_by (argmax). The argmax ordinal
+    * is integer cents scaled plus the key as tie-break — max_by on a
+    * duplicated raw price would be free to return either row on either
+    * engine. All single-pass, map-side combinable.
+    */
+  def f12ConditionalAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy("o_orderstatus")
+      .agg(
+        expr("count_if(o_totalprice > 100000)").as("n_big"),
+        expr("bool_and(o_totalprice > 0)").as("all_positive"),
+        expr("bool_or(o_orderpriority = '1-URGENT')").as("any_urgent"),
+        // cents * 1e7 + key: keys stay below 1e7 at every corpus SF, so
+        // the key only ever breaks exact-price ties.
+        expr("max_by(o_orderkey, cast(round(o_totalprice * 100) as bigint) * 10000000 + o_orderkey)")
+          .as("priciest_key"))
+
   /** Global row numbers over a total order, the scale-safe way — see
     * [[Scale.globalRowNumbers]]: range-partitioned sort + per-partition
     * offsets instead of the naive empty-PARTITION-BY window that funnels
