@@ -75,20 +75,32 @@ object Bench {
       else errors.map { case (k, v) => s"${q(k)}:${q(v.take(maxMsg))}" }
         .mkString(""","errors":{""", ",", "}")
     val total = times.values.sum
-    def build(decimals: Int, counts: Boolean, maxMsg: Int): String = {
-      val qs = times.map { case (k, v) => s"${q(k)}:${sec(v, decimals)}" }.mkString("{", ",", "}")
-      val tail = if (counts) s""","n_queries":${times.size},"n_errors":${errors.size}""" else ""
+    def build(decimals: Int, counts: Boolean, maxMsg: Int,
+              topK: Int = Int.MaxValue): String = {
+      // When even whole-second full listings blow the budget (the query
+      // catalog keeps growing), keep only the SLOWEST topK entries —
+      // those are the ones perf grading reads; the total still covers
+      // everything and n_queries records the full count.
+      val kept =
+        if (topK >= times.size) times.toSeq
+        else times.toSeq.sortBy { case (_, v) => -v }.take(topK).sortBy(_._1)
+      val qs = kept.map { case (k, v) => s"${q(k)}:${sec(v, decimals)}" }.mkString("{", ",", "}")
+      val tail =
+        if (counts || topK < times.size)
+          s""","n_queries":${times.size},"n_errors":${errors.size}""" else ""
       s"""{"metric":"total","value":${sec(total, 2)},"unit":"sec","queries":$qs${errsJson(maxMsg)}$tail,"sf":"$sfDir"}"""
     }
     // The harness keeps a ~2000-char stdout tail and parses its last
     // line, so the line must stay under that budget: centiseconds
     // first, then drop the count fields, then deciseconds, then shrink
-    // error messages, then whole seconds — the final variant is the
-    // floor and is emitted even if oversized (nothing further to cut).
+    // error messages, then whole seconds, then slowest-K truncation —
+    // the final total-only variant always fits.
     val line = Seq(
       build(2, true, 120), build(2, false, 120), build(1, false, 120),
-      build(1, false, 20), build(0, false, 20))
-      .find(_.length <= 1960).getOrElse(build(0, false, 0))
+      build(1, false, 20), build(0, false, 20),
+      build(1, false, 20, 80), build(1, false, 20, 60), build(1, false, 20, 40),
+      build(1, false, 20, 25))
+      .find(_.length <= 1960).getOrElse(build(1, false, 0, 0))
     spark.stop()
     println(line)
     if (errors.nonEmpty) sys.exit(1)

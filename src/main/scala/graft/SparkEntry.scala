@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{LlmOps, Multimodal, Relational, Similarity}
+import graft.operators.{Delta, LlmOps, Multimodal, Relational, Scale, Similarity}
 import graft.streaming.Streaming
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -93,6 +93,12 @@ object SparkEntry {
     "q_asof_join"          -> Relational.qAsofJoin _,
     "q_asof_native"        -> Relational.qAsofNative _,
     "q_flagship"           -> Relational.flagship _,
+    "q_snapshot_diff"      -> Delta.qSnapshotDiff _,
+    "q_gap_fill"           -> Relational.qGapFill _,
+    "f13_maps"             -> Relational.f13Maps _,
+    // The pre-flight join diagnostic, run on the orders fact's key.
+    "q_skew_profile"       -> ((s: SparkSession, dir: String) =>
+      Scale.skewProfile(graft.Tables.orders(s, dir), "o_custkey")),
     "q_data_quality"       -> ((s: SparkSession, dir: String) =>
       graft.operators.Validation.checkConstraints(
         graft.Tables.orders(s, dir),
@@ -128,6 +134,7 @@ object SparkEntry {
     "t14_pack"         -> LlmOps.t14PackSequences _,
     "t15_chunk"        -> LlmOps.t15Chunk _,
     "t16_tfidf"        -> LlmOps.t16TfIdf _,
+    "t17_inverted_index" -> LlmOps.t17InvertedIndex _,
   )
 
   private val simQueries: Map[String, Query] = Map(
@@ -135,6 +142,7 @@ object SparkEntry {
     "sim_lsh_pairs" -> Similarity.simLshPairs _,
     "sim_ivf_topk"  -> Similarity.simIvfTopk _,
     "sim_quantize_q8" -> Similarity.simQuantizeQ8 _,
+    "sim_pq_topk"   -> Similarity.simPqTopk _,
     "d8_embed_neardup" -> Similarity.d8EmbedNeardup _,
   )
 
@@ -280,6 +288,40 @@ object SparkEntry {
         "lo + r * ((hi - lo + 1) // 64) + ((hi - lo + 1) // 32 + 1) AS w_end FROM range(0, 48) t(r), b) " +
         "SELECT w_id, count(*) AS n_events, CAST(sum(value_milli) AS BIGINT) AS sum_value_milli " +
         "FROM w JOIN ev ON ts_ms >= w_start AND ts_ms < w_end GROUP BY w_id"),
+    // Snapshot-diff twin: the oracle re-derives the perturbed "next
+    // snapshot" with identical integer/mod arithmetic and classifies via
+    // a plain FULL JOIN value compare — the engine's hash-compare is an
+    // implementation detail it must agree with.
+    "q_snapshot_diff" ->
+      ("WITH o AS (SELECT o_orderkey, o_orderstatus AS status, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders), " +
+        "n AS (SELECT o_orderkey, CASE WHEN o_orderkey % 13 = 0 THEN 'X' ELSE status END AS status, " +
+        "CASE WHEN o_orderkey % 7 = 0 THEN cents + 500 ELSE cents END AS cents FROM o WHERE o_orderkey % 97 <> 0 " +
+        "UNION ALL SELECT o_orderkey + 100000000, status, cents FROM o WHERE o_orderkey % 101 = 0) " +
+        "SELECT * FROM (SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey, " +
+        "CASE WHEN o.o_orderkey IS NULL THEN 'added' WHEN n.o_orderkey IS NULL THEN 'removed' " +
+        "WHEN o.status <> n.status OR o.cents <> n.cents THEN 'changed' ELSE 'unchanged' END AS change_type " +
+        "FROM o FULL JOIN n ON o.o_orderkey = n.o_orderkey) WHERE change_type <> 'unchanged'"),
+    // Gap-fill twin: the spine is generate_series over each key's own
+    // month bounds — same per-key span, same zero fill.
+    "q_gap_fill" ->
+      ("WITH om AS (SELECT o_custkey, CAST(date_trunc('month', o_orderdate) AS DATE) AS month, count(*) AS n_orders, " +
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents FROM orders WHERE o_custkey <= 200 GROUP BY 1, 2), " +
+        "b AS (SELECT o_custkey, min(month) AS lo, max(month) AS hi FROM om GROUP BY 1), " +
+        "spine AS (SELECT o_custkey, CAST(unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS DATE) AS month FROM b) " +
+        "SELECT s.o_custkey, s.month, coalesce(n_orders, 0) AS n_orders, coalesce(cents, 0) AS cents " +
+        "FROM spine s LEFT JOIN om USING (o_custkey, month)"),
+    // Map-family twin: the engine's map_concat + explode rows, stated as
+    // one UNION ALL branch per key.
+    "f13_maps" ->
+      ("SELECT event_id, 'k' AS key, json_extract_string(props, '$.k') AS value FROM events " +
+        "UNION ALL SELECT event_id, 'et' AS key, event_type AS value FROM events"),
+    // quantile_cont interpolates exactly like Spark's percentile (the
+    // a10-proven pairing); all ratio outputs are integer div.
+    "q_skew_profile" ->
+      ("WITH k AS (SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY 1) " +
+        "SELECT count(*) AS n_keys, CAST(sum(cnt) AS BIGINT) AS n_rows, min(cnt) AS min_cnt, max(cnt) AS max_cnt, " +
+        "quantile_cont(cnt, 0.5) AS p50_cnt, quantile_cont(cnt, 0.99) AS p99_cnt, " +
+        "CAST((max(cnt) * 1000 * count(*)) // CAST(sum(cnt) AS BIGINT) AS BIGINT) AS skew_milli FROM k"),
     "q_scalar_subquery" ->
       "SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)",
     // Correlated subqueries on the oracle side; the engine's window
@@ -555,6 +597,16 @@ object SparkEntry {
 
   private val llmOracle2: Map[String, String] = Map(
     "t13_rolling_fp" -> rkSql,
+    // Inverted-index twin: distinct (shingle, doc) rows, df band filter,
+    // posting truncation via row_number — the engine's collect/sort/slice
+    // must produce the identical comma string.
+    "t17_inverted_index" ->
+      (s"WITH tokd AS ($duckTok), " +
+        s"sh AS (SELECT DISTINCT doc_id, shingle FROM (SELECT doc_id, unnest($duckShingles) AS shingle FROM tokd WHERE len(tok) >= 3)), " +
+        "d AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle HAVING count(*) BETWEEN 2 AND 50), " +
+        "r AS (SELECT sh.shingle, d.df, sh.doc_id, row_number() OVER (PARTITION BY sh.shingle ORDER BY sh.doc_id) AS rn FROM sh JOIN d USING (shingle)) " +
+        "SELECT shingle, df, string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings " +
+        "FROM r WHERE rn <= 8 GROUP BY shingle, df"),
     "t12_stopwords" ->
       (s"WITH tokd AS ($duckTok), " +
         "v AS (SELECT tok, count(*) AS tf, count(DISTINCT doc_id) AS df FROM " +
@@ -692,6 +744,23 @@ object SparkEntry {
         "SELECT d.doc_id, coalesce(n_neardups, 0) AS n_neardups, " +
         "least(d.doc_id, coalesce(min_nb, d.doc_id)) AS canonical_id " +
         "FROM documents d LEFT JOIN neigh ON d.doc_id = neigh.doc_id"),
+    // PQ/ADC twin: elements quantized to integer millis first (floor of
+    // an exact double product), then EVERY distance is integer-summed
+    // squared L2 — order-independent on both engines by construction.
+    "sim_pq_topk" ->
+      ("WITH raw AS (SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i FROM embeddings), " +
+        "e AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim, CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS xm FROM raw), " +
+        s"c AS (SELECT vec_id AS c, dim // ${Similarity.PqSubDim} AS m, dim, xm AS cx FROM e WHERE vec_id < ${Similarity.PqCentroids}), " +
+        "dist AS (SELECT e.vec_id, c.m, c.c, CAST(sum((e.xm - c.cx) * (e.xm - c.cx)) AS BIGINT) AS d " +
+        "FROM e JOIN c ON e.dim = c.dim GROUP BY 1, 2, 3), " +
+        "codes AS (SELECT vec_id, m, c FROM (SELECT vec_id, m, c, row_number() OVER (PARTITION BY vec_id, m ORDER BY d, c) AS rn FROM dist) WHERE rn = 1), " +
+        s"qd AS (SELECT vec_id AS query_id, m, c, d FROM dist WHERE vec_id < ${Similarity.PqQueries}), " +
+        "adc AS (SELECT query_id, codes.vec_id, CAST(sum(d) AS BIGINT) AS adist " +
+        "FROM codes JOIN qd ON codes.m = qd.m AND codes.c = qd.c " +
+        "WHERE codes.vec_id <> qd.query_id GROUP BY 1, 2) " +
+        "SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id, adist " +
+        "FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adist, vec_id) AS rank FROM adc) " +
+        s"WHERE rank <= ${Similarity.PqTopK}"),
     // Identical double expression (127·x/s + 0.5, floor) on both sides —
     // same IEEE ops on the same exact inputs, so floor never diverges.
     "sim_quantize_q8" ->

@@ -745,6 +745,38 @@ object LlmOps {
         count(lit(1)).as("n_terms"))
   }
 
+  /** T17: inverted-index build — truncated posting lists (3-gram
+    * shingle → first 8 containing doc_ids, ascending) for
+    * discriminative shingles (2 ≤ df ≤ 50). This is the
+    * retrieval/decontamination lookup structure: [[t11Decontaminate]]
+    * answers "which training docs contain this eval n-gram" with a
+    * per-run join; the index is that answer MATERIALIZED, the thing
+    * search/audit tooling reads. (Shingles, not bare tokens: this
+    * corpus' token vocabulary is ~31 head words — every posting list
+    * would be the whole corpus; 3-gram shingles are the discriminative
+    * unit, exactly like t11.)
+    *
+    * Scale discipline — the df-FILTER runs BEFORE any collect: df comes
+    * from a map-combinable count on distinct (shingle, doc) rows, head
+    * shingles (df ≈ corpus) are dropped by the band filter and never
+    * reach `collect_list`, so per-group collected state is bounded by
+    * the df ceiling (≤ 50 ids), not by corpus size. The posting list is
+    * sorted and truncated per group (`array_sort` + `slice`) and
+    * serialized to a comma string so the DuckDB oracle compares it
+    * exactly.
+    */
+  def t17InvertedIndex(spark: SparkSession, dir: String): DataFrame = {
+    val posting = shingleRows(spark, dir).distinct()
+    val mid = posting.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, 50))
+    posting.join(mid, "shingle")
+      .groupBy("shingle", "df")
+      .agg(collect_list("doc_id").as("docs"))
+      .select(col("shingle"), col("df"),
+        concat_ws(",", expr("transform(slice(array_sort(docs), 1, 8), d -> cast(d as string))"))
+          .as("postings"))
+  }
+
   /** T12: stopword selection from the corpus vocabulary — tokens whose
     * document frequency exceeds half the corpus ([[t7TokenFreq]]'s
     * stopword/IDF use, materialized): the df-threshold rule every

@@ -902,6 +902,55 @@ object Relational {
       .agg(count(lit(1)).as("n_events"), sum("value_milli").as("sum_value_milli"))
   }
 
+  /** Date-spine gap fill: per-customer monthly order rollup with every
+    * missing month materialized as an explicit zero row — the "no data
+    * IS data" step every time-series feature build needs before windows
+    * or forecasting (a lag over a series with silent holes is wrong).
+    *
+    * The spine is generated PER KEY from that key's own [min, max]
+    * month bounds (`sequence` + explode) — no driver-side date loop, no
+    * global calendar cross join: rows ∝ Σ per-key span. The fill join is
+    * a left join on (key, month) — both sides hash-partition on the same
+    * compound key. Integer cents; months as DATE.
+    */
+  def qGapFill(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables.orders(spark, dir)
+      .filter(col("o_custkey") <= 200)
+      .groupBy(col("o_custkey"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(expr("cast(round(o_totalprice * 100) as bigint)")).as("cents"))
+    val spine = monthly
+      .groupBy("o_custkey")
+      .agg(min("month").as("lo"), max("month").as("hi"))
+      .select(col("o_custkey"),
+        explode(expr("sequence(lo, hi, interval 1 month)")).as("month"))
+    spine.join(monthly, Seq("o_custkey", "month"), "left")
+      .select(col("o_custkey"), col("month"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("cents"), lit(0L)).as("cents"))
+  }
+
+  /** F13: map-typed column family — parse JSON props into a real
+    * `map<string,string>` (schema-on-read for ragged key sets, vs f7's
+    * fixed struct), augment it with `map_concat`, and flatten with the
+    * map-generator explode into (key, value) rows. Map columns are how
+    * an engine carries open-schema metadata (HTTP headers, feature
+    * bags, experiment tags) without a schema migration per new key.
+    * Map-only: parse, concat, and explode all run inside the scan
+    * stage; rows out ∝ total map entries.
+    */
+  def f13Maps(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"),
+        from_json(col("props"), org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.StringType)).as("m"),
+        col("event_type"))
+      .select(col("event_id"),
+        map_concat(col("m"), map(lit("et"), col("event_type"))).as("mm"))
+      .select(col("event_id"), explode(col("mm")).as(Seq("key", "value")))
+
   // ---------------------------------------------------------------------
   // Flagship (§7.2): every structural element of the reference pipeline in
   // one plan — filter → 3 joins → derive → agg → validate → project.

@@ -107,6 +107,32 @@ object Scale {
       .drop("__pid", "__offset")
   }
 
+  /** Key-skew profile — the pre-flight diagnostic you run BEFORE choosing
+    * between a plain shuffled join, AQE skew splitting, and
+    * [[saltedEquiJoin]]: per-key counts reduced to one summary row
+    * (distinct keys, total rows, min/max/p50/p99 per-key count, and
+    * `skew_milli` = max-key-count / mean-key-count ×1000 — 1000 means
+    * perfectly uniform; ≳10000 means the hottest key is 10× the mean and
+    * a plain shuffle will straggle).
+    *
+    * Cost: one map-combinable groupBy on the key, then a single-row
+    * aggregate over the (already small) per-key counts — safe to run on
+    * the full 100 TB input. Exact percentiles here are over #keys rows,
+    * not #data rows; swap in approx_percentile if the KEY cardinality
+    * itself is huge.
+    */
+  def skewProfile(df: DataFrame, key: String): DataFrame =
+    df.groupBy(col(key)).agg(count(lit(1)).as("cnt"))
+      .agg(
+        count(lit(1)).as("n_keys"),
+        sum("cnt").as("n_rows"),
+        min("cnt").as("min_cnt"),
+        max("cnt").as("max_cnt"),
+        expr("percentile(cnt, 0.5)").as("p50_cnt"),
+        expr("percentile(cnt, 0.99)").as("p99_cnt"))
+      .withColumn("skew_milli",
+        expr("(max_cnt * 1000L * n_keys) div n_rows"))
+
   /** Skew-resistant equi-join of a large (skewed) side against a smaller
     * side: `big` is salted by hash(`bigUniqueCol`) mod `salts`, `small`
     * is replicated once per salt, and the join key becomes

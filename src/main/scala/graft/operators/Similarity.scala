@@ -226,6 +226,81 @@ object Similarity {
   }
 
   // ---------------------------------------------------------------------
+  // Product quantization (PQ) — the third classic ANN scale path next to
+  // LSH buckets and IVF lists: compress each vector to M subspace codes,
+  // answer queries from per-query distance TABLES instead of touching
+  // raw vectors (asymmetric distance computation, ADC).
+  // ---------------------------------------------------------------------
+
+  /** PQ geometry: 64 dims → [[PqSubspaces]] subspaces of 8 dims, coded
+    * against [[PqCentroids]] centroids each. Centroids are the first
+    * vectors' subvectors — deterministic stand-ins for the k-means
+    * codebook (float averaging is aggregation-order dependent; see
+    * [[simIvfTopk]]).
+    */
+  val PqSubspaces = 8
+  val PqSubDim = 8
+  val PqCentroids = 8
+  val PqQueries = 4
+  val PqTopK = 3
+
+  /** Element rows quantized to integer millis: (vec_id, dim, xm) with
+    * xm = floor(1000·x + 0.5) — float inputs are exact in double, and
+    * every distance downstream is then INTEGER arithmetic, so sums are
+    * order-independent and the oracle matches bit-for-bit. (PQ over
+    * integer-quantized elements is also the realistic production form —
+    * the int8 store of [[simQuantizeQ8]] is what large ANN fleets scan.)
+    */
+  private def elemMilli(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "xf")))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"),
+        expr("cast(floor(cast(xf as double) * 1000 + 0.5d) as bigint)").as("xm"))
+
+  /** PQ + ADC top-k: encode the corpus as [[PqSubspaces]] argmin-L2
+    * codes per vector, build each query's exact subspace→centroid
+    * distance table, and rank by the table-summed approximate distance.
+    *
+    * Scale shape: the codebook (8 vectors' elements) broadcasts; the
+    * per-(vec, subspace, centroid) squared-L2 reduce is a map-combinable
+    * groupBy on uniform keys; codes are M rows (→ M bytes) per vector —
+    * the 32× store compression that lets a 100 TB corpus fit hot. ADC
+    * joins the code rows against the BROADCAST query distance tables
+    * (Q·M·K rows) and reduces with one integer sum per (query, vector)
+    * — the corpus' raw vectors are never read at query time. Recall < 1
+    * by design; [[simTopk]] is the exact baseline.
+    */
+  def simPqTopk(spark: SparkSession, dir: String): DataFrame = {
+    val em = elemMilli(spark, dir)
+    val cent = em.filter(col("vec_id") < PqCentroids)
+      .select(col("vec_id").as("c"), col("dim"), col("xm").as("cx"))
+    // Exact squared L2 between every (vector, centroid) pair per subspace:
+    // expand ×K against the broadcast codebook, one partial-agg reduce.
+    val dist = em
+      .join(broadcast(cent), Seq("dim"))
+      .groupBy(col("vec_id"), expr(s"dim div $PqSubDim").as("m"), col("c"))
+      .agg(sum((col("xm") - col("cx")) * (col("xm") - col("cx"))).as("d"))
+    // Codes: argmin distance, ties to the lowest centroid id —
+    // order-independent min(struct).
+    val codes = dist.groupBy("vec_id", "m")
+      .agg(min(struct(col("d"), col("c"))).as("best"))
+      .select(col("vec_id"), col("m"), col("best.c").as("c"))
+    // ADC: each query's distance table is its own dist rows; approximate
+    // distance = Σ_m table[m][code[m]] — one integer sum per (query, vec).
+    val qdist = dist.filter(col("vec_id") < PqQueries)
+      .select(col("vec_id").as("query_id"), col("m"), col("c"), col("d"))
+    val w = Window.partitionBy("query_id").orderBy(col("adist"), col("vec_id"))
+    codes.join(broadcast(qdist), Seq("m", "c"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum("d").as("adist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= PqTopK)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("neighbor_id"), col("adist"))
+  }
+
+  // ---------------------------------------------------------------------
   // Int8 quantization (the embedding-store compression path).
   // ---------------------------------------------------------------------
 

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Delta
+
+/** Snapshot diff: classification of every change class, plus the
+  * null-hash edge cases the q_snapshot_diff oracle never exercises —
+  * NULL vs '' must differ, and a value moving BETWEEN columns must
+  * differ (the presence-tag encoding exists for exactly these).
+  */
+class DeltaSpec extends SparkTestBase {
+
+  test("snapshotDiff classifies added/removed/changed/unchanged") {
+    import spark.implicits._
+    val old = Seq(
+      (1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L), (4L, "d", 40L)
+    ).toDF("k", "s", "v")
+    val next = Seq(
+      (1L, "a", 10L),  // unchanged
+      (2L, "B", 20L),  // changed (s)
+      (3L, "c", 31L),  // changed (v)
+      (5L, "e", 50L)   // added; 4 removed
+    ).toDF("k", "s", "v")
+    val got = Delta.snapshotDiff(old, next, Seq("k"), Seq("s", "v"))
+      .select("k", "change_type").as[(Long, String)].collect().toMap
+    assert(got === Map(
+      1L -> "unchanged", 2L -> "changed", 3L -> "changed",
+      4L -> "removed", 5L -> "added"))
+  }
+
+  test("null-safety: NULL vs '' and value-shift between columns both flag as changed") {
+    import spark.implicits._
+    val old = Seq(
+      (1L, Option.empty[String], Option("")),   // (NULL, '')
+      (2L, Option("x"), Option.empty[String])   // ('x', NULL)
+    ).toDF("k", "a", "b")
+    val next = Seq(
+      (1L, Option(""), Option.empty[String]),   // ('', NULL) — swapped
+      (2L, Option.empty[String], Option("x"))   // (NULL, 'x') — shifted
+    ).toDF("k", "a", "b")
+    val got = Delta.snapshotDiff(old, next, Seq("k"), Seq("a", "b"))
+      .select("k", "change_type").as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "changed", 2L -> "changed"))
+    // And identical null patterns stay unchanged.
+    val same = Delta.snapshotDiff(old, old, Seq("k"), Seq("a", "b"))
+      .select("k", "change_type").as[(Long, String)].collect().toMap
+    assert(same === Map(1L -> "unchanged", 2L -> "unchanged"))
+  }
+
+  test("skewProfile flags a hot key and is exact on a crafted distribution") {
+    import spark.implicits._
+    // 1 key with 90 rows + 9 keys with 1 row: mean = 9.9, max = 90.
+    val rows = (1 to 90).map(i => ("hot", i)) ++ (1 to 9).map(i => (s"k$i", i))
+    val prof = graft.operators.Scale.skewProfile(rows.toDF("key", "x"), "key")
+      .collect().head
+    assert(prof.getAs[Long]("n_keys") === 10L)
+    assert(prof.getAs[Long]("n_rows") === 99L)
+    assert(prof.getAs[Long]("max_cnt") === 90L)
+    assert(prof.getAs[Long]("min_cnt") === 1L)
+    // 90 * 1000 * 10 div 99 = 9090 — the hottest key is ~9× the mean.
+    assert(prof.getAs[Long]("skew_milli") === 9090L)
+  }
+}
