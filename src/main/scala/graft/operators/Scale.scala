@@ -107,6 +107,51 @@ object Scale {
       .drop("__pid", "__offset")
   }
 
+  /** Bit-interleave expression for two pre-scaled non-negative ints in
+    * [0, 2^bits): the Z-order (Morton) curve value. Pure shifts/adds —
+    * codegen-friendly, no UDF.
+    */
+  private def zExpr(a: String, b: String, bits: Int): String =
+    (0 until bits).flatMap { i =>
+      Seq(s"shiftleft(shiftright($a, $i) & 1, ${2 * i + 1})",
+        s"shiftleft(shiftright($b, $i) & 1, ${2 * i})")
+    }.mkString(" + ")
+
+  /** Z-ordered file layout: cluster `df` on the Morton interleave of TWO
+    * columns so parquet min/max stats prune files for predicates on
+    * EITHER column — the data-layout-as-index technique for the second
+    * and third filter column, where partitioning (the first coarse
+    * index, PartitionPruningSpec) has already been spent. A single-column
+    * sort gives perfect pruning on that column and none on any other;
+    * the Z-curve makes each file a small rectangle in (A, B) space, so a
+    * point/range query on either dimension overlaps few rectangles.
+    *
+    * Columns are first normalized to [0, 2^bits) by linear min/max
+    * scaling (one tiny aggregate, broadcast back — no window, no
+    * single-task trap). Linear scaling assumes roughly uniform value
+    * spread; a production engine samples range bounds instead (what
+    * `repartitionByRange`'s sampler does) so heavy skew still yields
+    * balanced rectangles. Then: range-partition on the z-value into
+    * `numFiles` tasks, sort within partitions, write. Cost = one extra
+    * shuffle at WRITE time; every subsequent multi-predicate scan pays
+    * less I/O — the classic write-once/read-many trade.
+    */
+  def writeZOrdered(df: DataFrame, out: String, colA: String, colB: String,
+                    numFiles: Int, bits: Int = 16): Unit = {
+    val n = (1L << bits) - 1
+    val bounds = df.agg(
+      min(colA).cast("long").as("__loA"), max(colA).cast("long").as("__hiA"),
+      min(colB).cast("long").as("__loB"), max(colB).cast("long").as("__hiB"))
+    df.crossJoin(broadcast(bounds))
+      .withColumn("__za", expr(s"(($colA - __loA) * ${n}L) div (__hiA - __loA + 1)"))
+      .withColumn("__zb", expr(s"(($colB - __loB) * ${n}L) div (__hiB - __loB + 1)"))
+      .withColumn("__z", expr(zExpr("__za", "__zb", bits)))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z", "__za", "__zb", "__loA", "__hiA", "__loB", "__hiB")
+      .write.mode(SaveMode.Overwrite).parquet(out)
+  }
+
   /** Key-skew profile — the pre-flight diagnostic you run BEFORE choosing
     * between a plain shuffled join, AQE skew splitting, and
     * [[saltedEquiJoin]]: per-key counts reduced to one summary row

@@ -115,6 +115,39 @@ object Streaming {
     spark.read.parquet(outDir)
   }
 
+  /** ST8: streaming UPSERT sink — foreachBatch routed through the K6
+    * dynamic-partition-overwrite writer ([[graft.sinks.Sinks
+    * .overwritePartitions]]): each micro-batch replaces ONLY the
+    * partitions it carries and leaves every other partition of the
+    * target table untouched. This closes the incremental-ingest loop
+    * end-to-end (stream → partition-scoped table maintenance): a plain
+    * overwrite sink would delete partitions owned by other
+    * sources/backfills, an append sink would duplicate reprocessed
+    * windows — partition-scoped overwrite is the idempotent middle.
+    * Returns the target table re-read.
+    */
+  def upsertToPartitions(spark: SparkSession, dir: String, outDir: String): DataFrame = {
+    val agged = eventsStream(spark, dir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count("*").as("n_events"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n_events"))
+    withStreamPartitions(spark, 8) {
+      val q = agged.writeStream
+        .outputMode("complete")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft_ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty)
+            graft.sinks.Sinks.overwritePartitions(batch, outDir, Seq("event_type"))
+        }
+        .start()
+      q.awaitTermination()
+    }
+    spark.read.parquet(outDir)
+  }
+
   /** Tumbling 1-hour windows per event_type: count + value sum. */
   def tumblingCounts(spark: SparkSession, dir: String): DataFrame = {
     val agged = eventsStream(spark, dir)

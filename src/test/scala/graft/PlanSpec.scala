@@ -65,6 +65,23 @@ class PlanSpec extends SparkTestBase {
     assert(!t11.contains("SortMergeJoin"))
   }
 
+  test("new round-5 operators keep their scale shapes (gap fill, PQ, diff)") {
+    import graft.operators.{Delta, Similarity => Sim}
+    // Gap fill: the customer filter must reach the parquet scan.
+    val gf = plan(Relational.qGapFill(spark, Sf))
+    assert(gf.contains("LessThanOrEqual(o_custkey,200)"),
+      "gap-fill key filter should push to the scan")
+    // PQ: both the codebook join and the ADC query-table join broadcast —
+    // the corpus-sized side must never shuffle against either.
+    val pq = plan(Sim.simPqTopk(spark, Sf))
+    assert("BroadcastHashJoin".r.findAllIn(pq).length >= 2,
+      s"PQ codebook + ADC joins should both broadcast:\n$pq")
+    // Snapshot diff: the join payload is the 32-hex md5, not raw columns —
+    // a regression to comparing raw columns would widen the shuffle.
+    val sd = plan(Delta.qSnapshotDiff(spark, Sf))
+    assert(sd.contains("md5"), "diff should shuffle hashes, not raw columns")
+  }
+
   test("native rolling_min_hash stays inside whole-stage codegen") {
     import graft.operators.LlmOps
     val df = LlmOps.t13RollingFp(spark, Sf)

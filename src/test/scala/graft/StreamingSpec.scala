@@ -35,6 +35,35 @@ class StreamingSpec extends SparkTestBase {
     assertSameRows(written, batch)
   }
 
+  test("streaming upsert sink replaces only its own partitions") {
+    import spark.implicits._
+    val out = tempDir("stream_upsert")
+    // Pre-seed a partition owned by "another pipeline": event_type values
+    // in the stream never include 'seeded', so the upsert must not touch it.
+    Seq((java.sql.Timestamp.valueOf("2000-01-01 00:00:00"), "seeded", 7L))
+      .toDF("window_start", "event_type", "n_events")
+      .write.partitionBy("event_type").mode("append").parquet(out)
+    // Partition-column reads append event_type LAST; re-pin the column
+    // order since exceptAll compares positionally.
+    val written = Streaming.upsertToPartitions(spark, Sf, out)
+      .select("window_start", "event_type", "n_events")
+    // The foreign partition survived intact...
+    val seeded = written.filter(col("event_type") === "seeded")
+    assert(seeded.count() === 1)
+    assert(seeded.select("n_events").as[Long].head() === 7L)
+    // ...and the stream's own partitions hold exactly the batch twin.
+    val batch = Tables.events(spark, Sf)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count("*").as("n_events"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n_events"))
+    assertSameRows(written.filter(col("event_type") =!= "seeded"), batch)
+    // Idempotence: re-running the same window replaces, never duplicates.
+    val rerun = Streaming.upsertToPartitions(spark, Sf, out)
+      .select("window_start", "event_type", "n_events")
+    assertSameRows(rerun.filter(col("event_type") =!= "seeded"), batch)
+    assert(rerun.filter(col("event_type") === "seeded").count() === 1)
+  }
+
   test("session streaming windows equal the batch session_window twin") {
     val batch = Tables.events(spark, Sf)
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
