@@ -94,6 +94,8 @@ object SparkEntry {
     "q_asof_native"        -> Relational.qAsofNative _,
     "q_flagship"           -> Relational.flagship _,
     "q_snapshot_diff"      -> Delta.qSnapshotDiff _,
+    "q_fuzzy_match"        -> Relational.qFuzzyMatch _,
+    "f14_regex"            -> Relational.f14Regex _,
     "q_gap_fill"           -> Relational.qGapFill _,
     "f13_maps"             -> Relational.f13Maps _,
     // The pre-flight join diagnostic, run on the orders fact's key.
@@ -288,6 +290,20 @@ object SparkEntry {
         "lo + r * ((hi - lo + 1) // 64) + ((hi - lo + 1) // 32 + 1) AS w_end FROM range(0, 48) t(r), b) " +
         "SELECT w_id, count(*) AS n_events, CAST(sum(value_milli) AS BIGINT) AS sum_value_milli " +
         "FROM w JOIN ev ON ts_ms >= w_start AND ts_ms < w_end GROUP BY w_id"),
+    // Fuzzy-match twin: same blocking equi-join stated as SQL, same
+    // built-in Levenshtein (unit-cost edit distance in both engines).
+    "q_fuzzy_match" ->
+      ("SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b, " +
+        "CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS edit_dist " +
+        "FROM customer a JOIN customer b " +
+        "ON a.c_nationkey = b.c_nationkey AND a.c_custkey // 100 = b.c_custkey // 100 " +
+        "AND a.c_custkey < b.c_custkey " +
+        "WHERE levenshtein(a.c_name, b.c_name) <= 3"),
+    // Regex family twin: extract/count/match via DuckDB's RE builtins.
+    "f14_regex" ->
+      ("SELECT p_partkey, regexp_extract(p_name, '^[a-z]+') AS first_word, " +
+        "CAST(len(regexp_extract_all(p_name, '[aeiou]+')) AS BIGINT) AS n_vowel_runs, " +
+        "regexp_matches(p_name, '(ring|bolt)') AS is_fastener FROM part"),
     // Snapshot-diff twin: the oracle re-derives the perturbed "next
     // snapshot" with identical integer/mod arithmetic and classifies via
     // a plain FULL JOIN value compare — the engine's hash-compare is an

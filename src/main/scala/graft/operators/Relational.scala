@@ -931,6 +931,49 @@ object Relational {
         coalesce(col("cents"), lit(0L)).as("cents"))
   }
 
+  /** Fuzzy match / entity resolution: near-identical names found with a
+    * BLOCKED Levenshtein join — the data-cleaning step that links
+    * "Customer#000000019" to its typo'd twin. Edit distance is O(len²)
+    * per pair, so the join must never be all-pairs: candidates come from
+    * an equi-join on a cheap blocking key (nation, custkey-hundred) and
+    * only blocked pairs pay the distance call. Same candidate-then-
+    * verify skeleton as the dedup family (d2/d4) with an edit-distance
+    * verifier instead of Jaccard. `levenshtein` is a codegen'd built-in
+    * returning an int — oracle-exact.
+    *
+    * At 100 TB the blocking key is the whole game (phonetic code,
+    * sorted-neighborhood window, or LSH over char n-grams); the plan
+    * shape — equi-join on the block, distance on candidates only —
+    * stays identical.
+    */
+  def qFuzzyMatch(spark: SparkSession, dir: String): DataFrame = {
+    def side(p: String) = Tables.customer(spark, dir).select(
+      col("c_custkey").as(s"${p}key"),
+      col("c_name").as(s"${p}name"),
+      col("c_nationkey").as(s"${p}nation"),
+      expr("c_custkey div 100").as(s"${p}block"))
+    side("a_").join(side("b_"),
+        col("a_nation") === col("b_nation") &&
+          col("a_block") === col("b_block") &&
+          col("a_key") < col("b_key"))
+      .select(col("a_key").as("cust_a"), col("b_key").as("cust_b"),
+        levenshtein(col("a_name"), col("b_name")).cast("long").as("edit_dist"))
+      .filter(col("edit_dist") <= 3)
+  }
+
+  /** F14: regex scalar family — extract, count, and match built-ins
+    * (anchored extract, occurrence count, containment test) in one
+    * map-only pass. These stay inside whole-stage codegen (Java regex
+    * compiled once per task), unlike a UDF reimplementation.
+    */
+  def f14Regex(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(
+        col("p_partkey"),
+        regexp_extract(col("p_name"), "^[a-z]+", 0).as("first_word"),
+        expr("cast(regexp_count(p_name, '[aeiou]+') as bigint)").as("n_vowel_runs"),
+        col("p_name").rlike("(ring|bolt)").as("is_fastener"))
+
   /** F13: map-typed column family — parse JSON props into a real
     * `map<string,string>` (schema-on-read for ragged key sets, vs f7's
     * fixed struct), augment it with `map_concat`, and flatten with the

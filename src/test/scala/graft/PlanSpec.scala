@@ -82,6 +82,43 @@ class PlanSpec extends SparkTestBase {
     assert(sd.contains("md5"), "diff should shuffle hashes, not raw columns")
   }
 
+  test("fuzzy match joins on the block key, never a nested loop") {
+    val fm = plan(Relational.qFuzzyMatch(spark, Sf))
+    assert(!fm.contains("BroadcastNestedLoopJoin") && !fm.contains("CartesianProduct"),
+      s"blocked fuzzy match must plan as an equi-join on the block key:\n$fm")
+  }
+
+  test("runtime bloom filter prunes the probe side of a selective join") {
+    // At real scale Spark injects a bloom filter built from the small
+    // (filtered) side into the big side's scan — semi-join reduction
+    // without a manual step. Locally the size thresholds gate it off;
+    // zeroing them shows the engine's joins are ELIGIBLE (equi-join,
+    // selective creation side) — the property that matters at 100 TB.
+    // applicationSideScanSizeThreshold is a MINIMUM on the probe scan
+    // (zero it so the tiny fixture qualifies); creationSideThreshold is
+    // a MAXIMUM on the build side (default 10 MB already passes). The
+    // rule also skips joins it expects to broadcast — the fixture sides
+    // are tiny, so disable auto-broadcast to exercise the shuffle-join
+    // path the filter exists for.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val df = Tables.lineitem(spark, Sf)
+        .join(Tables.orders(spark, Sf).filter(org.apache.spark.sql.functions.col("o_orderpriority") === "1-URGENT"),
+          org.apache.spark.sql.functions.col("l_orderkey") === org.apache.spark.sql.functions.col("o_orderkey"))
+      val p = df.queryExecution.optimizedPlan.toString
+      assert(p.contains("bloom_filter") || p.contains("BloomFilter") || p.contains("might_contain"),
+        s"expected a runtime bloom filter on the probe side:\n$p")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("native rolling_min_hash stays inside whole-stage codegen") {
     import graft.operators.LlmOps
     val df = LlmOps.t13RollingFp(spark, Sf)
