@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineMilli, DotDouble, RollingMinHash}
+import graft.functions.{CosineMilli, DotDouble, RollingHashes, RollingMinHash}
 import graft.plans.{AsOfJoinStrategy, RangeJoinRewrite}
 
 /** SparkSessionExtensions entry point
@@ -52,6 +52,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             "rolling_min_hash window must be a literal, not a column")
         }
         RollingMinHash(children.head, w)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("rolling_hashes"),
+      new ExpressionInfo(classOf[RollingHashes].getName, "rolling_hashes"),
+      (children: Seq[Expression]) => {
+        // Same literal-window discipline as rolling_min_hash above.
+        if (children.size != 2)
+          throw new IllegalArgumentException(
+            s"rolling_hashes(text, window) takes 2 arguments, got ${children.size}")
+        val w = children(1) match {
+          case e if e.foldable => e.eval() match {
+            case i: java.lang.Integer => i.intValue()
+            case l: java.lang.Long => l.intValue()
+            case s: java.lang.Short => s.intValue()
+            case other => throw new IllegalArgumentException(
+              s"rolling_hashes window must be a non-null integer literal, got $other")
+          }
+          case _ => throw new IllegalArgumentException(
+            "rolling_hashes window must be a literal, not a column")
+        }
+        RollingHashes(children.head, w)
       }))
   }
 }

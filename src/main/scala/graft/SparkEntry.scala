@@ -137,6 +137,7 @@ object SparkEntry {
     "t15_chunk"        -> LlmOps.t15Chunk _,
     "t16_tfidf"        -> LlmOps.t16TfIdf _,
     "t17_inverted_index" -> LlmOps.t17InvertedIndex _,
+    "t18_cdc_chunks"   -> LlmOps.t18CdcChunks _,
   )
 
   private val simQueries: Map[String, Query] = Map(
@@ -611,8 +612,31 @@ object SparkEntry {
       s"WHERE length(text) >= $w"
   }
 
+  // CDC twin: the same Rabin-Karp polynomial brute-forced per position,
+  // the same mod-64 boundary rule, spans via lead, md5 per chunk.
+  private val cdcSql: String = {
+    import graft.functions.RollingMinHash.{Base, Mod}
+    val w = LlmOps.CdcWindow
+    val pows = (0 until w).map { j =>
+      (0 until (w - 1 - j)).foldLeft(1L)((p, _) => p * Base % Mod)
+    }
+    val terms = pows.zipWithIndex
+      .map { case (p, j) => s"CAST(ord(substr(text, i + $j, 1)) AS BIGINT) * $p" }.mkString(" + ")
+    s"WITH hs AS (SELECT doc_id, i, ($terms) % $Mod AS hash FROM " +
+      s"(SELECT doc_id, text, unnest(range(1, length(text) - $w + 2)) AS i FROM documents WHERE length(text) >= $w)), " +
+      s"b AS (SELECT doc_id, 0 AS pos FROM documents UNION SELECT doc_id, i - 1 FROM hs WHERE hash % ${LlmOps.CdcModulus} = 0 AND i > 1), " +
+      "c AS (SELECT doc_id, pos, lead(pos) OVER win AS next_pos, " +
+      "CAST(row_number() OVER win - 1 AS BIGINT) AS chunk_idx FROM b " +
+      "WINDOW win AS (PARTITION BY doc_id ORDER BY pos)) " +
+      "SELECT c.doc_id, chunk_idx, CAST(pos AS BIGINT) AS chunk_start, " +
+      "CAST(coalesce(next_pos, length(text)) - pos AS BIGINT) AS chunk_len, " +
+      "md5(substr(text, pos + 1, coalesce(next_pos, length(text)) - pos)) AS chunk_md5 " +
+      "FROM c JOIN documents d ON c.doc_id = d.doc_id"
+  }
+
   private val llmOracle2: Map[String, String] = Map(
     "t13_rolling_fp" -> rkSql,
+    "t18_cdc_chunks" -> cdcSql,
     // Inverted-index twin: distinct (shingle, doc) rows, df band filter,
     // posting truncation via row_number — the engine's collect/sort/slice
     // must produce the identical comma string.

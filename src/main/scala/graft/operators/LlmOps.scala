@@ -777,6 +777,50 @@ object LlmOps {
           .as("postings"))
   }
 
+  /** CDC geometry: 16-char hash window; a boundary wherever the rolling
+    * hash ≡ 0 mod 64 → expected chunk length ~64 chars.
+    */
+  val CdcWindow = 16
+  val CdcModulus = 64
+
+  /** T18: content-defined chunking — split every document at positions
+    * where the Rabin-Karp rolling hash lands on a fixed residue, then
+    * fingerprint each chunk. Unlike fixed/sliding chunking ([[t15Chunk]]),
+    * the boundaries are derived from CONTENT: inserting a prefix shifts
+    * every fixed chunk but leaves CDC boundaries downstream of the edit
+    * untouched, so duplicated passages keep identical chunk hashes
+    * wherever they sit. That shift-robustness is why large-corpus chunk
+    * dedup (and every dedup-friendly storage system) chunks this way.
+    *
+    * Engine shape: per-position hashes stream out of the native
+    * `rolling_hashes` GENERATOR (the §2.10 custom-UDTF surface — plans
+    * as a `Generate` exactly like posexplode, no per-row array
+    * materialization); boundary selection is a filter on the generated
+    * rows; chunk spans come from one (doc_id)-partitioned lead window;
+    * the text joins back once for the substring+md5. Rows ∝ boundaries
+    * (~len/64), map-combinable throughout.
+    */
+  def t18CdcChunks(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val bounds = docs.select(col("doc_id"), lit(0L).as("pos"))
+      .unionAll(
+        docs.select(col("doc_id"), expr(s"rolling_hashes(text, $CdcWindow)"))
+          .filter(col("hash") % CdcModulus === 0 && col("pos") > 0)
+          .select(col("doc_id"), col("pos")))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    bounds
+      .withColumn("next_pos", lead("pos", 1).over(w))
+      .withColumn("chunk_idx", (row_number().over(w) - 1).cast("long"))
+      .join(docs, "doc_id")
+      .select(col("doc_id"), col("chunk_idx"),
+        col("pos").as("chunk_start"),
+        (coalesce(col("next_pos"), length(col("text"))) - col("pos")).as("chunk_len"),
+        md5(expr("substring(text, pos + 1, coalesce(next_pos, length(text)) - pos)"))
+          .as("chunk_md5"))
+  }
+
   /** T12: stopword selection from the corpus vocabulary — tokens whose
     * document frequency exceeds half the corpus ([[t7TokenFreq]]'s
     * stopword/IDF use, materialized): the df-threshold rule every
