@@ -47,6 +47,24 @@ class EmptyInputSpec extends SparkTestBase {
     assert(graft.operators.Relational.qRangeJoin(spark, emptyDir).count() === 0)
   }
 
+  test("round-5b operators survive empty inputs") {
+    import org.apache.spark.sql.functions.col
+    assert(LlmOps.t17InvertedIndex(spark, emptyDir).count() === 0)
+    assert(LlmOps.t18CdcChunks(spark, emptyDir).count() === 0)
+    assert(Similarity.simPqTopk(spark, emptyDir).count() === 0)
+    // Empty old side = first-ever ingest: everything classifies as added.
+    val some = spark.range(3).toDF("k").withColumn("v", col("k") * 10)
+    val none = some.filter(col("k") < 0)
+    val d = graft.operators.Delta.snapshotDiff(none, some, Seq("k"), Seq("v"))
+    assert(d.count() === 3)
+    assert(d.filter(col("change_type") === "added").count() === 3)
+    // Skew profile over zero rows: one row, zero keys, null stats — a
+    // monitoring caller must never crash on an empty partition's profile.
+    val prof = graft.operators.Scale.skewProfile(none, "k").collect().head
+    assert(prof.getAs[Long]("n_keys") === 0L)
+    assert(prof.isNullAt(prof.fieldIndex("skew_milli")))
+  }
+
   test("document operators return empty on an empty corpus") {
     assert(LlmOps.d1DedupExact(spark, emptyDir).count() === 0)
     assert(LlmOps.d2DedupMinhash(spark, emptyDir).count() === 0)
