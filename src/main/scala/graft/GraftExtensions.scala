@@ -19,6 +19,30 @@ import graft.plans.{AsOfJoinStrategy, RangeJoinRewrite}
   *    ([[graft.plans.AsOfJoinStrategy]] → AsOfJoinExec).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  /** Shared argument discipline for the two rolling-hash builders: the
+    * builder runs at analysis time, so malformed calls surface as
+    * analysis errors, not raw CCE/NPE/IndexOutOfBounds (reviewer
+    * finding). The window must be a non-null integer literal.
+    */
+  private def literalWindow(fn: String, children: Seq[Expression]): (Expression, Int) = {
+    if (children.size != 2)
+      throw new IllegalArgumentException(
+        s"$fn(text, window) takes 2 arguments, got ${children.size}")
+    val w = children(1) match {
+      case e if e.foldable => e.eval() match {
+        case i: java.lang.Integer => i.intValue()
+        case l: java.lang.Long => l.intValue()
+        case s: java.lang.Short => s.intValue()
+        case other => throw new IllegalArgumentException(
+          s"$fn window must be a non-null integer literal, got $other")
+      }
+      case _ => throw new IllegalArgumentException(
+        s"$fn window must be a literal, not a column")
+    }
+    (children.head, w)
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => RangeJoinRewrite)
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
@@ -34,45 +58,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("rolling_min_hash"),
       new ExpressionInfo(classOf[RollingMinHash].getName, "rolling_min_hash"),
       (children: Seq[Expression]) => {
-        // The builder runs at analysis time: surface malformed calls as
-        // analysis errors, not raw CCE/NPE/IndexOutOfBounds (reviewer
-        // finding). The window must be a non-null integer literal.
-        if (children.size != 2)
-          throw new IllegalArgumentException(
-            s"rolling_min_hash(text, window) takes 2 arguments, got ${children.size}")
-        val w = children(1) match {
-          case e if e.foldable => e.eval() match {
-            case i: java.lang.Integer => i.intValue()
-            case l: java.lang.Long => l.intValue()
-            case s: java.lang.Short => s.intValue()
-            case other => throw new IllegalArgumentException(
-              s"rolling_min_hash window must be a non-null integer literal, got $other")
-          }
-          case _ => throw new IllegalArgumentException(
-            "rolling_min_hash window must be a literal, not a column")
-        }
-        RollingMinHash(children.head, w)
+        val (text, w) = literalWindow("rolling_min_hash", children)
+        RollingMinHash(text, w)
       }))
     ext.injectFunction((
       FunctionIdentifier("rolling_hashes"),
       new ExpressionInfo(classOf[RollingHashes].getName, "rolling_hashes"),
       (children: Seq[Expression]) => {
-        // Same literal-window discipline as rolling_min_hash above.
-        if (children.size != 2)
-          throw new IllegalArgumentException(
-            s"rolling_hashes(text, window) takes 2 arguments, got ${children.size}")
-        val w = children(1) match {
-          case e if e.foldable => e.eval() match {
-            case i: java.lang.Integer => i.intValue()
-            case l: java.lang.Long => l.intValue()
-            case s: java.lang.Short => s.intValue()
-            case other => throw new IllegalArgumentException(
-              s"rolling_hashes window must be a non-null integer literal, got $other")
-          }
-          case _ => throw new IllegalArgumentException(
-            "rolling_hashes window must be a literal, not a column")
-        }
-        RollingHashes(children.head, w)
+        val (text, w) = literalWindow("rolling_hashes", children)
+        RollingHashes(text, w)
       }))
   }
 }

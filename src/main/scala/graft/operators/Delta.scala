@@ -24,18 +24,24 @@ object Delta {
     * in either side: the key columns plus `change_type` ∈
     * {'added','removed','changed','unchanged'}.
     *
-    * Null-safety: every compared column contributes a presence tag AND
-    * its value — `concat_ws` silently drops bare NULLs, which would make
-    * (NULL, "x") collide with ("x", NULL) or NULL collide with ''.
+    * The hash input must be an INJECTIVE encoding of the column tuple:
+    * naive concatenation is not one ("a","1b") and ("a1","b") concat to
+    * the same bytes (reviewer finding), and `concat_ws` silently drops
+    * bare NULLs, colliding (NULL,"x") with ("x",NULL). Each column
+    * therefore contributes a prefix-free token: `N` for NULL, else
+    * `<length>:<value>`; the length prefix delimits values
+    * unambiguously whatever characters they contain.
     */
   def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
                    keyCols: Seq[String], compareCols: Seq[String]): DataFrame = {
     def hashed(df: DataFrame, hashName: String): DataFrame = {
-      val tagged = compareCols.flatMap(c => Seq(
-        when(col(c).isNull, lit("0")).otherwise(lit("1")),
-        coalesce(col(c).cast("string"), lit(""))))
+      val tokens = compareCols.map { c =>
+        val s = col(c).cast("string")
+        when(col(c).isNull, lit("N"))
+          .otherwise(concat(length(s).cast("string"), lit(":"), s))
+      }
       df.select(keyCols.map(col) :+
-        md5(concat_ws("", tagged: _*)).as(hashName): _*)
+        md5(concat_ws("", tokens: _*)).as(hashName): _*)
     }
     hashed(oldSnap, "old_hash")
       .join(hashed(newSnap, "new_hash"), keyCols, "full_outer")

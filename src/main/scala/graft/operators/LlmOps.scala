@@ -802,12 +802,15 @@ object LlmOps {
     */
   def t18CdcChunks(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    // No distinct: the generator emits each pos at most once per doc and
+    // the sentinel branch is disjoint (pos = 0 vs pos > 0) — a dedup
+    // here would buy nothing and cost a second (doc_id, pos) shuffle in
+    // front of the window's (reviewer finding).
     val bounds = docs.select(col("doc_id"), lit(0L).as("pos"))
       .unionAll(
         docs.select(col("doc_id"), expr(s"rolling_hashes(text, $CdcWindow)"))
           .filter(col("hash") % CdcModulus === 0 && col("pos") > 0)
           .select(col("doc_id"), col("pos")))
-      .distinct()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
     bounds

@@ -142,9 +142,18 @@ object Scale {
     val bounds = df.agg(
       min(colA).cast("long").as("__loA"), max(colA).cast("long").as("__hiA"),
       min(colB).cast("long").as("__loB"), max(colB).cast("long").as("__hiB"))
+    // Scaling runs in DOUBLE: `(v - lo) * 65535` in Long overflows for
+    // any column spanning more than 2^47 (e.g. microsecond timestamps
+    // over a few years), silently garbling the curve (reviewer finding).
+    // Doubles cannot overflow here, the mapping stays monotone, and
+    // layout quality is indifferent to sub-ULP rounding; the clamp pins
+    // the max value onto the last cell.
+    def scale(c: String, lo: String, hi: String): String =
+      s"cast(least(${n}L, cast(floor((cast($c as double) - cast($lo as double)) * $n.0 " +
+        s"/ (cast($hi as double) - cast($lo as double) + 1.0)) as bigint)) as bigint)"
     df.crossJoin(broadcast(bounds))
-      .withColumn("__za", expr(s"(($colA - __loA) * ${n}L) div (__hiA - __loA + 1)"))
-      .withColumn("__zb", expr(s"(($colB - __loB) * ${n}L) div (__hiB - __loB + 1)"))
+      .withColumn("__za", expr(scale(colA, "__loA", "__hiA")))
+      .withColumn("__zb", expr(scale(colB, "__loB", "__hiB")))
       .withColumn("__z", expr(zExpr("__za", "__zb", bits)))
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
@@ -175,8 +184,13 @@ object Scale {
         max("cnt").as("max_cnt"),
         expr("percentile(cnt, 0.5)").as("p50_cnt"),
         expr("percentile(cnt, 0.99)").as("p99_cnt"))
+      // decimal(38,0) product: the Long form max_cnt·1000·n_keys wraps
+      // negative once keys×max-count passes ~9e15 — reachable exactly at
+      // the full-corpus scale this profile advertises (reviewer finding).
+      // IntegralDivide on decimals returns a BIGINT; the DuckDB twin's
+      // HUGEINT arithmetic is identical.
       .withColumn("skew_milli",
-        expr("(max_cnt * 1000L * n_keys) div n_rows"))
+        expr("cast(cast(max_cnt as decimal(38,0)) * 1000 * n_keys div n_rows as bigint)"))
 
   /** Skew-resistant equi-join of a large (skewed) side against a smaller
     * side: `big` is salted by hash(`bigUniqueCol`) mod `salts`, `small`

@@ -95,25 +95,36 @@ object Streaming {
     * written result re-read.
     */
   def tumblingToParquet(spark: SparkSession, dir: String, outDir: String): DataFrame = {
-    val agged = eventsStream(spark, dir)
+    runForeachBatch(spark, tumblingAgg(spark, dir)) { batch =>
+      batch.write.mode("overwrite").parquet(outDir)
+    }
+    spark.read.parquet(outDir)
+  }
+
+  /** The shared tumbling count-per-type aggregation both foreachBatch
+    * sinks write, and the complete-mode AvailableNow run harness around
+    * a caller-supplied per-batch writer (with complete output each batch
+    * carries the whole aggregate state).
+    */
+  private def tumblingAgg(spark: SparkSession, dir: String): DataFrame =
+    eventsStream(spark, dir)
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count("*").as("n_events"))
       .select(col("window.start").as("window_start"), col("event_type"), col("n_events"))
+
+  private def runForeachBatch(spark: SparkSession, agged: DataFrame)
+                             (writeBatch: DataFrame => Unit): Unit =
     withStreamPartitions(spark, 8) {
       val q = agged.writeStream
         .outputMode("complete")
         .option("checkpointLocation",
           java.nio.file.Files.createTempDirectory("graft_ckpt").toString)
         .trigger(Trigger.AvailableNow())
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          batch.write.mode("overwrite").parquet(outDir)
-        }
+        .foreachBatch { (batch: DataFrame, _: Long) => writeBatch(batch) }
         .start()
       q.awaitTermination()
     }
-    spark.read.parquet(outDir)
-  }
 
   /** ST8: streaming UPSERT sink — foreachBatch routed through the K6
     * dynamic-partition-overwrite writer ([[graft.sinks.Sinks
@@ -127,23 +138,9 @@ object Streaming {
     * Returns the target table re-read.
     */
   def upsertToPartitions(spark: SparkSession, dir: String, outDir: String): DataFrame = {
-    val agged = eventsStream(spark, dir)
-      .withWatermark("ts", "10 minutes")
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count("*").as("n_events"))
-      .select(col("window.start").as("window_start"), col("event_type"), col("n_events"))
-    withStreamPartitions(spark, 8) {
-      val q = agged.writeStream
-        .outputMode("complete")
-        .option("checkpointLocation",
-          java.nio.file.Files.createTempDirectory("graft_ckpt").toString)
-        .trigger(Trigger.AvailableNow())
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          if (!batch.isEmpty)
-            graft.sinks.Sinks.overwritePartitions(batch, outDir, Seq("event_type"))
-        }
-        .start()
-      q.awaitTermination()
+    runForeachBatch(spark, tumblingAgg(spark, dir)) { batch =>
+      if (!batch.isEmpty)
+        graft.sinks.Sinks.overwritePartitions(batch, outDir, Seq("event_type"))
     }
     spark.read.parquet(outDir)
   }

@@ -48,6 +48,19 @@ class DeltaSpec extends SparkTestBase {
     assert(same === Map(1L -> "unchanged", 2L -> "unchanged"))
   }
 
+  test("encoding is injective: value-boundary shifts between columns flag as changed") {
+    import spark.implicits._
+    // ("a","1b") vs ("a1","b"): naive tag+value concatenation encodes
+    // both as the same bytes (the digit absorbs into the neighbour),
+    // which mis-classified this pair as unchanged before the prefix-free
+    // length encoding (reviewer finding).
+    val old = Seq((1L, "a", "1b"), (2L, "x0", "y")).toDF("k", "a", "b")
+    val next = Seq((1L, "a1", "b"), (2L, "x", "0y")).toDF("k", "a", "b")
+    val got = Delta.snapshotDiff(old, next, Seq("k"), Seq("a", "b"))
+      .select("k", "change_type").as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "changed", 2L -> "changed"))
+  }
+
   test("skewProfile flags a hot key and is exact on a crafted distribution") {
     import spark.implicits._
     // 1 key with 90 rows + 9 keys with 1 row: mean = 9.9, max = 90.
