@@ -31,9 +31,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         s"$fn(text, window) takes 2 arguments, got ${children.size}")
     val w = children(1) match {
       case e if e.foldable => e.eval() match {
-        case i: java.lang.Integer => i.intValue()
-        case l: java.lang.Long => l.intValue()
-        case s: java.lang.Short => s.intValue()
+        // Any integral literal width: INT/BIGINT/SMALLINT/TINYINT all
+        // appear here depending on how the caller wrote the constant.
+        case n @ (_: java.lang.Integer | _: java.lang.Long |
+                  _: java.lang.Short | _: java.lang.Byte) =>
+          n.asInstanceOf[java.lang.Number].intValue()
         case other => throw new IllegalArgumentException(
           s"$fn window must be a non-null integer literal, got $other")
       }

@@ -503,11 +503,20 @@ object SparkEntry {
         // len(tok) >= 3 mirrors Spark: docs too short to shingle emit no
         // rows at all, so they can never form candidate pairs (advisor
         // finding — without this, short docs all band-key to md5('')).
-        s"sh AS (SELECT doc_id, source, len_bucket, $duckShingles AS s FROM tokd WHERE len(tok) >= 3) " +
+        // Shingle ROWS (not per-doc lists) so the same df-ceiling rule as
+        // Spark applies: drop shingles with df > n_docs/D4DfDropDiv
+        // before sizes and intersections (boilerplate/skew ceiling).
+        s"shl AS (SELECT doc_id, source, len_bucket, unnest($duckShingles) AS shingle FROM tokd WHERE len(tok) >= 3), " +
+        "dfs AS (SELECT shingle, count(*) AS df FROM shl GROUP BY 1), " +
+        "nd AS (SELECT count(*) AS n_docs FROM documents), " +
+        s"kept AS (SELECT shl.* FROM shl JOIN dfs USING (shingle) CROSS JOIN nd WHERE df * ${LlmOps.D4DfDropDiv} <= n_docs), " +
+        "sizes AS (SELECT doc_id, count(*) AS nsh FROM kept GROUP BY 1), " +
+        "inter AS (SELECT a.source AS source, a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i " +
+        "FROM kept a JOIN kept b ON a.source = b.source AND a.len_bucket = b.len_bucket " +
+        "AND a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2, 3) " +
         "SELECT source, doc_a, doc_b, (2000*i + u) // (2*u) AS jaccard_milli FROM (" +
-        "SELECT a.source AS source, a.doc_id AS doc_a, b.doc_id AS doc_b, " +
-        "len(list_intersect(a.s, b.s)) AS i, len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS u " +
-        "FROM sh a JOIN sh b ON a.source = b.source AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id) " +
+        "SELECT source, doc_a, doc_b, i, na.nsh + nb.nsh - i AS u " +
+        "FROM inter JOIN sizes na ON doc_a = na.doc_id JOIN sizes nb ON doc_b = nb.doc_id) " +
         "WHERE (2000*i + u) // (2*u) > 0"),
     "d5_dedup_incremental" ->
       (s"WITH tokd AS ($duckTok), " +

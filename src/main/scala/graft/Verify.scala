@@ -30,7 +30,13 @@ object Verify {
         val msg = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}"
         errors(name) = msg
         System.err.println(s"[verify] FAILED $name — $msg")
-      } finally spark.catalog.clearCache() // queries that persist() don't leak across
+      } finally {
+        // Queries that persist() don't leak across: scoped release of
+        // registered intermediates (incl. checkpoint blocks CacheManager
+        // can't see), then the cache-table hammer for anything else.
+        PersistScope.releaseAll()
+        spark.catalog.clearCache()
+      }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

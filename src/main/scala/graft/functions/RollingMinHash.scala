@@ -45,6 +45,14 @@ case class RollingMinHash(child: Expression, window: Int)
 }
 
 object RollingMinHash {
+  // Encoding contract for every consumer of these constants
+  // (RollingMinHash, RollingHashes.hashIterator and their SQL oracle
+  // twins): the polynomial runs over UTF-16 code units (String.charAt /
+  // String.length). The DuckDB twins hash codepoints via ord()/substr(),
+  // so positions and hash values agree only while the corpus is ASCII —
+  // which the documents fixture is, by construction (TESTDATA.md). For a
+  // non-ASCII corpus, hash UTF-8 bytes on BOTH sides to make the twin
+  // encoding-independent; t13/t18 oracles would need the same change.
   val Base = 257L
   val Mod = 2147483647L // 2^31 - 1
 

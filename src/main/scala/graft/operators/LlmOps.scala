@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.Tables
+import graft.{PersistScope, Tables}
 
 /** LLM-training-data pipeline operators over the `documents` corpus:
   * deduplication (exact, MinHash/LSH, SimHash, n-gram Jaccard), text
@@ -79,6 +79,14 @@ object LlmOps {
   val NumHashes = 8
   val NumBands = 4
   val RowsPerBand = 2
+
+  /** d4's boilerplate ceiling: drop shingles with document frequency
+    * > n_docs / D4DfDropDiv before the shingle self-join (see
+    * [[d4NgramJaccard]]). 5 ⇒ anything in over 20% of the corpus is
+    * treated as boilerplate, the skew-killing analogue of stopword
+    * removal.
+    */
+  val D4DfDropDiv = 5
 
   /** (doc_id, band, bkey) — one row per (doc, band).
     *
@@ -188,8 +196,8 @@ object LlmOps {
     // and the set tables — persist it too so the corpus is tokenized
     // once per query, not once per derived table (round-2 finding: the
     // dedup family's dominant shared cost).
-    val shingles = shingleRows(spark, dir).persist()
-    val bands = minhashBandsOf(shingles).persist()
+    val shingles = PersistScope.persisted(shingleRows(spark, dir))
+    val bands = PersistScope.persisted(minhashBandsOf(shingles))
     val bandsA = bands.toDF("doc_a", "band_a", "bkey_a")
     val bandsB = bands.toDF("doc_b", "band_b", "bkey_b")
     val candidates = bandsA
@@ -197,7 +205,7 @@ object LlmOps {
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
       .distinct()
-    val sh = docShinglesOf(shingles, "doc_id", "sset").persist()
+    val sh = PersistScope.persisted(docShinglesOf(shingles, "doc_id", "sset"))
     val shA = sh.toDF("doc_a", "sa")
     val shB = sh.toDF("doc_b", "sb")
     candidates
@@ -255,7 +263,7 @@ object LlmOps {
     * banded-join scale shape as [[d2DedupMinhash]] — never all-pairs.
     */
   def d6SimhashNeardup(spark: SparkSession, dir: String): DataFrame = {
-    val sig = d3Simhash(spark, dir).persist()
+    val sig = PersistScope.persisted(d3Simhash(spark, dir))
     // Plain-array generator, not transform(sequence, lambda): interpreted
     // lambda generators stall whole-stage codegen (see minhashBandsOf).
     val bands = sig.select(
@@ -300,15 +308,30 @@ object LlmOps {
     // the query at sf0.1 — while the shingle-row join below touches only
     // pairs that actually share a shingle (the `jaccard > 0` cut for
     // free) and is pure shuffle/group-count, the shape that survives
-    // 100 TB. A block-frequent shingle would skew the join; at scale
-    // you'd drop top-frequency shingles first (same as stopword removal).
+    // 100 TB.
     val meta = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), expr("n_chars div 100").as("len_bucket"))
-    // Distinct (doc, shingle) rows + per-doc set sizes; persisted — both
-    // sides of the self-join and the size lookups reuse one scan.
-    val rows = shingleRows(spark, dir).distinct()
-      .join(meta, "doc_id")
-      .persist()
+    // Distinct (doc, shingle) rows + per-doc set sizes; persisted — the
+    // df aggregate, both sides of the self-join and the size lookups all
+    // reuse one scan.
+    val raw = PersistScope.persisted(
+      shingleRows(spark, dir).distinct().join(meta, "doc_id"))
+    // Boilerplate/skew ceiling: a shingle present in most of a block
+    // (license headers, templated footers) makes the shingle self-join
+    // quadratic in that block — a df-d shingle contributes ~d² candidate
+    // rows. Drop shingles whose corpus-wide document frequency exceeds
+    // 1/D4DfDropDiv of the corpus BEFORE the join (stopword-removal
+    // semantics: sizes AND intersections both run on the reduced shingle
+    // universe, so Jaccard stays a true set ratio on what's compared).
+    // Relative, not absolute, so the rule is scale-invariant; on organic
+    // text it is a no-op (measured max df: 7/500 docs at sf0.01,
+    // 25/5000 at sf0.1). Integer arithmetic both engines.
+    val nDocs = broadcast(Tables.documents(spark, dir).agg(count("*").as("n_docs")))
+    val dfs = raw.groupBy("shingle").agg(count("*").as("df"))
+    val rows = PersistScope.persisted(
+      raw.join(dfs, "shingle").crossJoin(nDocs)
+        .filter(col("df") * lit(D4DfDropDiv) <= col("n_docs"))
+        .select("doc_id", "shingle", "source", "len_bucket"))
     val sizes = rows.groupBy("doc_id").agg(count("*").as("nsh"))
     val inter = rows.toDF("doc_a", "shingle", "source", "len_bucket")
       .join(rows.toDF("doc_b", "shingle", "source", "len_bucket"),
@@ -336,8 +359,8 @@ object LlmOps {
     */
   def d5DedupIncremental(spark: SparkSession, dir: String): DataFrame = {
     val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
-    val shingles = shingleRows(spark, dir).persist()
-    val bands = minhashBandsOf(shingles).join(src, "doc_id").persist()
+    val shingles = PersistScope.persisted(shingleRows(spark, dir))
+    val bands = PersistScope.persisted(minhashBandsOf(shingles).join(src, "doc_id"))
     val newBands = bands.filter(col("source") === "src0")
       .select(col("doc_id").as("new_doc"), col("band").as("band_n"), col("bkey").as("bkey_n"))
     val corpusBands = bands.filter(col("source") =!= "src0")
@@ -346,7 +369,7 @@ object LlmOps {
       .join(corpusBands, col("band_n") === col("band") && col("bkey_n") === col("bkey"))
       .select("new_doc", "existing_doc")
       .distinct()
-    val sh = docShinglesOf(shingles, "doc_id", "sset").persist()
+    val sh = PersistScope.persisted(docShinglesOf(shingles, "doc_id", "sset"))
     candidates
       .join(sh.toDF("new_doc", "sa"), "new_doc")
       .join(sh.toDF("existing_doc", "sb"), "existing_doc")
@@ -439,10 +462,10 @@ object LlmOps {
     * to themselves. Deterministic: min over an unordered neighbor set.
     */
   def d7DedupResolve(spark: SparkSession, dir: String): DataFrame = {
-    val edges = d2DedupMinhash(spark, dir)
-      .filter(col("jaccard_milli") >= ResolveThreshold)
-      .select(col("doc_a"), col("doc_b"))
-      .persist()
+    val edges = PersistScope.persisted(
+      d2DedupMinhash(spark, dir)
+        .filter(col("jaccard_milli") >= ResolveThreshold)
+        .select(col("doc_a"), col("doc_b")))
     val identity = Tables.documents(spark, dir)
       .select(col("doc_id"), col("doc_id").as("canonical_id"))
     // No pre-emptive edges.isEmpty fast path: it cost a full extra
@@ -544,6 +567,13 @@ object LlmOps {
     // After ≥1 round the surviving labels are checkpoint-backed and no
     // longer reference the adjacency — its eager checkpoint can go too.
     if (rounds > 0) releaseCheckpointBlocks(adj)
+    // The FINAL labels' storage (round-0 cache or checkpoint blocks) is
+    // still referenced by the result the caller will consume — release
+    // it with the query's other pinned intermediates, not here.
+    val finalLabels = labels
+    PersistScope.register { () =>
+      finalLabels.unpersist(false); releaseCheckpointBlocks(finalLabels)
+    }
     (labels, converged)
   }
 

@@ -982,6 +982,14 @@ object Relational {
     * bags, experiment tags) without a schema migration per new key.
     * Map-only: parse, concat, and explode all run inside the scan
     * stage; rows out ∝ total map entries.
+    *
+    * Null discipline: an unparseable/NULL props yields a NULL map from
+    * from_json, and map_concat(NULL, m) is NULL — which would silently
+    * drop the whole event at the explode (the oracle twin still emits
+    * its 'et' row). coalesce to an empty map so the 'et' entry always
+    * survives. Fixture assumption, stated: props never carries an 'et'
+    * key — under the default mapKeyDedupPolicy=EXCEPTION a duplicate
+    * key would throw at runtime on both engines.
     */
   def f13Maps(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
@@ -991,7 +999,8 @@ object Relational {
           org.apache.spark.sql.types.StringType)).as("m"),
         col("event_type"))
       .select(col("event_id"),
-        map_concat(col("m"), map(lit("et"), col("event_type"))).as("mm"))
+        map_concat(coalesce(col("m"), map()),
+          map(lit("et"), col("event_type"))).as("mm"))
       .select(col("event_id"), explode(col("mm")).as(Seq("key", "value")))
 
   // ---------------------------------------------------------------------

@@ -113,11 +113,12 @@ object Streaming {
       .agg(count("*").as("n_events"))
       .select(col("window.start").as("window_start"), col("event_type"), col("n_events"))
 
-  private def runForeachBatch(spark: SparkSession, agged: DataFrame)
+  private def runForeachBatch(spark: SparkSession, agged: DataFrame,
+                              mode: String = "complete")
                              (writeBatch: DataFrame => Unit): Unit =
     withStreamPartitions(spark, 8) {
       val q = agged.writeStream
-        .outputMode("complete")
+        .outputMode(mode)
         .option("checkpointLocation",
           java.nio.file.Files.createTempDirectory("graft_ckpt").toString)
         .trigger(Trigger.AvailableNow())
@@ -125,6 +126,22 @@ object Streaming {
         .start()
       q.awaitTermination()
     }
+
+  /** Append-mode foreachBatch → parquet for DATA-SIZED streaming output
+    * (stream-stream join matches): each micro-batch's newly emitted rows
+    * are appended as executor-side parquet writes, then the result is
+    * re-read — the driver never materializes the output (round-5 finding:
+    * st4/st7 returned join results through a driver memory sink, the one
+    * driver bottleneck left at 100×). The explicit schema on the re-read
+    * makes the zero-batch case return an empty frame instead of throwing.
+    */
+  private def runAppendToParquet(spark: SparkSession, streamed: DataFrame): DataFrame = {
+    val outDir = java.nio.file.Files.createTempDirectory("graft_stream_out").toString
+    runForeachBatch(spark, streamed, "append") { batch =>
+      batch.write.mode("append").parquet(outDir)
+    }
+    spark.read.schema(streamed.schema).parquet(outDir)
+  }
 
   /** ST8: streaming UPSERT sink — foreachBatch routed through the K6
     * dynamic-partition-overwrite writer ([[graft.sinks.Sinks
@@ -138,11 +155,17 @@ object Streaming {
     * Returns the target table re-read.
     */
   def upsertToPartitions(spark: SparkSession, dir: String, outDir: String): DataFrame = {
-    runForeachBatch(spark, tumblingAgg(spark, dir)) { batch =>
+    val agged = tumblingAgg(spark, dir)
+    runForeachBatch(spark, agged) { batch =>
       if (!batch.isEmpty)
         graft.sinks.Sinks.overwritePartitions(batch, outDir, Seq("event_type"))
     }
-    spark.read.parquet(outDir)
+    // Every-batch-empty + never-pre-seeded target: no partition was ever
+    // written, so return an empty frame with the aggregate schema instead
+    // of letting the re-read throw on a missing path.
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(outDir)))
+      spark.read.parquet(outDir)
+    else spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), agged.schema)
   }
 
   /** Tumbling 1-hour windows per event_type: count + value sum. */
@@ -188,21 +211,10 @@ object Streaming {
       col("s_user") === col("p_user") &&
         col("p_ts") >= col("s_ts") &&
         col("p_ts") <= col("s_ts") + expr("INTERVAL 7 DAYS"))
-    // Inner stream-stream join supports append output; the memory sink
-    // collects every emitted match.
-    val name = s"graft_stream_${runId.incrementAndGet()}"
-    withStreamPartitions(spark, 8) {
-      val q = joined.writeStream
-        .format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation",
-          java.nio.file.Files.createTempDirectory("graft_ckpt").toString)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    }
-    spark.table(name)
+    // Inner stream-stream join supports append output; matches are
+    // data-sized, so they go executor-side to parquet, never through the
+    // driver (see runAppendToParquet).
+    runAppendToParquet(spark, joined)
       .select(col("signup_id"), col("purchase_id"),
         col("s_user").as("user_id"), col("s_ts"), col("p_ts"))
   }
@@ -242,19 +254,7 @@ object Streaming {
         col("p_ts") >= col("s_ts") &&
         col("p_ts") <= col("s_ts") + expr("INTERVAL 7 DAYS"),
       "leftOuter")
-    val name = s"graft_stream_${runId.incrementAndGet()}"
-    withStreamPartitions(spark, 8) {
-      val q = joined.writeStream
-        .format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation",
-          java.nio.file.Files.createTempDirectory("graft_ckpt").toString)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    }
-    spark.table(name)
+    runAppendToParquet(spark, joined)
       .select(col("signup_id"), col("s_user").as("user_id"), col("s_ts"),
         coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"),
         coalesce(unix_millis(col("p_ts")), lit(-1L)).as("p_ms"))
@@ -281,19 +281,10 @@ object Streaming {
         date_trunc("minute", col("ts")).as("minute"))
       .withWatermark("minute", "10 minutes")
       .dropDuplicatesWithinWatermark("event_type", "user_id", "minute")
-    val name = s"graft_stream_${runId.incrementAndGet()}"
-    withStreamPartitions(spark, 8) {
-      val q = deduped.writeStream
-        .format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation",
-          java.nio.file.Files.createTempDirectory("graft_ckpt").toString)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    }
-    spark.table(name).select("event_type", "user_id", "minute")
+    // Surviving keys are data-sized (one per distinct key), so they take
+    // the executor-side parquet path like st4/st7, not the driver memory
+    // sink (that stays reserved for the bounded complete-mode aggregates).
+    runAppendToParquet(spark, deduped).select("event_type", "user_id", "minute")
   }
 
   /** ST6: stream-static enrichment join — the most common production

@@ -55,5 +55,12 @@ class CdcChunkSpec extends SparkTestBase {
     val minh = spark.sql(s"SELECT rolling_min_hash('abc', ${LlmOps.CdcWindow}) AS h")
       .head().getLong(0)
     assert(single === minh)
+
+    // The window literal accepts every integral width — TINYINT through
+    // BIGINT all fold to the same Int window.
+    Seq("TINYINT", "SMALLINT", "INT", "BIGINT").foreach { t =>
+      val h = spark.sql(s"SELECT rolling_hashes('abcdef', CAST(3 AS $t)) AS (pos, hash)")
+      assert(h.count() === 4, s"window literal as $t")
+    }
   }
 }

@@ -46,12 +46,19 @@ def main():
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # Optional 3rd arg: comma-separated query names — check only those
+    # (matches Verify's own name filter, for single-query iteration).
+    if len(sys.argv) > 3:
+        only = set(sys.argv[3].split(","))
+        oracle = {k: v for k, v in oracle.items() if k in only}
     failures = []
     import glob
     import os
     result_dirs = sorted(
         d.rstrip("/").split("/")[-1]
         for d in glob.glob(f"{out_dir}/*/") if "=" not in d)
+    if len(sys.argv) > 3:
+        result_dirs = [d for d in result_dirs if d in set(sys.argv[3].split(","))]
     # A query that crashed in Verify has no output dir; iterating only the
     # dirs that exist would silently skip it (round-1 bug). Check the union
     # of oracle keys and output dirs, plus Verify's own error report.
