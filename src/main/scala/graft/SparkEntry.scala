@@ -94,7 +94,9 @@ object SparkEntry {
     "q_asof_native"        -> Relational.qAsofNative _,
     "q_flagship"           -> Relational.flagship _,
     "q_snapshot_diff"      -> Delta.qSnapshotDiff _,
+    "q_scd2_merge"         -> Delta.qScd2Merge _,
     "q_fuzzy_match"        -> Relational.qFuzzyMatch _,
+    "q_fuzzy_match_name"   -> Relational.qFuzzyMatchName _,
     "f14_regex"            -> Relational.f14Regex _,
     "q_gap_fill"           -> Relational.qGapFill _,
     "f13_maps"             -> Relational.f13Maps _,
@@ -117,6 +119,7 @@ object SparkEntry {
     "d3_simhash"       -> LlmOps.d3Simhash _,
     "d4_ngram_jaccard" -> LlmOps.d4NgramJaccard _,
     "d5_dedup_incremental" -> LlmOps.d5DedupIncremental _,
+    "d5b_index_ingest"     -> LlmOps.d5bIndexIngest _,
     "d6_simhash_neardup" -> LlmOps.d6SimhashNeardup _,
     "d7_dedup_resolve" -> LlmOps.d7DedupResolve _,
     "t1_text_stats"    -> LlmOps.t1TextStats _,
@@ -300,6 +303,19 @@ object SparkEntry {
         "ON a.c_nationkey = b.c_nationkey AND a.c_custkey // 100 = b.c_custkey // 100 " +
         "AND a.c_custkey < b.c_custkey " +
         "WHERE levenshtein(a.c_name, b.c_name) <= 3"),
+    // Name-derived-blocking twin: the same two-pass sorted-neighborhood
+    // stated in SQL — row_number over (name / reversed name), a ±W band
+    // self-join per pass, union, Levenshtein verify. Deterministic
+    // because c_name is unique, so both orderings are total.
+    "q_fuzzy_match_name" ->
+      ("WITH c AS (SELECT c_custkey AS key, c_name AS name FROM customer), " +
+        "f AS (SELECT key, name, row_number() OVER (ORDER BY name) AS rn FROM c), " +
+        "r AS (SELECT key, name, row_number() OVER (ORDER BY reverse(name)) AS rn FROM c), " +
+        s"pairs AS (SELECT a.key AS ka, b.key AS kb, a.name AS na, b.name AS nb FROM f a JOIN f b ON b.rn > a.rn AND b.rn <= a.rn + ${Relational.FuzzyWindow} " +
+        s"UNION ALL SELECT a.key, b.key, a.name, b.name FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + ${Relational.FuzzyWindow}) " +
+        "SELECT DISTINCT least(ka, kb) AS cust_a, greatest(ka, kb) AS cust_b, " +
+        "CAST(levenshtein(na, nb) AS BIGINT) AS edit_dist FROM pairs " +
+        "WHERE levenshtein(na, nb) <= 3"),
     // Regex family twin: extract/count/match via DuckDB's RE builtins.
     "f14_regex" ->
       ("SELECT p_partkey, regexp_extract(p_name, '^[a-z]+') AS first_word, " +
@@ -318,6 +334,23 @@ object SparkEntry {
         "CASE WHEN o.o_orderkey IS NULL THEN 'added' WHEN n.o_orderkey IS NULL THEN 'removed' " +
         "WHEN o.status <> n.status OR o.cents <> n.cents THEN 'changed' ELSE 'unchanged' END AS change_type " +
         "FROM o FULL JOIN n ON o.o_orderkey = n.o_orderkey) WHERE change_type <> 'unchanged'"),
+    // SCD2-MERGE twin: the MERGE expansion stated as one FULL JOIN and
+    // four UNION ALL branches (unchanged-open / closed / reopened /
+    // inserted). Null-safe value compare (IS NOT DISTINCT FROM) matches
+    // the engine's injective-token hash equality.
+    "q_scd2_merge" ->
+      (s"WITH o AS (SELECT o_orderkey, o_orderstatus AS status, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders), " +
+        "n AS (SELECT o_orderkey, CASE WHEN o_orderkey % 13 = 0 THEN 'X' ELSE status END AS status, " +
+        "CASE WHEN o_orderkey % 7 = 0 THEN cents + 500 ELSE cents END AS cents FROM o WHERE o_orderkey % 97 <> 0 " +
+        "UNION ALL SELECT o_orderkey + 100000000, status, cents FROM o WHERE o_orderkey % 101 = 0), " +
+        "j AS (SELECT o.o_orderkey AS kd, n.o_orderkey AS kn, o.status AS ds, o.cents AS dc, n.status AS ns, n.cents AS nc, " +
+        "(o.status IS NOT DISTINCT FROM n.status AND o.cents IS NOT DISTINCT FROM n.cents) AS same " +
+        "FROM o FULL JOIN n ON o.o_orderkey = n.o_orderkey) " +
+        "SELECT kd AS o_orderkey, ds AS status, dc AS cents, CAST(0 AS BIGINT) AS valid_from_ms, CAST(-1 AS BIGINT) AS valid_to_ms, CAST(1 AS BIGINT) AS version " +
+        "FROM j WHERE kd IS NOT NULL AND kn IS NOT NULL AND same " +
+        s"UNION ALL SELECT kd, ds, dc, 0, ${Delta.MergeT1} - 1, 1 FROM j WHERE kd IS NOT NULL AND (kn IS NULL OR NOT same) " +
+        s"UNION ALL SELECT kn, ns, nc, ${Delta.MergeT1}, -1, 2 FROM j WHERE kd IS NOT NULL AND kn IS NOT NULL AND NOT same " +
+        s"UNION ALL SELECT kn, ns, nc, ${Delta.MergeT1}, -1, 1 FROM j WHERE kd IS NULL"),
     // Gap-fill twin: the spine is generate_series over each key's own
     // month bounds — same per-key span, same zero fill.
     "q_gap_fill" ->
@@ -476,6 +509,22 @@ object SparkEntry {
 
   private val duckTok = "SELECT doc_id, source, text, string_split(text, ' ') AS tok FROM documents"
 
+  /** Shared by d5_dedup_incremental and d5b_index_ingest: the index path
+    * is a pure optimization, so both queries grade against the identical
+    * full-recompute twin.
+    */
+  private lazy val d5DedupSql =
+    s"WITH tokd AS ($duckTok), " +
+      s"sh AS (SELECT doc_id, $duckShingles AS s FROM tokd WHERE len(tok) >= 3), " +
+      s"sig AS (SELECT doc_id, list_transform(range(0, ${LlmOps.NumHashes}), h -> list_min(list_transform(s, x -> md5(h::VARCHAR || '|' || x)))) AS g FROM sh), " +
+      s"bands AS (SELECT sig.doc_id, d.source, b, md5(array_to_string(g[b*${LlmOps.RowsPerBand}+1 : b*${LlmOps.RowsPerBand}+${LlmOps.RowsPerBand}], '|')) AS bkey " +
+      "FROM sig JOIN documents d ON sig.doc_id = d.doc_id CROSS JOIN (VALUES (0),(1),(2),(3)) AS t(b)), " +
+      "cand AS (SELECT DISTINCT n.doc_id AS new_doc, c.doc_id AS existing_doc FROM bands n JOIN bands c " +
+      "ON n.b = c.b AND n.bkey = c.bkey AND n.source = 'src0' AND c.source != 'src0') " +
+      "SELECT new_doc, existing_doc, (2000*i + u) // (2*u) AS jaccard_milli FROM (" +
+      "SELECT new_doc, existing_doc, len(list_intersect(sa.s, sb.s)) AS i, len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)) AS u " +
+      "FROM cand JOIN sh sa ON cand.new_doc = sa.doc_id JOIN sh sb ON cand.existing_doc = sb.doc_id)"
+
   private def duckOcc(p: String): String =
     s"(length(text) - length(replace(text, '$p', ''))) // ${p.length}"
 
@@ -518,17 +567,8 @@ object SparkEntry {
         "SELECT source, doc_a, doc_b, i, na.nsh + nb.nsh - i AS u " +
         "FROM inter JOIN sizes na ON doc_a = na.doc_id JOIN sizes nb ON doc_b = nb.doc_id) " +
         "WHERE (2000*i + u) // (2*u) > 0"),
-    "d5_dedup_incremental" ->
-      (s"WITH tokd AS ($duckTok), " +
-        s"sh AS (SELECT doc_id, $duckShingles AS s FROM tokd WHERE len(tok) >= 3), " +
-        s"sig AS (SELECT doc_id, list_transform(range(0, ${LlmOps.NumHashes}), h -> list_min(list_transform(s, x -> md5(h::VARCHAR || '|' || x)))) AS g FROM sh), " +
-        s"bands AS (SELECT sig.doc_id, d.source, b, md5(array_to_string(g[b*${LlmOps.RowsPerBand}+1 : b*${LlmOps.RowsPerBand}+${LlmOps.RowsPerBand}], '|')) AS bkey " +
-        "FROM sig JOIN documents d ON sig.doc_id = d.doc_id CROSS JOIN (VALUES (0),(1),(2),(3)) AS t(b)), " +
-        "cand AS (SELECT DISTINCT n.doc_id AS new_doc, c.doc_id AS existing_doc FROM bands n JOIN bands c " +
-        "ON n.b = c.b AND n.bkey = c.bkey AND n.source = 'src0' AND c.source != 'src0') " +
-        "SELECT new_doc, existing_doc, (2000*i + u) // (2*u) AS jaccard_milli FROM (" +
-        "SELECT new_doc, existing_doc, len(list_intersect(sa.s, sb.s)) AS i, len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)) AS u " +
-        "FROM cand JOIN sh sa ON cand.new_doc = sa.doc_id JOIN sh sb ON cand.existing_doc = sb.doc_id)"),
+    "d5_dedup_incremental" -> d5DedupSql,
+    "d5b_index_ingest" -> d5DedupSql,
     "d6_simhash_neardup" ->
       (s"WITH tokd AS ($duckTok), " +
         "t8 AS (SELECT doc_id, list_transform(tok, t -> substr(md5(t), 1, 8)) AS tok8 FROM tokd), " +
@@ -881,10 +921,18 @@ object SparkEntry {
   // frame slices are char-based (fixture payloads are ASCII).
 
   private val multimodalOracle: Map[String, String] = Map(
+    // PPM twin: the oracle reconstructs the same P6 payload (geometry
+    // from n_chars, ASCII pixel bytes) and states the header fields the
+    // engine must PARSE back out of the binary — byte-identical payload
+    // (chr(10) = the header newlines), so checksum and n_bytes pin the
+    // construction and width/height/maxval/channels pin the parse.
     "m1_media_meta" ->
-      ("SELECT doc_id, 'text/plain' AS media_type, octet_length(encode(text))::BIGINT AS n_bytes, " +
-        "md5(text) AS checksum, (strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1)::BIGINT AS fake_channels " +
-        "FROM documents"),
+      ("WITH g AS (SELECT doc_id, CAST(1 + n_chars % 16 AS INTEGER) AS w, CAST(1 + n_chars % 12 AS INTEGER) AS h, text FROM documents), " +
+        "p AS (SELECT doc_id, w, h, 'P6' || chr(10) || w || ' ' || h || chr(10) || '255' || chr(10) || " +
+        "rpad(substr(text, 1, w * h * 3), w * h * 3, 'x') AS payload FROM g) " +
+        "SELECT doc_id, 'image/x-portable-pixmap' AS media_type, CAST(length(payload) AS BIGINT) AS n_bytes, " +
+        "md5(payload) AS checksum, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height, " +
+        "CAST(255 AS BIGINT) AS maxval, CAST(3 AS BIGINT) AS channels FROM p"),
     "m2_frame_sample" ->
       ("WITH f AS (SELECT doc_id, text, unnest(range(0, (length(text) + 99) // 100)) AS frame_idx FROM documents) " +
         "SELECT doc_id, frame_idx, length(substr(text, frame_idx * 100 + 1, 100))::BIGINT AS frame_len, " +
@@ -892,13 +940,18 @@ object SparkEntry {
   )
 
   private val multimodalOracle2: Map[String, String] = Map(
-    // Same nearest-neighbor index arithmetic, all integer division.
+    // Same nearest-neighbor index arithmetic on whole RGB triplets, all
+    // integer division; pix is the same 'x'-padded pixel section the
+    // engine slices back out of the P6 payload.
     "m3_resize" ->
-      ("SELECT doc_id, CAST(length(text) AS BIGINT) AS orig_len, " +
-        s"CAST(least(length(text), ${graft.operators.Multimodal.ResizeTarget}) AS BIGINT) AS resized_len, " +
-        s"md5(array_to_string(list_transform(range(0, least(length(text), ${graft.operators.Multimodal.ResizeTarget})), " +
-        s"i -> substr(text, CAST((i * length(text)) // least(length(text), ${graft.operators.Multimodal.ResizeTarget}) AS INTEGER) + 1, 1)), '')) AS resized_md5 " +
-        "FROM documents"),
+      (s"WITH g AS (SELECT doc_id, CAST(1 + n_chars % 16 AS INTEGER) AS w, CAST(1 + n_chars % 12 AS INTEGER) AS h, text FROM documents), " +
+        "p AS (SELECT doc_id, w, h, rpad(substr(text, 1, w * h * 3), w * h * 3, 'x') AS pix, " +
+        s"least(w * h, ${graft.operators.Multimodal.ResizeTarget}) AS n_out FROM g) " +
+        "SELECT doc_id, CAST(w AS BIGINT) AS orig_w, CAST(h AS BIGINT) AS orig_h, " +
+        "CAST(n_out AS BIGINT) AS resized_px, " +
+        "md5(array_to_string(list_transform(range(0, n_out), " +
+        "i -> substr(pix, CAST((i * w * h) // n_out AS INTEGER) * 3 + 1, 3)), '')) AS resized_md5 " +
+        "FROM p"),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -53,14 +53,12 @@ object Delta {
       .drop("old_hash", "new_hash")
   }
 
-  /** Oracle query: diff the orders table against a deterministically
-    * perturbed "next snapshot" of itself — ~1% of keys deleted
-    * (mod 97), status rewritten on mod-13 keys and price bumped on
-    * mod-7 keys (changes), ~1% new keys appended (mod 101, shifted id
-    * range). Emits only the non-identical rows — at 100 TB the
-    * unchanged class is ~all of the table and exists only as a count.
+  /** The shared diff fixture: the orders table and a deterministically
+    * perturbed "next snapshot" of it — ~1% of keys deleted (mod 97),
+    * status rewritten on mod-13 keys and price bumped on mod-7 keys
+    * (changes), ~1% new keys appended (mod 101, shifted id range).
     */
-  def qSnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+  private[operators] def perturbedOrders(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val old = Tables.orders(spark, dir).select(
       col("o_orderkey"),
       col("o_orderstatus").as("status"),
@@ -75,7 +73,74 @@ object Delta {
         old.filter(col("o_orderkey") % 101 === 0)
           .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
             col("status"), col("cents")))
+    (old, next)
+  }
+
+  /** Oracle query: diff the orders table against the perturbed next
+    * snapshot. Emits only the non-identical rows — at 100 TB the
+    * unchanged class is ~all of the table and exists only as a count.
+    */
+  def qSnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val (old, next) = perturbedOrders(spark, dir)
     snapshotDiff(old, next, Seq("o_orderkey"), Seq("status", "cents"))
       .filter(col("change_type") =!= "unchanged")
+  }
+
+  /** SCD2 MERGE: apply a new snapshot to a type-2 dimension — the CDC
+    * write-back half that [[snapshotDiff]] only classifies. Semantics
+    * (the standard MERGE expansion):
+    *
+    *  - matched + values differ → CLOSE the open version
+    *    (valid_to = t1−1) and OPEN a successor (valid_from = t1,
+    *    version+1);
+    *  - not matched by target (new key) → open version 1;
+    *  - not matched by source (key disappeared) → close, no successor;
+    *  - matched + identical → untouched. Closed history rows pass
+    *    through untouched always.
+    *
+    * `dim`'s schema is keyCols ++ compareCols ++ (valid_from_ms,
+    * valid_to_ms, version); valid_to_ms = −1 marks the open version.
+    * Everything is one full-outer diff on the key plus key-equi joins —
+    * shuffle payload is key + md5 per row ([[snapshotDiff]]), the new
+    * values travel once, and nothing touches the driver. At 100 TB the
+    * dim and snapshot would both be bucketed on the key
+    * ([[Scale.writeBucketed]]) making every join here shuffle-free.
+    */
+  def scd2Apply(dim: DataFrame, next: DataFrame, keyCols: Seq[String],
+                compareCols: Seq[String], t1: Long): DataFrame = {
+    val history = dim.filter(col("valid_to_ms") =!= -1L)
+    val open = dim.filter(col("valid_to_ms") === -1L)
+    val diff = snapshotDiff(
+      open.select((keyCols ++ compareCols).map(col): _*), next, keyCols, compareCols)
+    // Every open row classifies as unchanged / changed / removed
+    // ('added' keys have no open row, so the inner join drops nothing).
+    val classified = open.join(diff, keyCols)
+    val stillOpen = classified.filter(col("change_type") === "unchanged").drop("change_type")
+    val closed = classified.filter(col("change_type").isin("changed", "removed"))
+      .withColumn("valid_to_ms", lit(t1 - 1)).drop("change_type")
+    val opened = next
+      .join(diff.filter(col("change_type").isin("changed", "added")), keyCols)
+      .join(open.select(keyCols.map(col) :+ col("version").as("prev_version"): _*),
+        keyCols, "left")
+      .select((keyCols ++ compareCols).map(col) ++ Seq(
+        lit(t1).as("valid_from_ms"),
+        lit(-1L).as("valid_to_ms"),
+        (coalesce(col("prev_version"), lit(0L)) + 1L).as("version")): _*)
+    history.unionByName(stillOpen).unionByName(closed).unionByName(opened)
+  }
+
+  /** Pinned "now" for [[qScd2Merge]]: the merge instant in epoch millis. */
+  val MergeT1 = 86400000L
+
+  /** Oracle query: seed a dimension with the orders snapshot as open
+    * version-1 rows, then MERGE the perturbed next snapshot into it.
+    */
+  def qScd2Merge(spark: SparkSession, dir: String): DataFrame = {
+    val (old, next) = perturbedOrders(spark, dir)
+    val dim = old
+      .withColumn("valid_from_ms", lit(0L))
+      .withColumn("valid_to_ms", lit(-1L))
+      .withColumn("version", lit(1L))
+    scd2Apply(dim, next, Seq("o_orderkey"), Seq("status", "cents"), MergeT1)
   }
 }

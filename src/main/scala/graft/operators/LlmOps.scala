@@ -445,6 +445,27 @@ object LlmOps {
           "size(sa) + size(sb) - size(array_intersect(sa, sb))")).as("jaccard_milli"))
   }
 
+  /** D5b: [[d5IncrementalAgainstIndex]] as a self-contained query — the
+    * materialized-index ingest path, benchmarked side by side with d5's
+    * full-recompute form (round-5 ask). First call per corpus builds the
+    * bucketed index ONCE into session catalog tables (at 100 TB: once
+    * per corpus snapshot); every subsequent call — e.g. the timed bench
+    * iteration after Bench's warm-up, or each batch of a real ingest
+    * loop — pays only batch-proportional work. Output contract and
+    * oracle are exactly d5's: the index path must be a pure
+    * optimization, never a semantics change. The index key hashes the
+    * corpus dir, so fixtures at different sf never collide (corpora are
+    * immutable snapshots; a mutated-in-place dir would need an index
+    * rebuild, which at scale is the snapshot-refresh job).
+    */
+  def d5bIndexIngest(spark: SparkSession, dir: String): DataFrame = {
+    val prefix = "d5b_idx_" + java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    if (!spark.catalog.tableExists(s"${prefix}_bands"))
+      buildCorpusIndex(spark, dir, prefix)
+    d5IncrementalAgainstIndex(spark, dir, prefix)
+  }
+
   /** Near-dup pairs count as the same document at or above this Jaccard. */
   val ResolveThreshold = 500
 

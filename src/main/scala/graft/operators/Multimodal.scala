@@ -7,30 +7,34 @@ import graft.Tables
 
 /** Multimodal-column plumbing: media as opaque `binary` columns with
   * typed metadata, decode/feature-extract/frame-sample as distributed
-  * operators. The fixtures have no real image/audio payloads (and this
-  * environment has no codec libraries), so the DECODE STEP IS A
-  * DETERMINISTIC STUB — what is real, and what these operators pin down,
-  * is the Spark-side plumbing: the binary column flow, the metadata
-  * schema, the per-frame explode shape, and the batched mapPartitions
-  * decode path a real codec would plug into.
+  * operators. The environment has no codec libraries, so the decode
+  * target is a REAL but trivial format: binary PPM (P6) — ASCII header
+  * `P6\n<w> <h>\n<maxval>\n` followed by w·h·3 raw RGB bytes. The
+  * fixture payloads are genuine P6 images synthesized deterministically
+  * from each document ([[ppmTable]]), and m1/m3/decodeFeatures parse
+  * that header for real (round-5 ask: no more checksum-nibble fakes).
+  * A richer codec (JPEG, WAV) swaps in behind the same column flow,
+  * metadata schema, and batched decode path.
   *
   * Scale notes: media payloads stay opaque bytes end-to-end (no
-  * driver-side materialization); frame sampling is a generator explode
-  * (rows ∝ frames, map-only); the batched decode path processes one
-  * partition's records per task — exactly the batch shape a vectorized
-  * decode (or a GPU codec) wants at 100 TB.
+  * driver-side materialization); header parsing and resizing are
+  * map-only expressions inside the scan stage; frame sampling is a
+  * generator explode (rows ∝ frames); the batched decode path processes
+  * one partition's records per call — exactly the batch shape a
+  * vectorized decode (or a GPU codec) wants at 100 TB.
   */
 object Multimodal {
 
-  /** Typed media record: payload + metadata. The fixture payload is the
-    * document text UTF-8-encoded — stands in for image/audio bytes.
-    */
+  /** Typed media record: payload + metadata. */
   final case class MediaRecord(doc_id: Long, media: Array[Byte], media_type: String)
 
-  /** Output of the (stubbed) decode: per-media features. */
+  /** Output of the decode: parsed geometry + a small feature vector.
+    * width/height/channels are -1 for payloads that are not valid P6
+    * (the caller's signal to route to another codec or quarantine).
+    */
   final case class MediaFeatures(
-      doc_id: Long, n_bytes: Int, head_byte: Int, fake_channels: Int,
-      fake_embedding: Array[Float])
+      doc_id: Long, n_bytes: Int, width: Int, height: Int, channels: Int,
+      embedding: Array[Float])
 
   /** Real media ingestion: the binaryFile source reads raw files as
     * (path, modificationTime, length, content) rows — the actual entry
@@ -48,7 +52,9 @@ object Multimodal {
         col("content").as("media"),
         lit("application/octet-stream").as("media_type"))
 
-  /** Documents with the media binary column attached. */
+  /** Documents with the media binary column attached (opaque-bytes
+    * form; [[ppmTable]] is the decodable form).
+    */
   def mediaTable(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(
@@ -56,20 +62,45 @@ object Multimodal {
         encode(col("text"), "UTF-8").as("media"),
         lit("text/plain").as("media_type"))
 
+  /** Documents rendered as REAL binary-PPM (P6) images: geometry derives
+    * deterministically from the document (w = 1 + n_chars mod 16,
+    * h = 1 + n_chars mod 12), pixel bytes are the text's leading
+    * w·h·3 ASCII bytes, 'x'-padded — a byte-exact, decoder-valid image
+    * any PPM reader accepts. All construction is codegen'd string
+    * expressions; the encode to binary is the last step.
+    */
+  def ppmTable(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"),
+        expr("cast(1 + n_chars % 16 as int)").as("w"),
+        expr("cast(1 + n_chars % 12 as int)").as("h"))
+      .select(
+        col("doc_id"),
+        encode(
+          expr("concat('P6\n', w, ' ', h, '\n255\n', " +
+            "rpad(substring(text, 1, w * h * 3), w * h * 3, 'x'))"),
+          "UTF-8").as("media"),
+        lit("image/x-portable-pixmap").as("media_type"))
+
   /** M1: metadata extraction over the binary column — byte length,
-    * content checksum, and a STUB decode of "channel count" (first
-    * checksum nibble; a real decoder would parse the media header).
-    * Map-only; the binary payload never leaves the executors.
+    * content checksum, and a REAL header parse: width / height / maxval
+    * read from the P6 header bytes, channels fixed at 3 by the format.
+    * The parse is a bounded binary slice + regexp on the decoded prefix
+    * (headers are ≤ 13 bytes here) — map-only, codegen'd, and the
+    * payload never leaves the executors.
     */
   def m1MediaMeta(spark: SparkSession, dir: String): DataFrame =
-    mediaTable(spark, dir)
+    ppmTable(spark, dir)
+      .withColumn("hdr", expr("decode(substring(media, 1, 24), 'UTF-8')"))
       .select(
         col("doc_id"),
         col("media_type"),
         octet_length(col("media")).cast("long").as("n_bytes"),
-        md5(col("media")).as("checksum"))
-      .withColumn("fake_channels",
-        expr("cast(instr('0123456789abcdef', substring(checksum, 1, 1)) - 1 as bigint)"))
+        md5(col("media")).as("checksum"),
+        expr("cast(regexp_extract(hdr, '^P6\n(\\\\d+) (\\\\d+)\n(\\\\d+)\n', 1) as bigint)").as("width"),
+        expr("cast(regexp_extract(hdr, '^P6\n(\\\\d+) (\\\\d+)\n(\\\\d+)\n', 2) as bigint)").as("height"),
+        expr("cast(regexp_extract(hdr, '^P6\n(\\\\d+) (\\\\d+)\n(\\\\d+)\n', 3) as bigint)").as("maxval"),
+        expr("cast(case when substring(hdr, 1, 2) = 'P6' then 3 else -1 end as bigint)").as("channels"))
 
   /** M2: frame sampling — one output row per fixed-size frame of the
     * payload (video frame-sample / audio chunking shape): generator
@@ -88,55 +119,91 @@ object Multimodal {
         expr("cast(length(substring(text, frame_idx * 100 + 1, 100)) as bigint)").as("frame_len"),
         expr("md5(substring(text, frame_idx * 100 + 1, 100))").as("frame_checksum"))
 
-  /** M3: resize — fixed-target nearest-neighbor downsampling of the
-    * payload (position i of the output samples position
-    * floor(i·len/target) of the input), the index arithmetic every image
-    * resize performs, applied to the stand-in payload; a real codec
-    * would run the same plan with pixel rows. Map-only, output size
-    * bounded at [[ResizeTarget]] units regardless of input size —
-    * payloads never grow through this operator. The per-doc transform
-    * is a fixed-64-element lambda (bounded, cold path); hot-path ops
-    * keep the no-lambda rule.
+  /** M3: resize — nearest-neighbor downsampling of REAL decoded pixels:
+    * parse the P6 header, slice the RGB byte section out of the payload,
+    * and sample [[ResizeTarget]] whole pixels (3-byte triplets) at
+    * position floor(i·n_pixels/target) — the index arithmetic every
+    * image resize performs, on actual image bytes. Map-only, output
+    * bounded at ResizeTarget pixels regardless of input size. The
+    * per-doc transform is a fixed-≤64-element lambda (bounded, cold
+    * path); hot-path ops keep the no-lambda rule. Geometry here is
+    * ≤ 16×12 so the index math stays in int range by construction.
     */
   val ResizeTarget = 64
 
   def m3Resize(spark: SparkSession, dir: String): DataFrame = {
-    val nOut = s"least(length(text), $ResizeTarget)"
-    // Index arithmetic in BIGINT (an int multiply overflows past ~34M
-    // chars under ANSI mode); empty payloads short-circuit to md5('') —
-    // sequence(0, -1) would otherwise step DOWNWARD and the div by
-    // nOut = 0 would throw (reviewer findings).
-    val sampled = s"md5(array_join(transform(sequence(0, cast($nOut as int) - 1), " +
-      s"i -> substring(text, cast((cast(i as bigint) * cast(length(text) as bigint)) div $nOut as int) + 1, 1)), ''))"
-    Tables.documents(spark, dir)
+    val nOut = s"least(w * h, $ResizeTarget)"
+    val sampled = s"md5(array_join(transform(sequence(0, $nOut - 1), " +
+      s"i -> substring(pix, ((i * w * h) div ($nOut)) * 3 + 1, 3)), ''))"
+    ppmTable(spark, dir)
+      .withColumn("hdr", expr("decode(substring(media, 1, 24), 'UTF-8')"))
+      .withColumn("w", expr("cast(regexp_extract(hdr, '^P6\n(\\\\d+) (\\\\d+)\n', 1) as int)"))
+      .withColumn("h", expr("cast(regexp_extract(hdr, '^P6\n(\\\\d+) (\\\\d+)\n', 2) as int)"))
+      // Pixel section starts after the header: 'P6\n' + w + ' ' + h +
+      // '\n255\n'. w, h ≥ 1 always (geometry is 1 + mod), so no empty
+      // or divide-by-zero edge exists here.
+      .withColumn("pix", expr(
+        "decode(substring(media, length(concat('P6\n', w, ' ', h, '\n255\n')) + 1, w * h * 3), 'UTF-8')"))
       .select(
         col("doc_id"),
-        expr("cast(length(text) as bigint)").as("orig_len"),
-        expr(s"cast($nOut as bigint)").as("resized_len"),
-        expr(s"case when length(text) = 0 then md5('') else $sampled end")
-          .as("resized_md5"))
+        col("w").cast("long").as("orig_w"),
+        col("h").cast("long").as("orig_h"),
+        expr(s"cast($nOut as bigint)").as("resized_px"),
+        expr(sampled).as("resized_md5"))
+  }
+
+  /** Header of a parsed P6 payload: geometry + offset of the RGB bytes. */
+  private[operators] final case class PpmHeader(width: Int, height: Int, maxval: Int, pixelOffset: Int)
+
+  /** Minimal REAL P6 parser over raw bytes: 'P6', whitespace-separated
+    * width/height/maxval, single whitespace, then w·h·3 RGB bytes.
+    * Returns None for anything malformed or truncated — never throws on
+    * hostile bytes (decode runs over untrusted corpora).
+    */
+  private[operators] def parseP6(bytes: Array[Byte]): Option[PpmHeader] = {
+    var i = 0
+    def skipWs(): Unit = while (i < bytes.length && (bytes(i) == ' ' || bytes(i) == '\n' || bytes(i) == '\t' || bytes(i) == '\r')) i += 1
+    def readInt(): Option[Int] = {
+      skipWs()
+      val start = i
+      while (i < bytes.length && bytes(i) >= '0' && bytes(i) <= '9') i += 1
+      if (i == start || i - start > 9) None
+      else Some(new String(bytes, start, i - start, "US-ASCII").toInt)
+    }
+    if (bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '6') return None
+    i = 2
+    for {
+      w <- readInt()
+      h <- readInt()
+      m <- readInt()
+      if w > 0 && h > 0 && m > 0 && m < 65536
+      // Exactly one whitespace byte separates maxval from pixel data.
+      if i < bytes.length && (bytes(i) == '\n' || bytes(i) == ' ' || bytes(i) == '\t' || bytes(i) == '\r')
+      if bytes.length - (i + 1) >= w.toLong * h * 3
+    } yield PpmHeader(w, h, m, i + 1)
   }
 
   /** Batched decode path (the mapInPandas analog in Scala): one
     * partition's records per call, iterator-in/iterator-out so a real
-    * implementation can batch onto an accelerator. The decode itself is
-    * a DETERMINISTIC STUB (`???`-free so the plumbing is testable):
-    * features derive from the bytes, standing in for codec output.
+    * implementation can batch onto an accelerator. The decode is a REAL
+    * P6 PPM parse ([[parseP6]]); the embedding is the first 8 RGB bytes
+    * maxval-normalized. Non-PPM payloads yield (-1, -1, -1) geometry and
+    * a zero embedding — the quarantine signal, not an exception.
     */
   def decodeFeatures(spark: SparkSession, media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.mapPartitions { records =>
       records.map { r =>
-        // STUB decode — a real pipeline would decode image/audio here.
-        val nBytes = r.media.length
-        val head = if (nBytes > 0) r.media(0) & 0xff else 0
-        val channels = (head % 4) + 1
-        // Empty payloads (zero-byte media) get a zero embedding — the
-        // modulo index would divide by zero otherwise.
-        val emb =
-          if (nBytes == 0) Array.fill(8)(0.0f)
-          else Array.tabulate(8)(i => ((r.media(i % nBytes) & 0xff) / 255.0f))
-        MediaFeatures(r.doc_id, nBytes, head, channels, emb)
+        parseP6(r.media) match {
+          case Some(h) =>
+            val nPix = h.width * h.height * 3
+            val emb = Array.tabulate(8)(i =>
+              if (i < nPix) (r.media(h.pixelOffset + i) & 0xff).toFloat / h.maxval
+              else 0.0f)
+            MediaFeatures(r.doc_id, r.media.length, h.width, h.height, 3, emb)
+          case None =>
+            MediaFeatures(r.doc_id, r.media.length, -1, -1, -1, Array.fill(8)(0.0f))
+        }
       }
     }
   }

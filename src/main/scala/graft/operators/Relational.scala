@@ -961,6 +961,56 @@ object Relational {
       .filter(col("edit_dist") <= 3)
   }
 
+  /** Sorted-neighborhood window: each row is a candidate against its
+    * next [[FuzzyWindow]] rows in sort order, per pass.
+    */
+  val FuzzyWindow = 10
+
+  /** Fuzzy match with blocking derived from the MATCH FIELD itself —
+    * the entity-resolution form [[qFuzzyMatch]] can't be: its
+    * (nation, custkey-hundred) block is id-derived, so a typo'd
+    * duplicate whose surrogate key landed far away is unreachable no
+    * matter how small the edit distance (round-5 finding).
+    *
+    * Method: two-pass SORTED NEIGHBORHOOD over the name. Pass 1 sorts
+    * by the name, pass 2 by its reversal; each row pairs with its next
+    * FuzzyWindow rows in that order, the union of both passes is
+    * verified with Levenshtein. Why two passes: a sort co-locates
+    * names sharing a long PREFIX, so an edit near the end is caught by
+    * pass 1, an edit near the start keeps the suffix — i.e. the
+    * reversed name's prefix — and is caught by pass 2. (Prefix-key or
+    * q-gram blocking both degenerate on this corpus: every name shares
+    * `Customer#00...`, so the discriminating characters sit at the
+    * END of the string.)
+    *
+    * Scale shape: each pass is one range-partitioned sort
+    * ([[Scale.globalRowNumbers]] — no single-partition window) plus a
+    * BOUNDED self-join (exactly FuzzyWindow successors per row, so
+    * candidates = 2·W·n, linear in n — no block can go quadratic, the
+    * failure mode a skewed equi-join block has). The rn-band join is
+    * the range-join shape RangeJoinRewrite handles.
+    */
+  def qFuzzyMatchName(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("key"), col("c_name").as("name"))
+    def pass(sortKey: org.apache.spark.sql.Column): DataFrame = {
+      val rn = graft.PersistScope.persisted(
+        Scale.globalRowNumbers(base.withColumn("sortkey", sortKey), Seq("sortkey")))
+      rn.select(col("rn").as("rn_a"), col("key").as("key_a"), col("name").as("name_a"))
+        .join(
+          rn.select(col("rn").as("rn_b"), col("key").as("key_b"), col("name").as("name_b")),
+          col("rn_b") > col("rn_a") && col("rn_b") <= col("rn_a") + lit(FuzzyWindow))
+        .select("key_a", "key_b", "name_a", "name_b")
+    }
+    pass(col("name")).unionByName(pass(reverse(col("name"))))
+      .select(
+        least(col("key_a"), col("key_b")).as("cust_a"),
+        greatest(col("key_a"), col("key_b")).as("cust_b"),
+        levenshtein(col("name_a"), col("name_b")).cast("long").as("edit_dist"))
+      .filter(col("edit_dist") <= 3)
+      .distinct()
+  }
+
   /** F14: regex scalar family — extract, count, and match built-ins
     * (anchored extract, occurrence count, containment test) in one
     * map-only pass. These stay inside whole-stage codegen (Java regex

@@ -61,6 +61,34 @@ class DeltaSpec extends SparkTestBase {
     assert(got === Map(1L -> "changed", 2L -> "changed"))
   }
 
+  test("scd2Apply: close/open/insert semantics, history passthrough, convergence") {
+    import spark.implicits._
+    // Dim with one closed historical row (k=1 v1) and three open rows.
+    val dim = Seq(
+      (1L, "old", 0L, 999L, 1L),   // closed history — must pass through
+      (1L, "a", 1000L, -1L, 2L),   // open, will CHANGE
+      (2L, "b", 0L, -1L, 1L),      // open, UNCHANGED
+      (3L, "c", 0L, -1L, 1L))      // open, key REMOVED in next
+      .toDF("k", "v", "valid_from_ms", "valid_to_ms", "version")
+    val next = Seq((1L, "a2"), (2L, "b"), (4L, "d")).toDF("k", "v")
+    val t1 = 5000L
+    val merged = Delta.scd2Apply(dim, next, Seq("k"), Seq("v"), t1)
+    val rows = merged.select("k", "v", "valid_from_ms", "valid_to_ms", "version")
+      .as[(Long, String, Long, Long, Long)].collect().toSet
+    assert(rows === Set(
+      (1L, "old", 0L, 999L, 1L),     // history untouched
+      (1L, "a", 1000L, t1 - 1, 2L),  // closed at t1-1
+      (1L, "a2", t1, -1L, 3L),       // successor version
+      (2L, "b", 0L, -1L, 1L),        // unchanged open
+      (3L, "c", 0L, t1 - 1, 1L),     // removed → closed, no successor
+      (4L, "d", t1, -1L, 1L)))       // inserted at version 1
+    // Re-merging the SAME snapshot is a fixed point: everything open now
+    // matches `next`, so a second apply changes nothing.
+    val again = Delta.scd2Apply(merged, next, Seq("k"), Seq("v"), 9000L)
+      .as[(Long, String, Long, Long, Long)].collect().toSet
+    assert(again === rows)
+  }
+
   test("skewProfile flags a hot key and is exact on a crafted distribution") {
     import spark.implicits._
     // 1 key with 90 rows + 9 keys with 1 row: mean = 9.9, max = 90.

@@ -154,6 +154,40 @@ class ReferencePipelineSpec extends SparkTestBase {
       "name,primary_email,primary_phone_number,grade,age")
   }
 
+  test("renamed CSV sink recovers from a simulated mid-write failure") {
+    // The reference's task-failure semantics (google_sheets.py:103-105:
+    // catch, log, re-raise for the orchestrator to retry) collapse here
+    // to: a retry of the whole flagship write must converge regardless
+    // of what the dead attempt left behind. Simulate the two crash
+    // artifacts a mid-promotion death produces — a leftover _staging
+    // tree and a half-promoted (corrupt) target file — and prove the
+    // re-run restores the exact golden bytes and clears the staging.
+    val fmt = Seq(
+      ("Youth Group", "youth_roster"),
+      ("Choir Youth Mid", "choir_youth"))
+      .toDF("list_name", "csv_name")
+    val out = tempDir("renamed_csv_retry")
+    Sinks.writeCsvRenamed(ReferencePipeline.applyCsvFormat(buildPeople(), fmt), out)
+    val golden = Files.readAllLines(Paths.get(out, "youth_roster.csv")).asScala.toSeq
+
+    // Crash artifacts: stale staging with garbage, truncated target.
+    val staleDir = Paths.get(out, "_staging", "csv_name=youth_roster")
+    Files.createDirectories(staleDir)
+    Files.write(staleDir.resolve("part-00000-dead-attempt.csv"),
+      "name\nSTALE ROW FROM DEAD ATTEMPT".getBytes("UTF-8"))
+    Files.write(Paths.get(out, "youth_roster.csv"),
+      "name,primary_email\nTRUNC".getBytes("UTF-8"))
+
+    Sinks.writeCsvRenamed(ReferencePipeline.applyCsvFormat(buildPeople(), fmt), out)
+
+    assert(Files.readAllLines(Paths.get(out, "youth_roster.csv")).asScala.toSeq === golden)
+    assert(!Files.exists(Paths.get(out, "_staging")),
+      "retry must clear the staging tree")
+    val files = Files.list(Paths.get(out)).iterator().asScala
+      .map(_.getFileName.toString).filterNot(_.startsWith(".")).toSet
+    assert(files === Set("youth_roster.csv", "choir_youth.csv"))
+  }
+
   test("csv_fmt semi-join + rename keeps only configured lists") {
     val fmt = Seq(("Youth Group", "youth")).toDF("list_name", "csv_name")
     val got = ReferencePipeline.applyCsvFormat(buildPeople(), fmt)
