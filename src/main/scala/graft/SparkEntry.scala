@@ -50,6 +50,7 @@ object SparkEntry {
     "w6_first_last"        -> Relational.w6FirstLast _,
     "w7_sessionize"        -> Relational.w7Sessionize _,
     "q_range_join"         -> Relational.qRangeJoin _,
+    "q_interval_join"      -> Relational.qIntervalJoin _,
     "q_scd2"               -> Relational.qScd2 _,
     "f11_collect"          -> Relational.f11Collect _,
     "a11_histogram"        -> Relational.a11Histogram _,
@@ -294,6 +295,15 @@ object SparkEntry {
         "lo + r * ((hi - lo + 1) // 64) + ((hi - lo + 1) // 32 + 1) AS w_end FROM range(0, 48) t(r), b) " +
         "SELECT w_id, count(*) AS n_events, CAST(sum(value_milli) AS BIGINT) AS sum_value_milli " +
         "FROM w JOIN ev ON ts_ms >= w_start AND ts_ms < w_end GROUP BY w_id"),
+    // Interval-overlap twin: the naive overlap inequality join — the
+    // engine's bucketed form must compute exactly these matches.
+    "q_interval_join" ->
+      ("WITH a AS (SELECT o_orderkey AS a_orderkey, CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS a_lo, " +
+        "CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) + 14 AS a_hi FROM orders WHERE o_custkey % 50 = 1), " +
+        "b AS (SELECT o_orderkey AS b_orderkey, CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS b_lo, " +
+        "CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) + 14 AS b_hi FROM orders WHERE o_custkey % 50 = 2) " +
+        "SELECT a_orderkey, b_orderkey, least(a_hi, b_hi) - greatest(a_lo, b_lo) AS overlap_days " +
+        "FROM a JOIN b ON a_lo < b_hi AND b_lo < a_hi"),
     // Fuzzy-match twin: same blocking equi-join stated as SQL, same
     // built-in Levenshtein (unit-cost edit distance in both engines).
     "q_fuzzy_match" ->

@@ -67,6 +67,39 @@ object Scale {
       .drop("__bucket")
   }
 
+  /** INTERVAL×INTERVAL overlap join — [[rangeJoin]]'s big sibling: both
+    * sides are ranges, the match predicate is half-open overlap
+    * (`aLo < bHi AND bLo < aHi`). Same bucketization (each interval
+    * explodes to the fixed-width buckets it covers, equi-join on the
+    * bucket id, exact predicate re-checked), plus one extra trick: a
+    * pair whose overlap spans k shared buckets would match k times, so
+    * the join keeps only the FIRST shared bucket —
+    * `max(aStartBucket, bStartBucket)` — emitting every overlapping
+    * pair exactly once WITHOUT a distinct (no second shuffle, no
+    * data-sized dedup state; the winning bucket is computable from the
+    * row itself, which is what makes it free).
+    *
+    * Caller aliases the two sides apart. Cost scales with
+    * Σ buckets-per-interval on each side plus true matches per bucket —
+    * never |A|×|B|. Pick `bucketWidth` near the typical interval width
+    * so each explodes to ~2 buckets.
+    */
+  def intervalJoin(a: DataFrame, aLo: String, aHi: String,
+                   b: DataFrame, bLo: String, bHi: String,
+                   bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    def floorDiv(c: String): String =
+      s"(($c div ${bucketWidth}L) - (CASE WHEN $c % ${bucketWidth}L < 0 THEN 1 ELSE 0 END))"
+    def exploded(df: DataFrame, lo: String, hi: String): DataFrame =
+      df.withColumn("__bucket",
+        explode(expr(s"sequence(${floorDiv(lo)}, ${floorDiv(s"($hi - 1)")})")))
+    exploded(a, aLo, aHi).join(exploded(b, bLo, bHi), Seq("__bucket"))
+      .where(col(aLo) < col(bHi) && col(bLo) < col(aHi))
+      .where(col("__bucket") ===
+        greatest(expr(floorDiv(aLo)), expr(floorDiv(bLo))))
+      .drop("__bucket")
+  }
+
   /** Global row numbering WITHOUT the single-partition trap. The naive
     * `row_number() OVER (ORDER BY k)` has an empty PARTITION BY — Spark
     * plans one task holding the entire dataset, the canonical way a

@@ -71,6 +71,30 @@ class ScaleSpec extends SparkTestBase {
     assert(plan.contains("rangepartitioning"), s"expected range partitioning:\n$plan")
   }
 
+  test("intervalJoin emits each overlapping pair exactly once, incl. negative coords") {
+    import spark.implicits._
+    // Overlaps spanning many shared buckets (the duplicate trap), an
+    // exact-touch non-overlap (half-open), and negative coordinates
+    // (the floor-div trap).
+    val a = Seq((1L, 0L, 100L), (2L, -25L, -5L), (3L, 50L, 60L))
+      .toDF("a_id", "a_lo", "a_hi")
+    val b = Seq((10L, 10L, 90L),   // overlaps a1 across ~8 shared buckets
+                (11L, 100L, 120L), // touches a1 at 100 exactly — NOT a match
+                (12L, -10L, 1L),   // overlaps a1 and a2, crosses zero
+                (13L, 55L, 58L))   // nested inside a3 (and inside a1)
+      .toDF("b_id", "b_lo", "b_hi")
+    val got = Scale.intervalJoin(a, "a_lo", "a_hi", b, "b_lo", "b_hi", bucketWidth = 10L)
+      .select("a_id", "b_id").as[(Long, Long)].collect()
+    assert(got.length === got.toSet.size, s"duplicate pairs: ${got.toSeq}")
+    assert(got.toSet === Set(
+      (1L, 10L), (1L, 12L), (2L, 12L), (3L, 10L), (3L, 13L), (1L, 13L)))
+    // Cross-check vs the naive O(n·m) form on the same data.
+    val naive = a.crossJoin(b)
+      .where(col("a_lo") < col("b_hi") && col("b_lo") < col("a_hi"))
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(got.toSet === naive)
+  }
+
   test("salted join returns exactly the plain join's rows") {
     val orders = Tables.orders(spark, Sf)
     val customer = Tables.customer(spark, Sf)
