@@ -99,6 +99,7 @@ object SparkEntry {
     "q_fuzzy_match"        -> Relational.qFuzzyMatch _,
     "q_fuzzy_match_name"   -> Relational.qFuzzyMatchName _,
     "f14_regex"            -> Relational.f14Regex _,
+    "f15_variant"          -> Relational.f15Variant _,
     "q_gap_fill"           -> Relational.qGapFill _,
     "f13_maps"             -> Relational.f13Maps _,
     // The pre-flight join diagnostic, run on the orders fact's key.
@@ -331,6 +332,12 @@ object SparkEntry {
       ("SELECT p_partkey, regexp_extract(p_name, '^[a-z]+') AS first_word, " +
         "CAST(len(regexp_extract_all(p_name, '[aeiou]+')) AS BIGINT) AS n_vowel_runs, " +
         "regexp_matches(p_name, '(ring|bolt)') AS is_fastener FROM part"),
+    // Variant twin: typed path extraction via DuckDB's JSON functions —
+    // same values, same null-on-miss ''-coalesce.
+    "f15_variant" ->
+      ("SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num, " +
+        "json_extract_string(props, '$.k') AS k_str, " +
+        "coalesce(json_extract_string(props, '$.absent'), '') AS missing FROM events"),
     // Snapshot-diff twin: the oracle re-derives the perturbed "next
     // snapshot" with identical integer/mod arithmetic and classifies via
     // a plain FULL JOIN value compare — the engine's hash-compare is an

@@ -1055,6 +1055,25 @@ object Relational {
         expr("cast(regexp_count(p_name, '[aeiou]+') as bigint)").as("n_vowel_runs"),
         col("p_name").rlike("(ring|bolt)").as("is_fastener"))
 
+  /** F15: VARIANT column family — Spark 4's native semi-structured type
+    * (`parse_json` → open-schema binary-encoded values, `variant_get`
+    * typed path extraction, `try_variant_get` null-on-miss). Between
+    * f7's fixed struct (full schema known) and f13's map<string,string>
+    * (stringly typed), VARIANT is the third point: schema-on-read with
+    * per-path TYPED access and no upfront schema at all — the shape a
+    * landing zone of heterogeneous JSON wants. Map-only, one parse per
+    * row feeding every extraction; missing paths yield NULL (''-coalesced
+    * at the boundary, the engine's null discipline), never an error.
+    */
+  def f15Variant(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"), expr("parse_json(props)").as("v"))
+      .select(
+        col("event_id"),
+        expr("variant_get(v, '$.k', 'bigint')").as("k_num"),
+        expr("variant_get(v, '$.k', 'string')").as("k_str"),
+        expr("coalesce(try_variant_get(v, '$.absent', 'string'), '')").as("missing"))
+
   /** F13: map-typed column family — parse JSON props into a real
     * `map<string,string>` (schema-on-read for ragged key sets, vs f7's
     * fixed struct), augment it with `map_concat`, and flatten with the

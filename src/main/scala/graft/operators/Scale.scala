@@ -194,6 +194,51 @@ object Scale {
       .write.mode(SaveMode.Overwrite).parquet(out)
   }
 
+  /** Small-file compaction — the table-maintenance job every long-lived
+    * 100 TB dataset needs: streaming upserts, per-key sinks, and
+    * incremental ingests all shed small files, and a scan's task count
+    * (and the namenode/listing cost) degrades with the file count, not
+    * the byte count. Rewrites a parquet directory into
+    * ceil(bytes / targetBytes) files sized from the CURRENT on-disk
+    * footprint (a filesystem metadata sum — no data read to plan).
+    *
+    * The rewrite stages into `<dir>__compact` then swaps via two
+    * metadata renames, so a reader never observes a half-written
+    * directory and a crashed compaction leaves the original untouched
+    * (the stale staging dir is overwritten by the retry — same
+    * contract as [[graft.sinks.Sinks.writeCsvRenamed]]). Merging many
+    * files into fewer uses shuffle-free `coalesce`; growing the file
+    * count (splitting oversized files) needs a `repartition` shuffle.
+    * Row order within files is not part of the contract —
+    * layout-sensitive tables recompact via [[writeZOrdered]] instead.
+    */
+  def compactFiles(spark: org.apache.spark.sql.SparkSession, dir: String,
+                   targetBytes: Long): Long = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    val bytes = fs.getContentSummary(path).getLength
+    val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes)
+    val staging = new org.apache.hadoop.fs.Path(dir + "__compact")
+    val df = spark.read.parquet(dir)
+    val current = df.rdd.getNumPartitions
+    val sized =
+      if (nFiles.toInt < current) df.coalesce(nFiles.toInt)
+      else df.repartition(nFiles.toInt)
+    sized.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    val old = new org.apache.hadoop.fs.Path(dir + "__old")
+    fs.delete(old, true)
+    if (!fs.rename(path, old))
+      throw new java.io.IOException(s"compaction: failed to move $path aside")
+    if (!fs.rename(staging, path)) {
+      // Roll back: the original directory is still intact under __old.
+      fs.rename(old, path)
+      throw new java.io.IOException(s"compaction: failed to promote $staging")
+    }
+    fs.delete(old, true)
+    nFiles
+  }
+
   /** Key-skew profile — the pre-flight diagnostic you run BEFORE choosing
     * between a plain shuffled join, AQE skew splitting, and
     * [[saltedEquiJoin]]: per-key counts reduced to one summary row

@@ -86,6 +86,18 @@ class PlanSpec extends SparkTestBase {
     val fm = plan(Relational.qFuzzyMatch(spark, Sf))
     assert(!fm.contains("BroadcastNestedLoopJoin") && !fm.contains("CartesianProduct"),
       s"blocked fuzzy match must plan as an equi-join on the block key:\n$fm")
+    // The sorted-neighborhood variant's ±W band must stay the
+    // explode-to-successor equi-join — stated as an rn inequality it
+    // planned as a nested loop over n² pairs (measured 82 s at sf0.1).
+    val fn = plan(Relational.qFuzzyMatchName(spark, Sf))
+    assert(!fn.contains("BroadcastNestedLoopJoin") && !fn.contains("CartesianProduct"),
+      s"sorted-neighborhood fuzzy match must equi-join on rn:\n$fn")
+  }
+
+  test("interval-overlap join equi-joins on the bucket, never a nested loop") {
+    val ij = plan(Relational.qIntervalJoin(spark, Sf))
+    assert(!ij.contains("BroadcastNestedLoopJoin") && !ij.contains("CartesianProduct"),
+      s"interval join must plan as a bucket equi-join:\n$ij")
   }
 
   test("runtime bloom filter prunes the probe side of a selective join") {

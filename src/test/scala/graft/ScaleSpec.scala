@@ -95,6 +95,32 @@ class ScaleSpec extends SparkTestBase {
     assert(got.toSet === naive)
   }
 
+  test("compactFiles merges small files without changing the data") {
+    import spark.implicits._
+    val dir = tempDir("compact") + "/table"
+    // 64 tiny files — the streaming-upsert debris shape.
+    (1 to 6400).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .repartition(64).write.parquet(dir)
+    def parts(d: String) = new java.io.File(d).listFiles()
+      .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(parts(dir) === 64)
+    val before = spark.read.parquet(dir).as[(Long, String)].collect().sorted.toSeq
+
+    // A generous byte target collapses everything into one file.
+    val n = graft.operators.Scale.compactFiles(spark, dir, targetBytes = 1L << 30)
+    assert(n === 1L && parts(dir) === 1)
+    assert(spark.read.parquet(dir).as[(Long, String)].collect().sorted.toSeq === before)
+    assert(!new java.io.File(dir + "__compact").exists())
+    assert(!new java.io.File(dir + "__old").exists())
+
+    // A tight target keeps several files: ceil(bytes / target).
+    val bytes = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    val n2 = graft.operators.Scale.compactFiles(spark, dir, targetBytes = bytes / 3)
+    assert(n2 >= 3L && parts(dir) >= 3)
+    assert(spark.read.parquet(dir).as[(Long, String)].collect().sorted.toSeq === before)
+  }
+
   test("salted join returns exactly the plain join's rows") {
     val orders = Tables.orders(spark, Sf)
     val customer = Tables.customer(spark, Sf)
