@@ -33,6 +33,18 @@ class EmptyInputSpec extends SparkTestBase {
       StructField("value", DoubleType), StructField("props", StringType)))
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], evSchema)
       .write.parquet(s"$dir/events.parquet")
+    val custSchema = StructType(Seq(
+      StructField("c_custkey", LongType), StructField("c_name", StringType),
+      StructField("c_nationkey", IntegerType), StructField("c_acctbal", DoubleType),
+      StructField("c_mktsegment", StringType)))
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], custSchema)
+      .write.parquet(s"$dir/customer.parquet")
+    val ordSchema = StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+      StructField("o_orderstatus", StringType), StructField("o_totalprice", DoubleType),
+      StructField("o_orderdate", TimestampNTZType), StructField("o_orderpriority", StringType)))
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], ordSchema)
+      .write.parquet(s"$dir/orders.parquet")
     dir
   }
 
@@ -63,6 +75,21 @@ class EmptyInputSpec extends SparkTestBase {
     val prof = graft.operators.Scale.skewProfile(none, "k").collect().head
     assert(prof.getAs[Long]("n_keys") === 0L)
     assert(prof.isNullAt(prof.fieldIndex("skew_milli")))
+  }
+
+  test("round-6 operators survive empty inputs") {
+    // Sorted neighborhood over zero customers: two sorts, zero pairs.
+    assert(graft.operators.Relational.qFuzzyMatchName(spark, emptyDir).count() === 0)
+    // Interval join over zero orders on both sides.
+    assert(graft.operators.Relational.qIntervalJoin(spark, emptyDir).count() === 0)
+    // SCD2 merge of an empty snapshot into an empty dimension.
+    assert(graft.operators.Delta.qScd2Merge(spark, emptyDir).count() === 0)
+    // Index ingest: builds an (empty) corpus index, joins nothing.
+    assert(LlmOps.d5bIndexIngest(spark, emptyDir).count() === 0)
+    // PPM family: zero documents → zero images; the P6 construction and
+    // header parse never see a row.
+    assert(Multimodal.m3Resize(spark, emptyDir).count() === 0)
+    assert(graft.operators.Relational.f15Variant(spark, emptyDir).count() === 0)
   }
 
   test("document operators return empty on an empty corpus") {
