@@ -162,6 +162,8 @@ object SparkEntry {
     "st5_stream_dedup"    -> Streaming.streamDedup _,
     "st6_stream_static"   -> Streaming.streamStaticJoin _,
     "st7_stream_left_join" -> Streaming.streamStreamLeftJoin _,
+    "st8_stream_upsert"    -> Streaming.st8StreamUpsert _,
+    "st9_sessionize_custom" -> Streaming.st9SessionizeCustom _,
   )
 
   private val multimodalQueries: Map[String, Query] = Map(
@@ -889,6 +891,20 @@ object SparkEntry {
     "st1_tumbling_window" ->
       ("SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type, " +
         "count(*) AS n_events, round(sum(value), 2) AS total_value FROM events GROUP BY 1, 2"),
+    // Upsert-sink twin: the maintained table equals the batch tumbling
+    // count — partition-scoped overwrite is exactly-once maintenance.
+    "st8_stream_upsert" ->
+      ("SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type, " +
+        "count(*) AS n_events FROM events GROUP BY 1, 2"),
+    // Custom-state sessionizer twin: same gaps-and-islands SQL as st3 —
+    // flatMapGroupsWithState must reproduce session_window exactly.
+    "st9_sessionize_custom" ->
+      ("WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts2 FROM events), " +
+        "x AS (SELECT user_id, ts2, CASE WHEN lag(ts2) OVER w IS NULL OR ts2 - lag(ts2) OVER w >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_s " +
+        "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts2)), " +
+        "y AS (SELECT user_id, ts2, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts2 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM x) " +
+        "SELECT min(ts2) AS session_start, max(ts2) + INTERVAL '30 minutes' AS session_end, user_id, count(*) AS n_events " +
+        "FROM y GROUP BY user_id, sid"),
     "st2_sliding_window" ->
       ("WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts2, event_type FROM events) " +
         "SELECT ws AS window_start, event_type, count(*) AS n_events FROM (" +

@@ -287,6 +287,35 @@ object Streaming {
     runAppendToParquet(spark, deduped).select("event_type", "user_id", "minute")
   }
 
+  /** ST8: the streaming upsert sink as an oracle-checked query — run
+    * [[upsertToPartitions]] into a fresh target and return the table it
+    * maintains. With AvailableNow over the fixture the maintained table
+    * equals the batch tumbling aggregate, so the DuckDB twin is the
+    * time_bucket groupBy — the correctness statement that
+    * partition-scoped overwrite composes to exactly-once table
+    * maintenance.
+    */
+  def st8StreamUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_st8").toString + "/table"
+    upsertToPartitions(spark, dir, out)
+      .select(col("window_start"), col("event_type"), col("n_events"))
+  }
+
+  /** ST9: the typed custom-state sessionizer
+    * ([[Sessionize.sessions]], flatMapGroupsWithState) as an
+    * oracle-checked query — the §2.10 custom-state escape hatch held to
+    * the same DuckDB gaps-and-islands twin as the built-in
+    * session_window (st3), not just to a ScalaTest equivalence.
+    */
+  def st9SessionizeCustom(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Sessionize.sessions(spark,
+        graft.Tables.events(spark, dir)
+          .select(col("user_id"), col("ts")).as[Sessionize.Ev])
+      .toDF()
+      .select(col("session_start"), col("session_end"), col("user_id"), col("n_events"))
+  }
+
   /** ST6: stream-static enrichment join — the most common production
     * streaming shape: events stream joined to a batch dimension table
     * (customer segments) at ingest. The static side is re-planned per
