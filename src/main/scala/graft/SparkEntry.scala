@@ -51,6 +51,8 @@ object SparkEntry {
     "w7_sessionize"        -> Relational.w7Sessionize _,
     "q_range_join"         -> Relational.qRangeJoin _,
     "q_interval_join"      -> Relational.qIntervalJoin _,
+    "q_tpch_q3"            -> Relational.qTpchQ3 _,
+    "q_tpch_q5"            -> Relational.qTpchQ5 _,
     "q_scd2"               -> Relational.qScd2 _,
     "f11_collect"          -> Relational.f11Collect _,
     "a11_histogram"        -> Relational.a11Histogram _,
@@ -298,6 +300,21 @@ object SparkEntry {
         "lo + r * ((hi - lo + 1) // 64) + ((hi - lo + 1) // 32 + 1) AS w_end FROM range(0, 48) t(r), b) " +
         "SELECT w_id, count(*) AS n_events, CAST(sum(value_milli) AS BIGINT) AS sum_value_milli " +
         "FROM w JOIN ev ON ts_ms >= w_start AND ts_ms < w_end GROUP BY w_id"),
+    // TPC-H twins: near-verbatim SQL — the whole point of the spark.sql
+    // text surface is that the same statement runs on both engines.
+    "q_tpch_q3" ->
+      ("SELECT o_orderkey, CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents, " +
+        "CAST(o_orderdate AS DATE) AS order_date " +
+        "FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey " +
+        "WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-03-15' AND l_shipdate > TIMESTAMP '1998-03-15' " +
+        "GROUP BY o_orderkey, o_orderdate ORDER BY revenue_cents DESC, o_orderkey LIMIT 10"),
+    "q_tpch_q5" ->
+      ("SELECT n_name, CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents " +
+        "FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey " +
+        "JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey " +
+        "JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey " +
+        "WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01' " +
+        "GROUP BY n_name"),
     // Interval-overlap twin: the naive overlap inequality join — the
     // engine's bucketed form must compute exactly these matches.
     "q_interval_join" ->

@@ -1074,6 +1074,55 @@ object Relational {
         expr("variant_get(v, '$.k', 'string')").as("k_str"),
         expr("coalesce(try_variant_get(v, '$.absent', 'string'), '')").as("missing"))
 
+  /** TPC-H Q3 (shipping-priority), adapted to the fixture's columns and
+    * date span — exercised through the plain `spark.sql` TEXT surface
+    * over [[Tables.registerAll]]'s views: the "switch to this library"
+    * path where Catalyst does join ordering/broadcast selection from SQL
+    * alone, no DataFrame hints. Revenue is integer CENTS (per-row
+    * round, then sum) so the top-10 cut and the hash compare never ride
+    * on double-sum ULPs; ORDER BY (revenue, key) is a total order, so
+    * the LIMIT 10 set is deterministic on both engines.
+    */
+  def qTpchQ3(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """SELECT o_orderkey,
+        |  sum(cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)) AS revenue_cents,
+        |  cast(o_orderdate as date) AS order_date
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < timestamp'1998-03-15'
+        |  AND l_shipdate > timestamp'1998-03-15'
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY revenue_cents DESC, o_orderkey
+        |LIMIT 10""".stripMargin)
+  }
+
+  /** TPC-H Q5 (local-supplier volume), adapted: six-table join — the
+    * plan-complexity stress where join ORDER matters most (region/nation
+    * broadcast, customer⋈orders⋈lineitem⋈supplier shuffled on their
+    * keys). Same spark.sql text surface and integer-cents discipline as
+    * [[qTpchQ3]].
+    */
+  def qTpchQ5(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """SELECT n_name,
+        |  sum(cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)) AS revenue_cents
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= timestamp'1996-01-01'
+        |  AND o_orderdate < timestamp'1997-01-01'
+        |GROUP BY n_name""".stripMargin)
+  }
+
   /** F13: map-typed column family — parse JSON props into a real
     * `map<string,string>` (schema-on-read for ragged key sets, vs f7's
     * fixed struct), augment it with `map_concat`, and flatten with the

@@ -94,6 +94,17 @@ class PlanSpec extends SparkTestBase {
       s"sorted-neighborhood fuzzy match must equi-join on rn:\n$fn")
   }
 
+  test("SQL-text TPC-H plans broadcast the dims and never nested-loop") {
+    // From SQL alone (no DataFrame hints), Catalyst must still pick
+    // broadcasts for region/nation/supplier and hash joins for the
+    // fact chain — the join-order stress of the six-table Q5.
+    val q5 = plan(Relational.qTpchQ5(spark, Sf))
+    assert("BroadcastHashJoin".r.findAllIn(q5).length >= 2, s"expected dim broadcasts:\n$q5")
+    assert(!q5.contains("CartesianProduct") && !q5.contains("BroadcastNestedLoopJoin"))
+    val q3 = plan(Relational.qTpchQ3(spark, Sf))
+    assert(q3.contains("TakeOrderedAndProject"), "Q3's LIMIT must plan bounded")
+  }
+
   test("interval-overlap join equi-joins on the bucket, never a nested loop") {
     val ij = plan(Relational.qIntervalJoin(spark, Sf))
     assert(!ij.contains("BroadcastNestedLoopJoin") && !ij.contains("CartesianProduct"),
