@@ -145,6 +145,7 @@ object SparkEntry {
     "t16_tfidf"        -> LlmOps.t16TfIdf _,
     "t17_inverted_index" -> LlmOps.t17InvertedIndex _,
     "t18_cdc_chunks"   -> LlmOps.t18CdcChunks _,
+    "t19_dup_spans"    -> LlmOps.t19DupSpans _,
   )
 
   private val simQueries: Map[String, Query] = Map(
@@ -719,9 +720,31 @@ object SparkEntry {
       "FROM c JOIN documents d ON c.doc_id = d.doc_id"
   }
 
+  // Duplicated-span twin: the same rolling-hash polynomial brute-forced
+  // per position, then the ENGINE'S pipeline replayed — per-doc min-pos
+  // per hash, cross-doc hash gate, md5 verify — so hash-collision
+  // behavior is mirrored exactly (a direct substring group-by would
+  // diverge whenever two spans in one doc collide).
+  private val dupSpanSql: String = {
+    import graft.functions.RollingMinHash.{Base, Mod}
+    val w = LlmOps.SpanWindow
+    val pows = (0 until w).map { j =>
+      (0 until (w - 1 - j)).foldLeft(1L)((p, _) => p * Base % Mod)
+    }
+    val terms = pows.zipWithIndex
+      .map { case (p, j) => s"CAST(ord(substr(text, i + $j, 1)) AS BIGINT) * $p" }.mkString(" + ")
+    s"WITH hs AS (SELECT doc_id, i, ($terms) % $Mod AS hash FROM " +
+      s"(SELECT doc_id, text, unnest(range(1, length(text) - ${w - 2})) AS i FROM documents WHERE length(text) >= $w)), " +
+      "pd AS (SELECT doc_id, hash, min(i) AS i FROM hs GROUP BY 1, 2), " +
+      "cd AS (SELECT hash FROM pd GROUP BY hash HAVING count(*) >= 2), " +
+      s"ver AS (SELECT md5(substr(d.text, pd.i, $w)) AS span_md5 FROM pd JOIN cd USING (hash) JOIN documents d USING (doc_id)) " +
+      "SELECT span_md5, CAST(count(*) AS BIGINT) AS n_docs FROM ver GROUP BY 1 HAVING count(*) >= 2"
+  }
+
   private val llmOracle2: Map[String, String] = Map(
     "t13_rolling_fp" -> rkSql,
     "t18_cdc_chunks" -> cdcSql,
+    "t19_dup_spans" -> dupSpanSql,
     // Inverted-index twin: distinct (shingle, doc) rows, df band filter,
     // posting truncation via row_number — the engine's collect/sort/slice
     // must produce the identical comma string.

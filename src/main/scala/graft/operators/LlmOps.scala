@@ -875,6 +875,44 @@ object LlmOps {
           .as("chunk_md5"))
   }
 
+  /** t19's span length: long enough that a shared span implies copied
+    * text rather than chance phrase reuse, short enough to catch
+    * partial-document duplication.
+    */
+  val SpanWindow = 32
+
+  /** T19: cross-document duplicated-SPAN detection — the exact-substring
+    * half of the dedup family (suffix-array-style "same 32+ chars appear
+    * in ≥2 documents": license boilerplate, copied paragraphs, mirrored
+    * quotes — duplication d1's whole-doc hash and d2's whole-doc
+    * similarity both miss). Every span hash streams from the native
+    * `rolling_hashes` Generator (O(1)/position, no per-row arrays);
+    * per-doc first occurrences collapse BEFORE the cross-doc count, the
+    * hash gate keeps only spans seen in ≥2 docs, and an md5 verify of
+    * the actual bytes kills rolling-hash collisions. The oracle twin
+    * replays the SAME hash-group-then-verify pipeline (not a direct
+    * substring group-by), so even collision behavior is mirrored.
+    *
+    * Scale shape: rows ∝ corpus characters into one (doc_id, hash)
+    * map-combinable groupBy, then hash-keyed joins — the standard
+    * distributed answer to suffix-array dedup; no all-pairs anywhere.
+    */
+  def t19DupSpans(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .filter(length(col("text")) >= SpanWindow)
+      .select(col("doc_id"), col("text"))
+    val perDoc = docs
+      .select(col("doc_id"), expr(s"rolling_hashes(text, $SpanWindow)"))
+      .groupBy("doc_id", "hash").agg(min("pos").as("pos"))
+    val crossDoc = perDoc.groupBy("hash")
+      .agg(count(lit(1)).as("nd")).filter(col("nd") >= 2).select("hash")
+    perDoc.join(crossDoc, "hash")
+      .join(docs, "doc_id")
+      .select(expr(s"md5(substring(text, pos + 1, $SpanWindow))").as("span_md5"))
+      .groupBy("span_md5").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+  }
+
   /** T12: stopword selection from the corpus vocabulary — tokens whose
     * document frequency exceeds half the corpus ([[t7TokenFreq]]'s
     * stopword/IDF use, materialized): the df-threshold rule every

@@ -15,8 +15,8 @@ class CdcChunkSpec extends SparkTestBase {
   // LCG-driven, aperiodic (a modular-polynomial-in-i alphabet is
   // periodic in i, which collapses the window-hash space and starves
   // the boundary rule of candidates).
-  private def pseudoText(n: Int): String = {
-    var x = 12345L
+  private def pseudoText(n: Int, seed: Long = 12345L): String = {
+    var x = seed
     (0 until n).map { _ =>
       x = (x * 1103515245L + 12345L) & 0x7fffffffL
       ('a' + (x % 26)).toChar
@@ -62,5 +62,32 @@ class CdcChunkSpec extends SparkTestBase {
       val h = spark.sql(s"SELECT rolling_hashes('abcdef', CAST(3 AS $t)) AS (pos, hash)")
       assert(h.count() === 4, s"window literal as $t")
     }
+  }
+
+  test("t19 finds a span copied across documents; unique text contributes nothing") {
+    import spark.implicits._
+    val dir = tempDir("dup_spans")
+    val copied = "THE-EXACT-COPIED-LICENSE-HEADER-LINE-HERE" // 41 chars > SpanWindow
+    val docs = Seq(
+      (1L, copied + pseudoText(200, seed = 1)),
+      (2L, pseudoText(180, seed = 2) + copied),    // same span, different offset
+      (3L, pseudoText(150, seed = 3) + copied + pseudoText(90, seed = 4)),
+      (4L, pseudoText(400, seed = 5)))             // no copied content
+      .map { case (id, text) => (id, text, "en", "src0", text.length.toLong) }
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+
+    val spans = LlmOps.t19DupSpans(spark, dir)
+      .select("span_md5", "n_docs").as[(String, Long)].collect().toMap
+    // Every 32-window inside the copied region is shared by docs 1-3.
+    val windows = (0 to copied.length - LlmOps.SpanWindow).map { i =>
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(
+        copied.substring(i, i + LlmOps.SpanWindow))
+    }
+    windows.foreach { m =>
+      assert(spans.get(m).contains(3L), s"copied-span window missing or wrong count")
+    }
+    // The LCG filler is aperiodic — doc 4 shares nothing.
+    assert(spans.values.forall(_ <= 3L))
   }
 }

@@ -90,6 +90,7 @@ class EmptyInputSpec extends SparkTestBase {
     // header parse never see a row.
     assert(Multimodal.m3Resize(spark, emptyDir).count() === 0)
     assert(graft.operators.Relational.f15Variant(spark, emptyDir).count() === 0)
+    assert(LlmOps.t19DupSpans(spark, emptyDir).count() === 0)
   }
 
   test("document operators return empty on an empty corpus") {
