@@ -53,6 +53,8 @@ object SparkEntry {
     "q_interval_join"      -> Relational.qIntervalJoin _,
     "q_tpch_q3"            -> Relational.qTpchQ3 _,
     "q_tpch_q5"            -> Relational.qTpchQ5 _,
+    "q_funnel"             -> Relational.qFunnel _,
+    "q_retention"          -> Relational.qRetention _,
     "q_scd2"               -> Relational.qScd2 _,
     "f11_collect"          -> Relational.f11Collect _,
     "a11_histogram"        -> Relational.a11Histogram _,
@@ -301,6 +303,22 @@ object SparkEntry {
         "lo + r * ((hi - lo + 1) // 64) + ((hi - lo + 1) // 32 + 1) AS w_end FROM range(0, 48) t(r), b) " +
         "SELECT w_id, count(*) AS n_events, CAST(sum(value_milli) AS BIGINT) AS sum_value_milli " +
         "FROM w JOIN ev ON ts_ms >= w_start AND ts_ms < w_end GROUP BY w_id"),
+    // Funnel twin: per-user min/max fold, 1:1 left join, integer-milli
+    // conversion via the shared round-half-up primitive.
+    "q_funnel" ->
+      ("WITH s AS (SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS s_ts FROM events WHERE event_type = 'signup' GROUP BY 1), " +
+        "p AS (SELECT user_id, max(CAST(ts AS TIMESTAMP)) AS last_p FROM events WHERE event_type = 'purchase' GROUP BY 1), " +
+        "u AS (SELECT CAST(date_trunc('day', s_ts) AS DATE) AS cohort_day, " +
+        "CASE WHEN last_p IS NOT NULL AND last_p >= s_ts THEN 1 ELSE 0 END AS conv FROM s LEFT JOIN p USING (user_id)) " +
+        "SELECT cohort_day, CAST(count(*) AS BIGINT) AS n_signups, CAST(sum(conv) AS BIGINT) AS n_converted, " +
+        "CAST((2000 * sum(conv) + count(*)) // (2 * count(*)) AS BIGINT) AS conv_milli FROM u GROUP BY 1"),
+    // Retention twin: first-seen week per user, distinct activity weeks,
+    // integer week offsets (both engines truncate weeks to ISO Monday).
+    "q_retention" ->
+      ("WITH c AS (SELECT user_id, CAST(date_trunc('week', min(CAST(ts AS TIMESTAMP))) AS DATE) AS cohort_week FROM events GROUP BY 1), " +
+        "a AS (SELECT DISTINCT user_id, CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS week FROM events) " +
+        "SELECT cohort_week, CAST((week - cohort_week) // 7 AS BIGINT) AS week_offset, CAST(count(*) AS BIGINT) AS n_active " +
+        "FROM a JOIN c USING (user_id) GROUP BY 1, 2"),
     // TPC-H twins: near-verbatim SQL — the whole point of the spark.sql
     // text surface is that the same statement runs on both engines.
     "q_tpch_q3" ->

@@ -1074,6 +1074,48 @@ object Relational {
         expr("variant_get(v, '$.k', 'string')").as("k_str"),
         expr("coalesce(try_variant_get(v, '$.absent', 'string'), '')").as("missing"))
 
+  /** Funnel conversion: per signup cohort-day, how many users ever
+    * purchased AFTER their first signup. The inequality ("a purchase at
+    * or after the signup") folds into per-user aggregates — max purchase
+    * ts vs min signup ts — so the join is a 1:1 equi-join on user_id,
+    * never an event×event inequality join. Conversion is integer milli.
+    */
+  def qFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val s = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts").as("s_ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id").agg(max("ts").as("last_p"))
+    s.join(p, Seq("user_id"), "left")
+      .select(
+        expr("cast(date_trunc('day', s_ts) as date)").as("cohort_day"),
+        (col("last_p").isNotNull && col("last_p") >= col("s_ts"))
+          .cast("long").as("converted"))
+      .groupBy("cohort_day")
+      .agg(count(lit(1)).as("n_signups"), sum("converted").as("n_converted"),
+        expr(graft.operators.LlmOps.milli("sum(converted)", "count(1)")).as("conv_milli"))
+  }
+
+  /** Retention cohort matrix: users grouped by first-seen week, one row
+    * per (cohort week, week offset) with the count still active — the
+    * triangle every growth dashboard draws. Two map-combinable
+    * aggregates plus one user-keyed equi-join; distinct (user, week)
+    * activity collapses BEFORE the join so events are shuffled once.
+    */
+  def qRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val cohort = ev.groupBy("user_id")
+      .agg(expr("cast(date_trunc('week', min(ts)) as date)").as("cohort_week"))
+    val active = ev
+      .select(col("user_id"), expr("cast(date_trunc('week', ts) as date)").as("week"))
+      .distinct()
+    active.join(cohort, "user_id")
+      .select(col("cohort_week"),
+        expr("datediff(week, cohort_week) div 7").as("week_offset"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(count(lit(1)).as("n_active"))
+  }
+
   /** TPC-H Q3 (shipping-priority), adapted to the fixture's columns and
     * date span — exercised through the plain `spark.sql` TEXT surface
     * over [[Tables.registerAll]]'s views: the "switch to this library"
