@@ -118,10 +118,17 @@ object Delta {
     val stillOpen = classified.filter(col("change_type") === "unchanged").drop("change_type")
     val closed = classified.filter(col("change_type").isin("changed", "removed"))
       .withColumn("valid_to_ms", lit(t1 - 1)).drop("change_type")
+    // Successor versions continue from the key's HIGHEST version across
+    // the whole dimension, not just its open row: a key that was
+    // removed (closed, no open row) and later re-added must resume at
+    // history-max + 1, never collide back onto version 1 (reviewer
+    // finding — the open-only lookup broke (key, version) uniqueness on
+    // remove-then-re-add).
+    val maxVersion = dim.groupBy(keyCols.map(col): _*)
+      .agg(max("version").as("prev_version"))
     val opened = next
       .join(diff.filter(col("change_type").isin("changed", "added")), keyCols)
-      .join(open.select(keyCols.map(col) :+ col("version").as("prev_version"): _*),
-        keyCols, "left")
+      .join(maxVersion, keyCols, "left")
       .select((keyCols ++ compareCols).map(col) ++ Seq(
         lit(t1).as("valid_from_ms"),
         lit(-1L).as("valid_to_ms"),

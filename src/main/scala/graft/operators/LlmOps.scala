@@ -461,7 +461,12 @@ object LlmOps {
   def d5bIndexIngest(spark: SparkSession, dir: String): DataFrame = {
     val prefix = "d5b_idx_" + java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
-    if (!spark.catalog.tableExists(s"${prefix}_bands"))
+    // Both tables gate the build: a crash between the two writeBucketed
+    // calls would otherwise wedge the query permanently — bands present,
+    // shingles missing, and nothing ever repairs it (reviewer finding).
+    // writeBucketed overwrites, so the re-build is self-healing.
+    if (!spark.catalog.tableExists(s"${prefix}_bands") ||
+        !spark.catalog.tableExists(s"${prefix}_shingles"))
       buildCorpusIndex(spark, dir, prefix)
     d5IncrementalAgainstIndex(spark, dir, prefix)
   }

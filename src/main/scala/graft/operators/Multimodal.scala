@@ -176,7 +176,11 @@ object Multimodal {
       w <- readInt()
       h <- readInt()
       m <- readInt()
-      if w > 0 && h > 0 && m > 0 && m < 65536
+      // 8-bit samples only: a spec-valid 16-bit P6 (maxval > 255)
+      // carries TWO bytes per sample — parsing it as 1 byte/sample
+      // would return interleaved half-sample garbage, so it takes the
+      // documented quarantine path instead (reviewer finding).
+      if w > 0 && h > 0 && m > 0 && m <= 255
       // Exactly one whitespace byte separates maxval from pixel data.
       if i < bytes.length && (bytes(i) == '\n' || bytes(i) == ' ' || bytes(i) == '\t' || bytes(i) == '\r')
       if bytes.length - (i + 1) >= w.toLong * h * 3

@@ -52,16 +52,27 @@ object Scale {
     * bound never match (the containment predicate is null-rejecting),
     * matching SQL inequality-join semantics.
     */
+  /** Sign-correct floor division SQL (Spark's `div` truncates toward
+    * zero, which disagrees with interval coverage on negative values —
+    * e.g. epoch offsets before 1970). Shared by [[rangeJoin]] and
+    * [[intervalJoin]] so the bucket arithmetic can never diverge.
+    */
+  private def floorDivExpr(c: String, width: Long): String =
+    s"(($c div ${width}L) - (CASE WHEN $c % ${width}L < 0 THEN 1 ELSE 0 END))"
+
+  /** Explode a half-open interval [lo, hi) to every width-`w` bucket it
+    * covers (last covered bucket is floor((hi-1)/w): hi is exclusive).
+    */
+  private def bucketExplode(df: DataFrame, lo: String, hi: String, w: Long): DataFrame =
+    df.withColumn("__bucket",
+      explode(expr(s"sequence(${floorDivExpr(lo, w)}, ${floorDivExpr(s"($hi - 1)", w)})")))
+
   def rangeJoin(points: DataFrame, pointCol: String,
                 ranges: DataFrame, loCol: String, hiCol: String,
                 bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
-    def floorDiv(c: String): String =
-      s"(($c div ${bucketWidth}L) - (CASE WHEN $c % ${bucketWidth}L < 0 THEN 1 ELSE 0 END))"
-    val pb = points.withColumn("__bucket", expr(floorDiv(pointCol)))
-    // Last covered bucket is floor((hi-1)/W): hi itself is exclusive.
-    val rb = ranges.withColumn("__bucket",
-      explode(expr(s"sequence(${floorDiv(loCol)}, ${floorDiv(s"($hiCol - 1)")})")))
+    val pb = points.withColumn("__bucket", expr(floorDivExpr(pointCol, bucketWidth)))
+    val rb = bucketExplode(ranges, loCol, hiCol, bucketWidth)
     pb.join(rb, Seq("__bucket"))
       .where(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
       .drop("__bucket")
@@ -88,15 +99,11 @@ object Scale {
                    b: DataFrame, bLo: String, bHi: String,
                    bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
-    def floorDiv(c: String): String =
-      s"(($c div ${bucketWidth}L) - (CASE WHEN $c % ${bucketWidth}L < 0 THEN 1 ELSE 0 END))"
-    def exploded(df: DataFrame, lo: String, hi: String): DataFrame =
-      df.withColumn("__bucket",
-        explode(expr(s"sequence(${floorDiv(lo)}, ${floorDiv(s"($hi - 1)")})")))
-    exploded(a, aLo, aHi).join(exploded(b, bLo, bHi), Seq("__bucket"))
+    bucketExplode(a, aLo, aHi, bucketWidth)
+      .join(bucketExplode(b, bLo, bHi, bucketWidth), Seq("__bucket"))
       .where(col(aLo) < col(bHi) && col(bLo) < col(aHi))
-      .where(col("__bucket") ===
-        greatest(expr(floorDiv(aLo)), expr(floorDiv(bLo))))
+      .where(col("__bucket") === greatest(
+        expr(floorDivExpr(aLo, bucketWidth)), expr(floorDivExpr(bLo, bucketWidth))))
       .drop("__bucket")
   }
 
@@ -203,10 +210,13 @@ object Scale {
     * footprint (a filesystem metadata sum — no data read to plan).
     *
     * The rewrite stages into `<dir>__compact` then swaps via two
-    * metadata renames, so a reader never observes a half-written
-    * directory and a crashed compaction leaves the original untouched
-    * (the stale staging dir is overwritten by the retry — same
-    * contract as [[graft.sinks.Sinks.writeCsvRenamed]]). Merging many
+    * metadata renames, so a reader never observes a HALF-WRITTEN
+    * directory; a crash before the swap leaves the original untouched,
+    * and a crash between the two renames is repaired on retry (the
+    * entry-point recovery restores `__old`). The instant between the
+    * renames is the residual exposure on a plain filesystem —
+    * production closes it by swapping a catalog pointer, not a
+    * directory name. Merging many
     * files into fewer uses shuffle-free `coalesce`; growing the file
     * count (splitting oversized files) needs a `repartition` shuffle.
     * Row order within files is not part of the contract —
@@ -217,6 +227,16 @@ object Scale {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    // Crash recovery (reviewer finding): a death BETWEEN the two swap
+    // renames below leaves the data only under __old and the table path
+    // missing — restore it first so the retry (and any reader racing
+    // it) finds the table. On an FS without atomic directory swap the
+    // instant between the renames is the residual exposure; production
+    // closes it by swapping a catalog/manifest pointer instead of the
+    // directory name.
+    val old = new org.apache.hadoop.fs.Path(dir + "__old")
+    if (!fs.exists(path) && fs.exists(old) && !fs.rename(old, path))
+      throw new java.io.IOException(s"compaction recovery: failed to restore $old to $path")
     val bytes = fs.getContentSummary(path).getLength
     val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes)
     val staging = new org.apache.hadoop.fs.Path(dir + "__compact")
@@ -226,7 +246,6 @@ object Scale {
       if (nFiles.toInt < current) df.coalesce(nFiles.toInt)
       else df.repartition(nFiles.toInt)
     sized.write.mode(SaveMode.Overwrite).parquet(staging.toString)
-    val old = new org.apache.hadoop.fs.Path(dir + "__old")
     fs.delete(old, true)
     if (!fs.rename(path, old))
       throw new java.io.IOException(s"compaction: failed to move $path aside")

@@ -42,14 +42,26 @@ object SheetsShaped {
     new org.apache.hadoop.fs.Path(uri)
       .getFileSystem(spark.sessionState.newHadoopConf())
 
-  /** K3: full-replace upload of a bounded summary table into a tab. */
+  /** K3: full-replace upload of a bounded summary table into a tab.
+    * The input is typically the tail of an expensive pipeline, so it is
+    * pinned for the duration: the row-bound check and the write are two
+    * actions over ONE computation, not two runs of the whole plan
+    * (reviewer finding).
+    */
   def upload(df: DataFrame, baseUri: String, tab: String): Unit = {
     val nCols = df.columns.length
     require(nCols <= MaxCols,
       s"tab '$tab': $nCols columns exceed the $MaxCols-column Sheets range")
-    val n = df.count()
-    require(n <= MaxRows,
-      s"tab '$tab': $n rows exceed the $MaxRows-row Sheets range")
+    val pinned = df.persist()
+    try {
+      val n = pinned.count()
+      require(n <= MaxRows,
+        s"tab '$tab': $n rows exceed the $MaxRows-row Sheets range")
+      uploadPinned(pinned, baseUri, tab)
+    } finally pinned.unpersist(false)
+  }
+
+  private def uploadPinned(df: DataFrame, baseUri: String, tab: String): Unit = {
     val staging = s"$baseUri/_staging_$tab"
     df.coalesce(1).write
       .option("header", true).option("emptyValue", "")

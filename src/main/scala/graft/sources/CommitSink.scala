@@ -120,10 +120,26 @@ private[graft] class CsvDataWriter(schema: StructType, path: String,
       java.nio.charset.StandardCharsets.UTF_8)
   }
 
+  /** Serialize one field in EXTERNAL form — internal representations
+    * (timestamp micros longs, date day-number ints) must never leak
+    * into the CSV (reviewer finding). Unsupported types fail loudly at
+    * first row rather than silently writing `Object.toString` garbage.
+    */
   private def field(row: InternalRow, i: Int): String =
     if (row.isNullAt(i)) ""
     else {
-      val s = String.valueOf(row.get(i, schema(i).dataType))
+      val s = schema(i).dataType match {
+        case TimestampType | TimestampNTZType =>
+          java.time.Instant.EPOCH.plus(row.getLong(i),
+            java.time.temporal.ChronoUnit.MICROS).toString
+        case DateType =>
+          java.time.LocalDate.ofEpochDay(row.getInt(i).toLong).toString
+        case _: StringType | BooleanType | ByteType | ShortType |
+             IntegerType | LongType | FloatType | DoubleType | _: DecimalType =>
+          String.valueOf(row.get(i, schema(i).dataType))
+        case dt => throw new UnsupportedOperationException(
+          s"graft-commit-csv cannot serialize column '${schema(i).name}' of type $dt")
+      }
       if (s.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
         "\"" + s.replace("\"", "\"\"") + "\""
       else s

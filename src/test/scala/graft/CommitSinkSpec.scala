@@ -33,6 +33,19 @@ class CommitSinkSpec extends SparkTestBase {
     assert(back === (1 to 100).map(i => (i.toLong, s"name,$i")).toSet)
   }
 
+  test("timestamps and dates serialize in external form, never internal micros/days") {
+    val dir = tempDir("commit_sink_types")
+    val df = Seq(Tuple1(1L)).toDF("id")
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp'2024-01-02 03:04:05'"))
+      .withColumn("d", org.apache.spark.sql.functions.expr("date'2024-01-02'"))
+      .withColumn("ok", org.apache.spark.sql.functions.lit(true))
+    df.coalesce(1).write.format("graft-commit-csv").option("path", dir).mode("append").save()
+    val line = Files.list(Paths.get(dir)).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("part-"))
+      .flatMap(p => Files.readAllLines(p).asScala).toSeq.head
+    assert(line === "1,2024-01-02T03:04:05Z,2024-01-02,true", line)
+  }
+
   test("protocol: only surviving attempts' output is promoted; discarded attempts sweep") {
     val dir = tempDir("commit_sink_spec")
     Files.createDirectories(Paths.get(dir))

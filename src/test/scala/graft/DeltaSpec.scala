@@ -87,6 +87,18 @@ class DeltaSpec extends SparkTestBase {
     val again = Delta.scd2Apply(merged, next, Seq("k"), Seq("v"), 9000L)
       .as[(Long, String, Long, Long, Long)].collect().toSet
     assert(again === rows)
+
+    // Remove-then-re-add: k=3 was closed with no successor; a snapshot
+    // that brings it back must resume at history-max + 1, not collide a
+    // second version 1 onto the closed one (reviewer finding).
+    val next2 = Seq((1L, "a2"), (2L, "b"), (3L, "c9"), (4L, "d")).toDF("k", "v")
+    val readded = Delta.scd2Apply(merged, next2, Seq("k"), Seq("v"), 9000L)
+      .as[(Long, String, Long, Long, Long)].collect().toSet
+    assert(readded.contains((3L, "c9", 9000L, -1L, 2L)),
+      s"re-added key must open at version 2, got ${readded.filter(_._1 == 3L)}")
+    val versions = readded.toSeq.map(r => (r._1, r._5))
+    assert(versions.size === versions.toSet.size,
+      s"(key, version) must stay unique: $versions")
   }
 
   test("skewProfile flags a hot key and is exact on a crafted distribution") {

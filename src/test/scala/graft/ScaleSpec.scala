@@ -119,6 +119,41 @@ class ScaleSpec extends SparkTestBase {
     val n2 = graft.operators.Scale.compactFiles(spark, dir, targetBytes = bytes / 3)
     assert(n2 >= 3L && parts(dir) >= 3)
     assert(spark.read.parquet(dir).as[(Long, String)].collect().sorted.toSeq === before)
+
+    // Crash between the swap renames: data moved aside to __old, table
+    // path missing. The retry must restore and then compact normally.
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(dir), java.nio.file.Paths.get(dir + "__old"))
+    val n3 = graft.operators.Scale.compactFiles(spark, dir, targetBytes = 1L << 30)
+    assert(n3 === 1L && parts(dir) === 1)
+    assert(spark.read.parquet(dir).as[(Long, String)].collect().sorted.toSeq === before)
+    assert(!new java.io.File(dir + "__old").exists())
+  }
+
+  test("intervalJoin ≡ naive overlap join over random intervals (property)") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // Random half-open intervals straddling zero, widths 1..40 around a
+    // width-10 bucket — multi-bucket spans, sub-bucket spans, negative
+    // and boundary-touching coordinates all arise.
+    val gen = for {
+      lo <- Gen.chooseNum(-100L, 100L)
+      w <- Gen.chooseNum(1L, 40L)
+    } yield (lo, lo + w)
+    def side(seed: Long, n: Int, p: String) =
+      Gen.listOfN(n, gen).apply(Gen.Parameters.default, Seed(seed)).get
+        .zipWithIndex.map { case ((lo, hi), i) => (i.toLong, lo, hi) }
+        .toDF(s"${p}_id", s"${p}_lo", s"${p}_hi")
+    val a = side(7L, 60, "a")
+    val b = side(11L, 60, "b")
+    val got = Scale.intervalJoin(a, "a_lo", "a_hi", b, "b_lo", "b_hi", bucketWidth = 10L)
+      .select("a_id", "b_id").as[(Long, Long)].collect()
+    assert(got.length === got.toSet.size, "pairs must be exactly-once")
+    val naive = a.crossJoin(b)
+      .where(col("a_lo") < col("b_hi") && col("b_lo") < col("a_hi"))
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(got.toSet === naive)
   }
 
   test("salted join returns exactly the plain join's rows") {

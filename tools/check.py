@@ -48,8 +48,8 @@ def main():
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     # Optional 3rd arg: comma-separated query names — check only those
     # (matches Verify's own name filter, for single-query iteration).
-    if len(sys.argv) > 3:
-        only = set(sys.argv[3].split(","))
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+    if only is not None:
         oracle = {k: v for k, v in oracle.items() if k in only}
     failures = []
     import glob
@@ -57,8 +57,8 @@ def main():
     result_dirs = sorted(
         d.rstrip("/").split("/")[-1]
         for d in glob.glob(f"{out_dir}/*/") if "=" not in d)
-    if len(sys.argv) > 3:
-        result_dirs = [d for d in result_dirs if d in set(sys.argv[3].split(","))]
+    if only is not None:
+        result_dirs = [d for d in result_dirs if d in only]
     # A query that crashed in Verify has no output dir; iterating only the
     # dirs that exist would silently skip it (round-1 bug). Check the union
     # of oracle keys and output dirs, plus Verify's own error report.
@@ -66,6 +66,10 @@ def main():
         verrs = json.load(open(f"{out_dir}/errors.json"))
     except Exception:
         verrs = {}
+    if only is not None:
+        # A filtered run must not go red on some OTHER query's stale
+        # failure record from a previous full Verify.
+        verrs = {k: v for k, v in verrs.items() if k in only}
     for name, msg in sorted(verrs.items()):
         failures.append((name, f"verify reported failure: {msg}"))
     for name in sorted(oracle):
