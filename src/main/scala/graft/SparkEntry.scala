@@ -55,6 +55,7 @@ object SparkEntry {
     "q_tpch_q5"            -> Relational.qTpchQ5 _,
     "q_funnel"             -> Relational.qFunnel _,
     "q_retention"          -> Relational.qRetention _,
+    "q_mad_outliers"       -> Relational.qMadOutliers _,
     "q_scd2"               -> Relational.qScd2 _,
     "f11_collect"          -> Relational.f11Collect _,
     "a11_histogram"        -> Relational.a11Histogram _,
@@ -303,6 +304,16 @@ object SparkEntry {
         "lo + r * ((hi - lo + 1) // 64) + ((hi - lo + 1) // 32 + 1) AS w_end FROM range(0, 48) t(r), b) " +
         "SELECT w_id, count(*) AS n_events, CAST(sum(value_milli) AS BIGINT) AS sum_value_milli " +
         "FROM w JOIN ev ON ts_ms >= w_start AND ts_ms < w_end GROUP BY w_id"),
+    // MAD-outlier twin: quantile_cont interpolates exactly like Spark's
+    // percentile (proven by a10), and the doubled-integer encoding makes
+    // every derived value and the 1.5-MAD cut integer-exact.
+    "q_mad_outliers" ->
+      ("WITH c AS (SELECT c_custkey, c_mktsegment AS segment, CAST(round(c_acctbal * 100) AS BIGINT) AS cents FROM customer), " +
+        "m AS (SELECT segment, CAST(round(2 * quantile_cont(cents, 0.5)) AS BIGINT) AS med2 FROM c GROUP BY 1), " +
+        "d AS (SELECT c.*, med2, abs(2 * cents - med2) AS dev2 FROM c JOIN m USING (segment)), " +
+        "md AS (SELECT segment, CAST(round(2 * quantile_cont(dev2, 0.5)) AS BIGINT) AS mad4 FROM d GROUP BY 1) " +
+        "SELECT c_custkey, segment, cents, med2, CAST(dev2 AS BIGINT) AS dev2, mad4 " +
+        "FROM d JOIN md USING (segment) WHERE dev2 * 4 > mad4 * 3"),
     // Funnel twin: per-user min/max fold, 1:1 left join, integer-milli
     // conversion via the shared round-half-up primitive.
     "q_funnel" ->

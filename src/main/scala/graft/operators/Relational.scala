@@ -1074,6 +1074,35 @@ object Relational {
         expr("variant_get(v, '$.k', 'string')").as("k_str"),
         expr("coalesce(try_variant_get(v, '$.absent', 'string'), '')").as("missing"))
 
+  /** Robust outlier detection: customers whose account balance sits
+    * more than 1.5 MADs from their segment's MEDIAN — median/MAD, not
+    * mean/stddev, because one whale in a segment inflates a stddev
+    * gate until nothing else flags (the classic robust-stats argument).
+    * All comparisons run on DOUBLED integers: cents×2 and deviation×2
+    * keep the .5 midpoints exact-percentile interpolation produces on
+    * integer inputs, so the MAD cut is a pure integer compare on both
+    * engines — no float tolerance. (1.5, not the normal-data 3.0: the
+    * fixture balances are uniform, and a uniform tail never exceeds
+    * 2 MADs — a 3-MAD gate on this corpus proves nothing.) Two grouped aggregates + broadcast
+    * joins back; the fact table is scanned twice (median, then
+    * deviations) — the unavoidable two-pass shape of exact MAD.
+    */
+  def qMadOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select(
+      col("c_custkey"), col("c_mktsegment").as("segment"),
+      expr("cast(round(c_acctbal * 100) as bigint)").as("cents"))
+    val med = c.groupBy("segment")
+      .agg(expr("cast(round(2 * percentile(cents, 0.5)) as bigint)").as("med2"))
+    val dev = c.join(broadcast(med), "segment")
+      .withColumn("dev2", abs(lit(2) * col("cents") - col("med2")))
+    val mad = dev.groupBy("segment")
+      .agg(expr("cast(round(2 * percentile(dev2, 0.5)) as bigint)").as("mad4"))
+    dev.join(broadcast(mad), "segment")
+      .filter(col("dev2") * 4 > col("mad4") * 3)
+      .select(col("c_custkey"), col("segment"), col("cents"),
+        col("med2"), col("dev2"), col("mad4"))
+  }
+
   /** Funnel conversion: per signup cohort-day, how many users ever
     * purchased AFTER their first signup. The inequality ("a purchase at
     * or after the signup") folds into per-user aggregates — max purchase
