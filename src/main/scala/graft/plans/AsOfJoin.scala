@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
+import org.apache.spark.sql.types.DataType
 
 /** As-of join as a WHOLE-OPERATOR Catalyst extension — the brief's
   * preference rung (c): a custom `LogicalPlan` + `SparkStrategy` +
@@ -40,6 +41,16 @@ case class AsOfJoin(
     leftTime: Expression, rightTime: Expression,
     isLeftOuter: Boolean) extends BinaryNode {
   require(leftKeys.length == rightKeys.length && leftKeys.nonEmpty)
+  // Type agreement is load-bearing, not cosmetic: the merge scan
+  // compares right-side projections with orderings built from LEFT-side
+  // types, so an INT-vs-BIGINT key pair would read 4 of 8 bytes and
+  // match garbage SILENTLY (reviewer finding). Fail at construction.
+  leftKeys.zip(rightKeys).foreach { case (l, r) =>
+    require(DataType.equalsStructurally(l.dataType, r.dataType, ignoreNullability = true),
+      s"as-of join key type mismatch: ${l.dataType} vs ${r.dataType}")
+  }
+  require(DataType.equalsStructurally(leftTime.dataType, rightTime.dataType, ignoreNullability = true),
+    s"as-of join time type mismatch: ${leftTime.dataType} vs ${rightTime.dataType}")
   override def output: Seq[Attribute] =
     if (isLeftOuter) left.output ++ right.output.map(_.withNullability(true))
     else left.output ++ right.output
@@ -78,14 +89,37 @@ case class AsOfJoinExec(
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
 
-  /** (keys…, time) ascending on both sides — the merge scan's invariant. */
-  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
-    (leftKeys :+ leftTime).map(SortOrder(_, Ascending)),
-    (rightKeys :+ rightTime).map(SortOrder(_, Ascending)))
+  /** (keys…, time) ascending on both sides — the merge scan's
+    * invariant — plus a TOTAL-order tie-break over the right side's
+    * remaining orderable columns: the merge keeps the LAST right row
+    * with time <= left time, so duplicate (key, time) right rows would
+    * otherwise match whichever duplicate the sort happened to emit last
+    * (run-to-run nondeterminism under AQE/spill — reviewer finding).
+    * With the tie-break the winner is the duplicate with the greatest
+    * remaining-column tuple, deterministically.
+    */
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = {
+    val rightTieBreak = right.output
+      .filterNot(a => rightKeys.exists(_.semanticEquals(a)) || rightTime.semanticEquals(a))
+      .filter(a => RowOrdering.isOrderable(a.dataType))
+      .map(SortOrder(_, Ascending))
+    Seq(
+      (leftKeys :+ leftTime).map(SortOrder(_, Ascending)),
+      (rightKeys :+ rightTime).map(SortOrder(_, Ascending)) ++ rightTieBreak)
+  }
 
   /** Output keeps the left side's key-sorted order within partitions. */
   override def outputOrdering: Seq[SortOrder] =
     (leftKeys :+ leftTime).map(SortOrder(_, Ascending))
+
+  /** Every output row is a left row (possibly right-extended), emitted
+    * in left order — the left child's partitioning survives verbatim.
+    * Without this override the inherited UnknownPartitioning forces a
+    * redundant full exchange on any parent that re-groups by the join
+    * keys (reviewer finding; same override SortMergeJoinExec makes).
+    */
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    left.outputPartitioning
 
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =

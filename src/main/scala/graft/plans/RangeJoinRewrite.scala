@@ -50,7 +50,14 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    val width = conf.getConfString(ConfKey, "0").toLong
+    // A malformed conf value must not take down every query in the
+    // session from inside the optimizer (reviewer finding): warn once
+    // with the key name and treat the rule as disabled.
+    val width = scala.util.Try(conf.getConfString(ConfKey, "0").toLong).getOrElse {
+      logWarning(s"$ConfKey is not a long integer " +
+        s"('${conf.getConfString(ConfKey, "0")}') — range-join rewrite disabled")
+      0L
+    }
     if (width <= 0) plan
     else plan.transformUp {
       case j @ Join(_, _, Inner, Some(cond), _) =>

@@ -71,14 +71,10 @@ object Sessionize {
       userId: Long,
       events: Iterator[Ev],
       state: GroupState[OpenSessions]): Iterator[Session] = {
-    val sorted = events.map(e => toMicros(e.ts)).toArray.sorted
-    val batch = sorted.foldLeft(List.empty[OpenSession]) { (acc, t) =>
-      acc match {
-        case head :: tail if t - head.lastMs < GapMicros =>
-          head.copy(lastMs = t, n = head.n + 1) :: tail
-        case _ => OpenSession(t, t, 1) :: acc
-      }
-    }.reverse
+    // Each event is a singleton interval; ONE gap-rule merge folds the
+    // batch and the remembered state together (a previous inline fold
+    // duplicated mergeIntervals' gap logic — reviewer finding).
+    val batch = events.map(e => { val t = toMicros(e.ts); OpenSession(t, t, 1) }).toSeq
     val all = mergeIntervals(state.getOption.map(_.sessions).getOrElse(Nil) ++ batch)
     def close(s: OpenSession) =
       Session(userId, fromMicros(s.startMs), fromMicros(s.lastMs + GapMicros), s.n)

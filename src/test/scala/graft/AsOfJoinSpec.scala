@@ -114,4 +114,24 @@ class AsOfJoinSpec extends SparkTestBase {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(exchanges === 2, s"expected 2 exchanges, got $exchanges:\n$plan")
   }
+
+  test("duplicate (key, time) right rows resolve deterministically (tie-break sort)") {
+    val trades = Seq((1L, 15L)).toDF("sym", "t")
+    // Two quotes at the identical (sym, qt): the total-order tie-break
+    // over the remaining right columns makes the GREATEST tuple win,
+    // independent of partitioning/spill accidents.
+    val quotes = Seq((1L, 10L, 7L, "low"), (1L, 10L, 9L, "high"))
+      .toDF("qsym", "qt", "px", "label")
+    (1 to 5).foreach { rep =>
+      val got = AsOf.join(trades, quotes.repartition(rep), Seq("sym"), Seq("qsym"), "t", "qt")
+        .select("px", "label").as[(Long, String)].collect().toSeq
+      assert(got === Seq((9L, "high")), s"rep=$rep got $got")
+    }
+
+    // Type mismatches fail loudly at construction, never match garbage.
+    val intKeyed = Seq((1, 10L, 7L)).toDF("qsym", "qt", "px") // qsym is INT
+    intercept[IllegalArgumentException] {
+      AsOf.join(trades, intKeyed, Seq("sym"), Seq("qsym"), "t", "qt")
+    }
+  }
 }
