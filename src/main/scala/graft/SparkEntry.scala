@@ -575,6 +575,16 @@ object SparkEntry {
 
   private val duckTok = "SELECT doc_id, source, text, string_split(text, ' ') AS tok FROM documents"
 
+  /** 16-bit md5 doc bucket in [0, 100) — token-for-token twin of
+    * LlmOps.docBucketExpr (4 nibbles; the old 8-bit form had a visible
+    * 3/256-vs-2/256 modulo bias on the split proportions).
+    */
+  private val duckBucket = {
+    val nib = (i: Int) =>
+      s"(strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), $i, 1)) - 1)"
+    s"((((${nib(1)} * 16 + ${nib(2)}) * 16 + ${nib(3)}) * 16 + ${nib(4)}) % 100)"
+  }
+
   /** Shared by d5_dedup_incremental and d5b_index_ingest: the index path
     * is a pure optimization, so both queries grade against the identical
     * full-recompute twin.
@@ -693,19 +703,22 @@ object SparkEntry {
         "SELECT doc_id, len(tok)::BIGINT AS n_ws_tokens, " +
         "CAST(list_sum(list_transform(tok, t -> (length(t) + 3) // 4)) AS BIGINT) AS n_subword_est FROM tokd"),
     "t6_pii_scrub" ->
-      ("""SELECT doc_id, md5(regexp_replace(regexp_replace(regexp_replace(text, """ +
-        """'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), """ +
-        """'https?://[^\s]+', '<URL>', 'g'), '[0-9]{3,}', '<NUM>', 'g')) AS scrubbed_md5, """ +
+      // Counts audit actual replacements: each stage counts on the text
+      // it scrubbed (emails on raw, URLs post-email, digits post-both).
+      ("""WITH st AS (SELECT doc_id, text, """ +
+        """regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1 FROM documents), """ +
+        """st2 AS (SELECT doc_id, text, t1, regexp_replace(t1, 'https?://[^\s]+', '<URL>', 'g') AS t2 FROM st) """ +
+        """SELECT doc_id, md5(regexp_replace(t2, '[0-9]{3,}', '<NUM>', 'g')) AS scrubbed_md5, """ +
         """len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails, """ +
-        """len(regexp_extract_all(text, '[0-9]{3,}'))::BIGINT AS n_digit_runs FROM documents"""),
+        """len(regexp_extract_all(t1, 'https?://[^\s]+'))::BIGINT AS n_urls, """ +
+        """len(regexp_extract_all(t2, '[0-9]{3,}'))::BIGINT AS n_digit_runs FROM st2"""),
     "t7_token_freq" ->
       (s"WITH tokd AS ($duckTok) " +
         "SELECT tok, count(*) AS tf, count(DISTINCT doc_id) AS df FROM " +
         "(SELECT doc_id, unnest(tok) AS tok FROM tokd) GROUP BY tok"),
     "t8_hash_split" ->
       ("WITH b AS (SELECT doc_id, source, " +
-        "((strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), 1, 1)) - 1) * 16 + " +
-        "(strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), 2, 1)) - 1)) % 100 AS bucket " +
+        "" + duckBucket + " AS bucket " +
         "FROM documents) " +
         "SELECT doc_id, source, CAST(bucket AS BIGINT) AS bucket, " +
         "CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split FROM b"),
@@ -827,8 +840,7 @@ object SparkEntry {
         "FROM c GROUP BY doc_id"),
     "t10_mixture_sample" ->
       ("WITH b AS (SELECT doc_id, source, " +
-        "((strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), 1, 1)) - 1) * 16 + " +
-        "(strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), 2, 1)) - 1)) % 100 AS bucket, " +
+        "" + duckBucket + " AS bucket, " +
         "CASE WHEN source = 'src0' THEN 100 WHEN source IN ('src1', 'src2', 'src3') THEN 50 ELSE 20 END AS rate_pct " +
         "FROM documents) " +
         "SELECT doc_id, source, CAST(bucket AS BIGINT) AS bucket FROM b WHERE bucket < rate_pct"),
@@ -851,13 +863,11 @@ object SparkEntry {
         s"bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < ${LlmOps.BenchmarkDocs}), " +
         s"cont AS (SELECT DISTINCT sh.doc_id FROM sh JOIN bench USING (shingle) WHERE sh.doc_id >= ${LlmOps.BenchmarkDocs}), " +
         "samp AS (SELECT doc_id, source, " +
-        "((strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), 1, 1)) - 1) * 16 + " +
-        "(strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), 2, 1)) - 1)) % 100 AS bucket, " +
+        "" + duckBucket + " AS bucket, " +
         "CASE WHEN source = 'src0' THEN 100 WHEN source IN ('src1', 'src2', 'src3') THEN 50 ELSE 20 END AS rate_pct " +
         "FROM documents), " +
         "spl AS (SELECT doc_id, CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split " +
-        "FROM (SELECT doc_id, ((strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), 1, 1)) - 1) * 16 + " +
-        "(strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), 2, 1)) - 1)) % 100 AS bucket FROM documents)) " +
+        "FROM (SELECT doc_id, " + duckBucket + " AS bucket FROM documents)) " +
         "SELECT s.doc_id, s.source, CAST(s.bucket AS BIGINT) AS bucket, spl.split " +
         "FROM samp s " +
         "JOIN canon ON s.doc_id = canon.doc_id " +
@@ -957,9 +967,12 @@ object SparkEntry {
   // joins the session iff ts < previous ts + gap).
 
   private val streamingOracle: Map[String, String] = Map(
+    // Integer millis (per-event round, then sum) — a 2-dp double sum is
+    // order-dependent in its last ULP and the compare is exact-float.
     "st1_tumbling_window" ->
       ("SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type, " +
-        "count(*) AS n_events, round(sum(value), 2) AS total_value FROM events GROUP BY 1, 2"),
+        "count(*) AS n_events, CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS total_value_milli " +
+        "FROM events GROUP BY 1, 2"),
     // Upsert-sink twin: the maintained table equals the batch tumbling
     // count — partition-scoped overwrite is exactly-once maintenance.
     "st8_stream_upsert" ->

@@ -150,7 +150,11 @@ object LlmOps {
     * BigDecimal definition — ~15 oracles rest on this primitive.
     */
   private[graft] def milli(num: String, den: String): String =
-    s"(2000 * ($num) + ($den)) div (2 * ($den))"
+    // bigint casts: with int-typed inputs (size(), length()) the
+    // 2000*num product wraps silently past ~1.07M under non-ANSI Spark
+    // (reviewer finding) — DuckDB's len() is already BIGINT, so the
+    // casts also keep the two engines' arithmetic width identical.
+    s"(2000 * cast(($num) as bigint) + cast(($den) as bigint)) div (2 * cast(($den) as bigint))"
 
   // ---------------------------------------------------------------------
   // D1: exact dedup — hash-groupBy, keep lowest doc_id per text.
@@ -679,18 +683,28 @@ object LlmOps {
     * Bucket = first two md5 nibbles of the doc id (0-255) mod 100;
     * split 90/5/5. Map-only, no shuffle, no RNG.
     */
-  def t8HashSplit(spark: SparkSession, dir: String): DataFrame = {
+  /** Deterministic doc bucket in [0, 100): the first FOUR md5 nibbles
+    * (16 bits) mod 100. Two nibbles (8 bits) had 256 % 100 = 56 heavy
+    * buckets — a 3/256-vs-2/256 modulo bias that skewed the documented
+    * 90/5/5 split to ~92.2/3.9/3.9 (reviewer finding); at 16 bits the
+    * residual bias is 65536 % 100 = 36 buckets heavier by 1/65536
+    * (~0.15% relative), below anything a mixture weight can see.
+    */
+  private def docBucketExpr: String = {
     val nib = (i: Int) =>
       s"(instr('0123456789abcdef', substring(md5(cast(doc_id as string)), $i, 1)) - 1)"
+    s"((((${nib(1)} * 16 + ${nib(2)}) * 16 + ${nib(3)}) * 16 + ${nib(4)}) % 100)"
+  }
+
+  def t8HashSplit(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(
         col("doc_id"), col("source"),
-        expr(s"(${nib(1)} * 16 + ${nib(2)}) % 100").as("bucket"))
+        expr(docBucketExpr).as("bucket"))
       .select(
         col("doc_id"), col("source"), col("bucket").cast("long").as("bucket"),
         expr("case when bucket < 90 then 'train' when bucket < 95 then 'val' else 'test' end")
           .as("split"))
-  }
 
   /** T13: rolling-hash document fingerprint — the true Rabin-Karp form
     * of t4's shingle-min idea, via the native codegen'd
@@ -964,12 +978,10 @@ object LlmOps {
     * keeps or loses its slot identically on any cluster. Map-only.
     */
   def t10MixtureSample(spark: SparkSession, dir: String): DataFrame = {
-    val nib = (i: Int) =>
-      s"(instr('0123456789abcdef', substring(md5(cast(doc_id as string)), $i, 1)) - 1)"
     Tables.documents(spark, dir)
       .select(
         col("doc_id"), col("source"),
-        expr(s"cast((${nib(1)} * 16 + ${nib(2)}) % 100 as bigint)").as("bucket"),
+        expr(s"cast($docBucketExpr as bigint)").as("bucket"),
         expr("case when source = 'src0' then 100 " +
           "when source in ('src1', 'src2', 'src3') then 50 else 20 end").as("rate_pct"))
       .filter(col("bucket") < col("rate_pct"))
@@ -1050,17 +1062,24 @@ object LlmOps {
     val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
     val url = "https?://[^\\s]+"
     val digits = "[0-9]{3,}"
+    // Patterns embedded in expr() SQL text pass through SQL string-
+    // literal escape processing, which would collapse '\.' to '.'
+    // (any-char) and silently diverge from the DataFrame-API scrub and
+    // the oracle (reviewer finding) — double the backslashes.
+    val sqlEsc = (p: String) => p.replace("\\", "\\\\")
+    // Counts are audits of the replacements ACTUALLY performed, so each
+    // count runs on the text the corresponding scrub stage saw: emails
+    // on the original, URLs after the email pass, digit runs after both
+    // (an email's local digits must not inflate n_digit_runs).
     Tables.documents(spark, dir)
+      .withColumn("t1", regexp_replace(col("text"), email, "<EMAIL>"))
+      .withColumn("t2", regexp_replace(col("t1"), url, "<URL>"))
       .select(
         col("doc_id"),
-        md5(
-          regexp_replace(
-            regexp_replace(
-              regexp_replace(col("text"), email, "<EMAIL>"),
-              url, "<URL>"),
-            digits, "<NUM>")).as("scrubbed_md5"),
-        expr(s"cast(size(regexp_extract_all(text, '$email', 0)) as bigint)").as("n_emails"),
-        expr(s"cast(size(regexp_extract_all(text, '$digits', 0)) as bigint)").as("n_digit_runs"))
+        md5(regexp_replace(col("t2"), digits, "<NUM>")).as("scrubbed_md5"),
+        expr(s"cast(size(regexp_extract_all(text, '${sqlEsc(email)}', 0)) as bigint)").as("n_emails"),
+        expr(s"cast(size(regexp_extract_all(t1, '${sqlEsc(url)}', 0)) as bigint)").as("n_urls"),
+        expr(s"cast(size(regexp_extract_all(t2, '$digits', 0)) as bigint)").as("n_digit_runs"))
   }
 
   // ---------------------------------------------------------------------

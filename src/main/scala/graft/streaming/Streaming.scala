@@ -31,6 +31,29 @@ object Streaming {
 
   private val runId = new AtomicInteger(0)
 
+  /** Streaming scratch (checkpoint dirs full of state-store files,
+    * symlink staging, append outputs) previously accumulated under /tmp
+    * for the host's lifetime (reviewer finding — the disk analogue of
+    * the executor-block leak PersistScope closed). Every scratch dir is
+    * registered here and recursively deleted at JVM exit; checkpoints
+    * are per-run throwaways by design (a resumable job passes its OWN
+    * checkpointLocation, see StreamingResumeSpec).
+    */
+  private val scratchDirs = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  Runtime.getRuntime.addShutdownHook(new Thread(() =>
+    scratchDirs.forEach { root =>
+      try java.nio.file.Files.walk(root)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { try java.nio.file.Files.deleteIfExists(p) catch { case _: Throwable => () } })
+      catch { case _: Throwable => () }
+    }))
+
+  private def scratchDir(prefix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(prefix)
+    scratchDirs.add(d)
+    d.toString
+  }
+
   /** File-stream over events with the nanos→micros conversion. The file
     * source requires a DIRECTORY; the fixture is a single parquet file,
     * so stage a temp directory with a symlink to it (zero copy). In
@@ -43,8 +66,12 @@ object Streaming {
     val streamDir =
       if (Files.isDirectory(file)) file.toString
       else {
-        val d = Files.createTempDirectory("graft_events_stream")
-        Files.createSymbolicLink(d.resolve("events.parquet"), file)
+        val d = Paths.get(scratchDir("graft_events_stream"))
+        // Absolute target: a relative corpus path would be stored
+        // verbatim and resolve against the TEMP dir, not the cwd —
+        // a dangling link the stream source then trips over (reviewer
+        // finding).
+        Files.createSymbolicLink(d.resolve("events.parquet"), file.toAbsolutePath)
         d.toString
       }
     val rawSchema = spark.read.parquet(file.toString).schema
@@ -78,13 +105,19 @@ object Streaming {
         .format("memory")
         .queryName(name)
         .outputMode("complete")
-        .option("checkpointLocation",
-          java.nio.file.Files.createTempDirectory("graft_ckpt").toString)
+        .option("checkpointLocation", scratchDir("graft_ckpt"))
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
     }
-    spark.table(name)
+    val result = spark.table(name)
+    // The memory sink pins the whole aggregate in DRIVER memory behind
+    // the temp view; release it with the query's other intermediates
+    // (the result's analyzed plan already holds the data, so the
+    // caller's one action still works — reviewer finding: views were
+    // never dropped and grew with every run).
+    graft.PersistScope.register(() => spark.catalog.dropTempView(name))
+    result
   }
 
   /** The production sink path: foreachBatch gives each micro-batch to
@@ -95,10 +128,17 @@ object Streaming {
     * written result re-read.
     */
   def tumblingToParquet(spark: SparkSession, dir: String, outDir: String): DataFrame = {
-    runForeachBatch(spark, tumblingAgg(spark, dir)) { batch =>
+    val agged = tumblingAgg(spark, dir)
+    runForeachBatch(spark, agged) { batch =>
       batch.write.mode("overwrite").parquet(outDir)
     }
-    spark.read.parquet(outDir)
+    // Explicit schema: a zero-data run leaves outDir absent or
+    // footer-less, which would throw on the re-read; with the schema the
+    // empty case returns an empty frame (same guard as the sibling
+    // sinks — reviewer finding).
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(outDir)))
+      spark.read.schema(agged.schema).parquet(outDir)
+    else spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), agged.schema)
   }
 
   /** The shared tumbling count-per-type aggregation both foreachBatch
@@ -119,8 +159,7 @@ object Streaming {
     withStreamPartitions(spark, 8) {
       val q = agged.writeStream
         .outputMode(mode)
-        .option("checkpointLocation",
-          java.nio.file.Files.createTempDirectory("graft_ckpt").toString)
+        .option("checkpointLocation", scratchDir("graft_ckpt"))
         .trigger(Trigger.AvailableNow())
         .foreachBatch { (batch: DataFrame, _: Long) => writeBatch(batch) }
         .start()
@@ -136,7 +175,7 @@ object Streaming {
     * makes the zero-batch case return an empty frame instead of throwing.
     */
   private def runAppendToParquet(spark: SparkSession, streamed: DataFrame): DataFrame = {
-    val outDir = java.nio.file.Files.createTempDirectory("graft_stream_out").toString
+    val outDir = scratchDir("graft_stream_out")
     runForeachBatch(spark, streamed, "append") { batch =>
       batch.write.mode("append").parquet(outDir)
     }
@@ -157,8 +196,14 @@ object Streaming {
   def upsertToPartitions(spark: SparkSession, dir: String, outDir: String): DataFrame = {
     val agged = tumblingAgg(spark, dir)
     runForeachBatch(spark, agged) { batch =>
-      if (!batch.isEmpty)
-        graft.sinks.Sinks.overwritePartitions(batch, outDir, Seq("event_type"))
+      // Two actions per batch (emptiness probe + write): pin the batch
+      // so the micro-batch aggregation runs once, not twice (reviewer
+      // finding; the standard persist-around-foreachBatch pattern).
+      val pinned = batch.persist()
+      try {
+        if (!pinned.isEmpty)
+          graft.sinks.Sinks.overwritePartitions(pinned, outDir, Seq("event_type"))
+      } finally pinned.unpersist(false)
     }
     // Every-batch-empty + never-pre-seeded target: no partition was ever
     // written, so return an empty frame with the aggregate schema instead
@@ -170,13 +215,18 @@ object Streaming {
 
   /** Tumbling 1-hour windows per event_type: count + value sum. */
   def tumblingCounts(spark: SparkSession, dir: String): DataFrame = {
+    // value sums as integer MILLIS (per-event round, then sum): a
+    // 2-dp-rounded double sum is order-dependent in its last ULP, and
+    // the oracle compares floats exactly — the repo-wide integer-milli
+    // discipline applies to streaming aggregates too (reviewer finding).
     val agged = eventsStream(spark, dir)
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count("*").as("n_events"), round(sum("value"), 2).as("total_value"))
+      .agg(count("*").as("n_events"),
+        sum(expr("cast(round(value * 1000) as bigint)")).as("total_value_milli"))
     runToTable(spark, agged)
       .select(col("window.start").as("window_start"), col("event_type"),
-        col("n_events"), col("total_value"))
+        col("n_events"), col("total_value_milli"))
   }
 
   /** Sliding 1-hour windows every 30 minutes, per event_type. */
@@ -296,7 +346,7 @@ object Streaming {
     * maintenance.
     */
   def st8StreamUpsert(spark: SparkSession, dir: String): DataFrame = {
-    val out = java.nio.file.Files.createTempDirectory("graft_st8").toString + "/table"
+    val out = scratchDir("graft_st8") + "/table"
     upsertToPartitions(spark, dir, out)
       .select(col("window_start"), col("event_type"), col("n_events"))
   }

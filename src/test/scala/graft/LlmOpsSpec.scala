@@ -100,11 +100,13 @@ class LlmOpsSpec extends SparkTestBase {
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val rows = LlmOps.t6PiiScrub(spark, dir).collect()
-      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
     assert(rows(0L)._2 === 1L) // one email
-    assert(rows(0L)._3 === 1L) // one digit run
-    assert(rows(1L)._2 === 0L && rows(1L)._3 === 0L)
-    assert(rows(2L)._2 === 1L && rows(2L)._3 === 1L)
+    assert(rows(0L)._3 === 0L) // no url
+    assert(rows(0L)._4 === 1L) // one digit run
+    assert(rows(1L)._2 === 0L && rows(1L)._3 === 0L && rows(1L)._4 === 0L)
+    assert(rows(2L)._2 === 1L && rows(2L)._3 === 1L && rows(2L)._4 === 1L)
     // Redaction actually changes the content hash iff PII was present.
     import org.apache.spark.sql.functions.md5
     val raw = spark.read.parquet(s"$dir/documents.parquet")

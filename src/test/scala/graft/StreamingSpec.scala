@@ -19,9 +19,10 @@ class StreamingSpec extends SparkTestBase {
   test("tumbling streaming windows equal the batch groupBy-window twin") {
     val batch = Tables.events(spark, Sf)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count("*").as("n_events"), round(sum("value"), 2).as("total_value"))
+      .agg(count("*").as("n_events"),
+        sum(expr("cast(round(value * 1000) as bigint)")).as("total_value_milli"))
       .select(col("window.start").as("window_start"), col("event_type"),
-        col("n_events"), col("total_value"))
+        col("n_events"), col("total_value_milli"))
     assertSameRows(Streaming.tumblingCounts(spark, Sf), batch)
   }
 
