@@ -227,7 +227,9 @@ object SparkEntry {
     "a4_rollup" ->
       "SELECT coalesce(r_name, 'ALL') AS region_name, coalesce(n_name, 'ALL') AS nation_name, count(*) AS n_customers FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey GROUP BY ROLLUP(r_name, n_name) ORDER BY region_name, nation_name",
     "a5_cube" ->
-      "SELECT coalesce(o_orderstatus, 'ALL') AS order_status, coalesce(o_orderpriority, 'ALL') AS order_priority, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_price FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority) ORDER BY order_status, order_priority",
+      ("SELECT CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL' ELSE coalesce(o_orderstatus, 'NULL') END AS order_status, " +
+        "CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL' ELSE coalesce(o_orderpriority, 'NULL') END AS order_priority, " +
+        "count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_price FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)"),
     // a6_approx_distinct: intentionally no oracle — HLL estimates are
     // engine-specific; bounded-error-vs-exact is asserted in ScalaTest.
     "w1_topk_per_group" ->
@@ -384,7 +386,7 @@ object SparkEntry {
     // Variant twin: typed path extraction via DuckDB's JSON functions —
     // same values, same null-on-miss ''-coalesce.
     "f15_variant" ->
-      ("SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num, " +
+      ("SELECT event_id, TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num, " +
         "json_extract_string(props, '$.k') AS k_str, " +
         "coalesce(json_extract_string(props, '$.absent'), '') AS missing FROM events"),
     // Snapshot-diff twin: the oracle re-derives the perturbed "next
@@ -451,7 +453,8 @@ object SparkEntry {
         "FROM cs a WHERE cents * (SELECT count(*) FROM cs b WHERE b.c_nationkey = a.c_nationkey) > " +
         "(SELECT sum(b.cents) FROM cs b WHERE b.c_nationkey = a.c_nationkey)"),
     "a7_grouping_sets" ->
-      ("SELECT coalesce(o_orderstatus, 'ALL') AS order_status, coalesce(o_orderpriority, 'ALL') AS order_priority, " +
+      ("SELECT CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL' ELSE coalesce(o_orderstatus, 'NULL') END AS order_status, " +
+        "CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL' ELSE coalesce(o_orderpriority, 'NULL') END AS order_priority, " +
         "count(*) AS n_orders FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())"),
     "a10_percentile" ->
       ("SELECT o_orderstatus, quantile_cont(o_orderkey, 0.5) AS median_key, " +

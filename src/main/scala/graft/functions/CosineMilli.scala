@@ -38,15 +38,29 @@ case class CosineMilli(left: Expression, right: Expression)
 
   override def dataType: DataType = LongType
 
+  // NULL on length mismatch / null element, even when both inputs are
+  // themselves non-null — the same discipline as DotDouble (reviewer
+  // finding: this expression still truncated to the shorter array and
+  // skipped element-null checks, the exact bug DotDouble fixed).
+  override def nullable: Boolean = true
+
   override def prettyName: String = "cosine_milli"
+
+  private lazy val elementsNullable: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => false
+  })
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    val checkNulls = elementsNullable
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
       val xi = x.getDouble(i); val yi = y.getDouble(i)
       dot += xi * yi; na += xi * xi; nb += yi * yi
       i += 1
@@ -63,16 +77,27 @@ case class CosineMilli(left: Expression, right: Expression)
       val nb = ctx.freshName("nb")
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
+      val nullCheck =
+        if (elementsNullable)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $xi = $a.getDouble($i);
-         |  double $yi = $b.getDouble($i);
-         |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
+         |    double $xi = $a.getDouble($i);
+         |    double $yi = $b.getDouble($i);
+         |    $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |  }
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = (long) java.lang.Math.floor(
+         |      1000.0 * ($dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb))) + 0.5);
+         |  }
          |}
-         |${ev.value} = (long) java.lang.Math.floor(
-         |  1000.0 * ($dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb))) + 0.5);
        """.stripMargin
     })
 

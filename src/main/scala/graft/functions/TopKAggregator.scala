@@ -26,7 +26,10 @@ class TopKAggregator(k: Int)
   override def zero: Seq[(Double, Long)] = Seq.empty
 
   override def reduce(buf: Seq[(Double, Long)], x: (Double, Long)): Seq[(Double, Long)] =
-    trim(buf :+ x)
+    // The buffer is sorted after every trim, so the common reject case
+    // (x ranks below the current k-th) is one comparison instead of an
+    // O(k log k) append-and-sort per input row (reviewer finding).
+    if (buf.size < k || ord.lt(x, buf.last)) trim(buf :+ x) else buf
 
   override def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] =
     trim(a ++ b)

@@ -175,8 +175,13 @@ object Relational {
     val building = Tables.customer(spark, dir)
       .filter(col("c_mktsegment") === "BUILDING")
       .select("c_custkey")
+    // No broadcast() hint: the member set is customer-derived (~20% of
+    // a fact-sized table at scale) — forcing it onto the driver would
+    // fail long before 100 TB. AQE broadcasts it when it measures small
+    // and degrades to a shuffled left_semi when it doesn't (reviewer
+    // finding; the fixture plans identically either way).
     Tables.orders(spark, dir)
-      .join(broadcast(building), col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(building, col("o_custkey") === col("c_custkey"), "left_semi")
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
   }
 
@@ -271,10 +276,17 @@ object Relational {
   def a5Cube(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
       .cube("o_orderstatus", "o_orderpriority")
-      .agg(count("*").as("n_orders"), round(sum("o_totalprice"), 2).as("total_price"))
+      .agg(count("*").as("n_orders"), round(sum("o_totalprice"), 2).as("total_price"),
+        grouping("o_orderstatus").as("g_s"), grouping("o_orderpriority").as("g_p"))
+      // grouping(), not coalesce-to-'ALL': a genuine NULL data value and
+      // a cube subtotal slot would otherwise both read 'ALL' and emit
+      // indistinguishable duplicate-keyed rows (reviewer finding; latent
+      // on the null-free fixture, wrong as operator semantics).
       .select(
-        coalesce(col("o_orderstatus"), lit("ALL")).as("order_status"),
-        coalesce(col("o_orderpriority"), lit("ALL")).as("order_priority"),
+        when(col("g_s") === 1, lit("ALL"))
+          .otherwise(coalesce(col("o_orderstatus"), lit("NULL"))).as("order_status"),
+        when(col("g_p") === 1, lit("ALL"))
+          .otherwise(coalesce(col("o_orderpriority"), lit("NULL"))).as("order_priority"),
         col("n_orders"), col("total_price"))
 
   // ---------------------------------------------------------------------
@@ -463,8 +475,10 @@ object Relational {
   def a7GroupingSets(spark: SparkSession, dir: String): DataFrame = {
     Tables.orders(spark, dir).createOrReplaceTempView("a7_orders")
     spark.sql(
-      """SELECT coalesce(o_orderstatus, 'ALL') AS order_status,
-        |       coalesce(o_orderpriority, 'ALL') AS order_priority,
+      """SELECT CASE WHEN grouping(o_orderstatus) = 1 THEN 'ALL'
+        |            ELSE coalesce(o_orderstatus, 'NULL') END AS order_status,
+        |       CASE WHEN grouping(o_orderpriority) = 1 THEN 'ALL'
+        |            ELSE coalesce(o_orderpriority, 'NULL') END AS order_priority,
         |       count(*) AS n_orders
         |FROM a7_orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin)
@@ -541,8 +555,11 @@ object Relational {
     Tables.orders(spark, dir).select(col("o_custkey").as("custkey")).distinct()
 
   def setUnion(spark: SparkSession, dir: String): DataFrame =
+    // No trailing orderBy: row order is not part of the contract (file
+    // header) and a global sort after the distinct is a full extra
+    // exchange at scale for nothing (reviewer finding).
     buildingCustkeys(spark, dir).union(orderingCustkeys(spark, dir))
-      .distinct().orderBy("custkey")
+      .distinct()
 
   def setIntersect(spark: SparkSession, dir: String): DataFrame =
     buildingCustkeys(spark, dir).intersect(orderingCustkeys(spark, dir))
@@ -1067,11 +1084,15 @@ object Relational {
     */
   def f15Variant(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
-      .select(col("event_id"), expr("parse_json(props)").as("v"))
+      // try_ forms throughout: one malformed props row (or a non-numeric
+      // k) must yield NULL for that row, never abort the query — the
+      // same defensive posture f13 takes on this column (reviewer
+      // finding; parse_json/variant_get throw).
+      .select(col("event_id"), expr("try_parse_json(props)").as("v"))
       .select(
         col("event_id"),
-        expr("variant_get(v, '$.k', 'bigint')").as("k_num"),
-        expr("variant_get(v, '$.k', 'string')").as("k_str"),
+        expr("try_variant_get(v, '$.k', 'bigint')").as("k_num"),
+        expr("try_variant_get(v, '$.k', 'string')").as("k_str"),
         expr("coalesce(try_variant_get(v, '$.absent', 'string'), '')").as("missing"))
 
   /** Robust outlier detection: customers whose account balance sits
