@@ -176,6 +176,7 @@ object SparkEntry {
     "m1_media_meta"   -> Multimodal.m1MediaMeta _,
     "m2_frame_sample" -> Multimodal.m2FrameSample _,
     "m3_resize"       -> Multimodal.m3Resize _,
+    "m4_audio_meta"   -> Multimodal.m4AudioMeta _,
   )
 
   def queries: Map[String, Query] =
@@ -1055,6 +1056,21 @@ object SparkEntry {
       ("WITH f AS (SELECT doc_id, text, unnest(range(0, (length(text) + 99) // 100)) AS frame_idx FROM documents) " +
         "SELECT doc_id, frame_idx, length(substr(text, frame_idx * 100 + 1, 100))::BIGINT AS frame_len, " +
         "md5(substr(text, frame_idx * 100 + 1, 100)) AS frame_checksum FROM f"),
+    // AU twin: the oracle rebuilds the same payload as an (uppercase on
+    // both engines) HEX string — '.snd' magic + five big-endian uint32
+    // fields + sample bytes — and states the header values the engine
+    // must parse back out of the binary. Hashing the hex form keeps the
+    // compare off binary-typed md5.
+    "m4_audio_meta" ->
+      ("WITH g AS (SELECT doc_id, CAST(2 * least(n_chars // 2, 256) AS INTEGER) AS dsz, " +
+        "CAST(1 + n_chars % 2 AS INTEGER) AS ch, text FROM documents), " +
+        "p AS (SELECT doc_id, dsz, ch, '2E736E64' || lpad(hex(24), 8, '0') || lpad(hex(dsz), 8, '0') || " +
+        "lpad(hex(3), 8, '0') || lpad(hex(8000), 8, '0') || lpad(hex(ch), 8, '0') || " +
+        "upper(hex(rpad(substr(text, 1, dsz), dsz, 'x'))) AS payload_hex FROM g) " +
+        "SELECT doc_id, 'audio/basic' AS media_type, CAST(24 + dsz AS BIGINT) AS n_bytes, " +
+        "md5(payload_hex) AS checksum, '.snd' AS magic, CAST(dsz AS BIGINT) AS data_size, " +
+        "CAST(3 AS BIGINT) AS encoding, CAST(8000 AS BIGINT) AS sample_rate, CAST(ch AS BIGINT) AS channels, " +
+        "CAST(dsz // 2 AS BIGINT) AS n_samples, CAST((dsz // 2) * 1000 // (8000 * ch) AS BIGINT) AS duration_ms FROM p"),
   )
 
   private val multimodalOracle2: Map[String, String] = Map(

@@ -152,6 +152,57 @@ object Multimodal {
         expr(sampled).as("resized_md5"))
   }
 
+  /** Documents rendered as REAL Sun AU (audio/basic) payloads — the
+    * audio sibling of [[ppmTable]]: '.snd' magic, then five BIG-endian
+    * uint32 header fields (data offset 24, data size, encoding 3 =
+    * 16-bit linear PCM, sample rate, channels), then the sample bytes
+    * (the document's leading ASCII bytes standing in for PCM).
+    * Big-endian is why AU over WAV here: header fields serialize as
+    * plain zero-padded hex with no byte swapping, so construction AND
+    * parse stay in codegen'd expressions on both engines. Channels
+    * derive from the doc (1 + n_chars mod 2); data size is the even
+    * sample-byte count, capped at 512.
+    */
+  def auTable(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"),
+        expr("cast(2 * least(n_chars div 2, 256) as int)").as("dsz"),
+        expr("cast(1 + n_chars % 2 as int)").as("ch"))
+      .select(
+        col("doc_id"),
+        expr("to_binary(concat('2E736E64', " +  // '.snd'
+          "lpad(hex(24), 8, '0'), lpad(hex(dsz), 8, '0'), lpad(hex(3), 8, '0'), " +
+          "lpad(hex(8000), 8, '0'), lpad(hex(ch), 8, '0'), " +
+          "upper(hex(encode(rpad(substring(text, 1, dsz), dsz, 'x'), 'UTF-8')))), 'hex')")
+          .as("media"),
+        lit("audio/basic").as("media_type"))
+
+  /** M4: audio metadata — a REAL header parse of the AU payload: each
+    * big-endian uint32 field read back out of the binary via
+    * `conv(hex(substring(media, off, 4)), 16, 10)`, sample count and
+    * duration derived from the parsed fields (16-bit PCM ⇒ 2 bytes per
+    * sample). The checksum hashes the payload's HEX form — both engines
+    * uppercase it identically, which keeps the oracle twin off
+    * binary-typed md5 entirely. Map-only; payloads never leave the
+    * executors.
+    */
+  def m4AudioMeta(spark: SparkSession, dir: String): DataFrame = {
+    def be32(off: Int) = s"cast(conv(hex(substring(media, $off, 4)), 16, 10) as bigint)"
+    auTable(spark, dir)
+      .select(
+        col("doc_id"),
+        col("media_type"),
+        octet_length(col("media")).cast("long").as("n_bytes"),
+        expr("md5(upper(hex(media)))").as("checksum"),
+        expr("decode(substring(media, 1, 4), 'UTF-8')").as("magic"),
+        expr(be32(9)).as("data_size"),
+        expr(be32(13)).as("encoding"),
+        expr(be32(17)).as("sample_rate"),
+        expr(be32(21)).as("channels"))
+      .withColumn("n_samples", expr("data_size div 2"))
+      .withColumn("duration_ms", expr("n_samples * 1000 div (sample_rate * channels)"))
+  }
+
   /** Header of a parsed P6 payload: geometry + offset of the RGB bytes. */
   private[operators] final case class PpmHeader(width: Int, height: Int, maxval: Int, pixelOffset: Int)
 

@@ -91,6 +91,7 @@ class EmptyInputSpec extends SparkTestBase {
     assert(Multimodal.m3Resize(spark, emptyDir).count() === 0)
     assert(graft.operators.Relational.f15Variant(spark, emptyDir).count() === 0)
     assert(LlmOps.t19DupSpans(spark, emptyDir).count() === 0)
+    assert(Multimodal.m4AudioMeta(spark, emptyDir).count() === 0)
   }
 
   test("document operators return empty on an empty corpus") {
