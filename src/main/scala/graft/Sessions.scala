@@ -17,7 +17,17 @@ import org.apache.spark.sql.SparkSession
   *    session state mid-plan (round-1 finding).
   */
 object Sessions {
-  def local(cpus: String): SparkSession = {
+  // getOrCreate returns any existing session and silently IGNORES the
+  // configs below, so short-circuit first: this avoids creating an
+  // orphan warehouse temp dir per call (reviewer finding), and makes
+  // the semantics explicit — the FIRST builder in a JVM fixes the
+  // session config for everyone after (which is the point of
+  // centralizing construction here).
+  def local(cpus: String): SparkSession =
+    SparkSession.getDefaultSession.filter(s => !s.sparkContext.isStopped)
+      .getOrElse(build(cpus))
+
+  private def build(cpus: String): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.extensions", "graft.GraftExtensions")

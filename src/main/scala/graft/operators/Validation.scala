@@ -60,8 +60,12 @@ object Validation {
     val ruleCols = rules.map { case (name, pred) =>
       coalesce(sum(when(expr(pred), 1L).otherwise(0L)), lit(0L)).as(name)
     }
+    // count("*"), not count(k): NULL keys are violations too, not
+    // invisible — count(k)-countDistinct(k) read an all-NULL key column
+    // as zero duplicates and passed the gate (reviewer finding). Every
+    // row beyond one per distinct non-null key now counts.
     val uniqCols = uniqueKey.toSeq.map(k =>
-      (count(col(k)) - countDistinct(col(k))).as(s"dup_$k"))
+      (count(lit(1)) - countDistinct(col(k))).as(s"dup_$k"))
     val cols = ruleCols ++ uniqCols
     val wide = df.agg(cols.head, cols.tail: _*)
     val names = rules.map(_._1) ++ uniqueKey.map(k => s"dup_$k")

@@ -34,20 +34,26 @@ object Sinks {
   val PersonCsvColumns: Seq[String] =
     Seq("name", "primary_email", "primary_phone_number", "grade", "age")
 
-  /** K1+K2+K3: header CSV per list under `baseUri/person_list=<name>/`. */
-  def writeCsvPerList(people: DataFrame, baseUri: String): Unit =
-    people
-      .select(col("person_list") +: PersonCsvColumns.map(col): _*)
-      .repartition(col("person_list"))
-      .sortWithinPartitions("person_list", "name")
+  /** The shared CSV write contract (header, '' unquoted — matching
+    * Python csv.writer's QUOTE_MINIMAL output for '',
+    * csv_operations.py:21-23 — one file per key via the repartition,
+    * in-file (key, name) sort), encoded ONCE for both CSV sinks.
+    */
+  private def writePartitionedCsv(df: DataFrame, keyCol: String, uri: String): Unit =
+    df
+      .select(col(keyCol) +: PersonCsvColumns.map(col): _*)
+      .repartition(col(keyCol))
+      .sortWithinPartitions(keyCol, "name")
       .write
-      .partitionBy("person_list")
+      .partitionBy(keyCol)
       .option("header", true)
-      // Empty fields serialize unquoted — matching Python csv.writer's
-      // QUOTE_MINIMAL output for '' (csv_operations.py:21-23).
       .option("emptyValue", "")
       .mode(SaveMode.Overwrite)
-      .csv(baseUri)
+      .csv(uri)
+
+  /** K1+K2+K3: header CSV per list under `baseUri/person_list=<name>/`. */
+  def writeCsvPerList(people: DataFrame, baseUri: String): Unit =
+    writePartitionedCsv(people, "person_list", baseUri)
 
   /** P7's output half (csv_operations.py:19, s3_operations.py:11): each
     * CONFIGURED list — the output of
@@ -60,35 +66,48 @@ object Sinks {
     */
   def writeCsvRenamed(peopleWithCsvName: DataFrame, baseUri: String): Unit = {
     val staging = s"$baseUri/_staging"
-    peopleWithCsvName
-      .select(col("csv_name") +: PersonCsvColumns.map(col): _*)
-      .repartition(col("csv_name"))
-      .sortWithinPartitions("csv_name", "name")
-      .write
-      .partitionBy("csv_name")
-      .option("header", true)
-      .option("emptyValue", "")
-      .mode(SaveMode.Overwrite)
-      .csv(staging)
+    writePartitionedCsv(peopleWithCsvName, "csv_name", staging)
     val stagingPath = new org.apache.hadoop.fs.Path(staging)
+    val basePath = new org.apache.hadoop.fs.Path(baseUri)
     val fs = stagingPath.getFileSystem(
       peopleWithCsvName.sparkSession.sessionState.newHadoopConf())
+    // FULL replace: destination mirrors THIS run. Stale .csv files from
+    // lists that dropped out of csv_fmt (or emptied) previously survived
+    // forever and kept serving last run's roster as current (reviewer
+    // finding). Sweep happens AFTER the staging write succeeds, so a
+    // failed write never destroys the previous outputs.
+    fs.listStatus(basePath)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".csv"))
+      .foreach(st => fs.delete(st.getPath, false))
     fs.listStatus(stagingPath).filter(_.isDirectory).foreach { d =>
-      val name = java.net.URLDecoder.decode(
-        d.getPath.getName.stripPrefix("csv_name="), "UTF-8")
-      fs.listStatus(d.getPath)
-        .map(_.getPath).find(_.getName.startsWith("part-"))
-        .foreach { part =>
-          val dest = new org.apache.hadoop.fs.Path(baseUri, s"$name.csv")
-          // Hadoop rename returns false (does not throw) when the target
-          // exists — on a re-run that would silently keep stale data —
-          // and on any other failure. Delete-then-rename, and surface
-          // a failed promotion instead of swallowing it.
-          fs.delete(dest, false)
-          if (!fs.rename(part, dest))
-            throw new java.io.IOException(
-              s"failed to promote $part to $dest (rename returned false)")
-        }
+      // Spark escapes partition-path names with Hive %XX escaping —
+      // unescapePathName is its exact inverse. URLDecoder was not: it
+      // also turned '+' into a space, corrupting filenames (reviewer
+      // finding).
+      val name = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .unescapePathName(d.getPath.getName.stripPrefix("csv_name="))
+      val parts = fs.listStatus(d.getPath)
+        .map(_.getPath).filter(_.getName.startsWith("part-"))
+      // The repartition above guarantees one task per key, but confs
+      // like maxRecordsPerFile can still split a task's output; promote
+      // only ever publishes ONE file per tab, so more than one is a
+      // loud error, never a silent truncation (reviewer finding).
+      if (parts.length > 1)
+        throw new java.io.IOException(
+          s"staging for '$name' produced ${parts.length} part files; " +
+            "the renamed-CSV sink publishes exactly one file per list " +
+            "(is spark.sql.files.maxRecordsPerFile set?)")
+      parts.headOption.foreach { part =>
+        val dest = new org.apache.hadoop.fs.Path(baseUri, s"$name.csv")
+        // Hadoop rename returns false (does not throw) when the target
+        // exists — on a re-run that would silently keep stale data —
+        // and on any other failure. Delete-then-rename, and surface
+        // a failed promotion instead of swallowing it.
+        fs.delete(dest, false)
+        if (!fs.rename(part, dest))
+          throw new java.io.IOException(
+            s"failed to promote $part to $dest (rename returned false)")
+      }
     }
     fs.delete(stagingPath, true)
   }
@@ -122,16 +141,14 @@ object Sinks {
   def overwritePartitions(df: DataFrame, baseUri: String,
                           partitionCols: Seq[String]): Unit = {
     require(partitionCols.nonEmpty, "dynamic overwrite needs partition columns")
-    val spark = df.sparkSession
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "dynamic")
-    try {
-      df.write.mode(SaveMode.Overwrite).format("parquet")
-        .partitionBy(partitionCols: _*).save(baseUri)
-    } finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
+    // Scoped as a WRITER OPTION, not a session-conf set/restore: two
+    // concurrent callers on one session (two foreachBatch sinks) could
+    // interleave set/restore so one write ran in STATIC mode and deleted
+    // every partition not in its batch — the exact footgun this method
+    // exists to prevent (reviewer finding). The option is per-write and
+    // takes precedence over the session conf.
+    df.write.mode(SaveMode.Overwrite).format("parquet")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*).save(baseUri)
   }
 }

@@ -188,6 +188,22 @@ class ReferencePipelineSpec extends SparkTestBase {
     assert(files === Set("youth_roster.csv", "choir_youth.csv"))
   }
 
+  test("renamed CSV sink is a FULL replace: dropped lists' files are swept") {
+    val out = tempDir("renamed_csv_sweep")
+    val both = Seq(
+      ("Youth Group", "youth_roster"),
+      ("Choir Youth Mid", "choir_youth")).toDF("list_name", "csv_name")
+    Sinks.writeCsvRenamed(ReferencePipeline.applyCsvFormat(buildPeople(), both), out)
+    assert(Files.exists(Paths.get(out, "choir_youth.csv")))
+    // Re-run with choir dropped from the config: its file must not keep
+    // serving last run's roster as current.
+    val onlyYouth = Seq(("Youth Group", "youth_roster")).toDF("list_name", "csv_name")
+    Sinks.writeCsvRenamed(ReferencePipeline.applyCsvFormat(buildPeople(), onlyYouth), out)
+    assert(Files.exists(Paths.get(out, "youth_roster.csv")))
+    assert(!Files.exists(Paths.get(out, "choir_youth.csv")),
+      "stale CSV for a de-configured list must be swept")
+  }
+
   test("csv_fmt semi-join + rename keeps only configured lists") {
     val fmt = Seq(("Youth Group", "youth")).toDF("list_name", "csv_name")
     val got = ReferencePipeline.applyCsvFormat(buildPeople(), fmt)

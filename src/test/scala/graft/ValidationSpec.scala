@@ -43,6 +43,16 @@ class ValidationSpec extends SparkTestBase {
       "dup_id" -> ((1L, 0))))
   }
 
+  test("uniqueness gate counts NULL keys as violations, not as unique") {
+    // An all-NULL (or partly NULL) key column previously read as zero
+    // duplicates and passed — count(k) and countDistinct(k) both skip
+    // NULLs (reviewer finding).
+    val rows = Seq(Option(1L), None, None).toDF("id")
+    val got = Validation.checkConstraints(rows, Seq.empty, uniqueKey = Some("id"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(got === Map("dup_id" -> ((2L, 0))))
+  }
+
   test("overallVerdict: all-valid iff every per-key check passed") {
     val allGood = Seq(("a", 1L, 1L), ("b", 2L, 2L)).toDF("k", "expected_count", "actual_count")
     val oneBad = Seq(("a", 1L, 1L), ("b", 2L, 9L)).toDF("k", "expected_count", "actual_count")
