@@ -70,5 +70,36 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val (text, w) = literalWindow("rolling_hashes", children)
         RollingHashes(text, w)
       }))
+    // Spark's own bloom-filter sketch pair (the machinery behind AQE
+    // runtime filters), surfaced as SQL functions so a query can state
+    // an EXPLICIT semi-join reduction: build the filter over the small
+    // side's keys, pre-filter the fact scan with might_contain, then
+    // run the exact join on the survivors (false positives are removed
+    // by the join; the filter only cuts shuffle volume, never results).
+    // These are internal catalyst classes, not registered by default;
+    // the analyzer wraps the raw AggregateFunction like any built-in.
+    ext.injectFunction((
+      FunctionIdentifier("bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "bloom_agg"),
+      (children: Seq[Expression]) => {
+        if (children.size != 1)
+          throw new IllegalArgumentException(
+            s"bloom_agg(xxhash64_value) takes 1 argument, got ${children.size}")
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "might_contain"),
+      (children: Seq[Expression]) => {
+        if (children.size != 2)
+          throw new IllegalArgumentException(
+            s"might_contain(bloom, xxhash64_value) takes 2 arguments, got ${children.size}")
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          children.head, children(1))
+      }))
   }
 }

@@ -118,6 +118,13 @@ object SparkEntry {
           "nonpositive_price" -> "o_totalprice <= 0",
           "bad_status"        -> "o_orderstatus not in ('F', 'O', 'P')"),
         uniqueKey = Some("o_orderkey"))),
+    "q_tpch_q1"            -> Relational.qTpchQ1 _,
+    "q_tpch_q6"            -> Relational.qTpchQ6 _,
+    "j10_bloom_prejoin"    -> Relational.j10BloomPrejoin _,
+    "w8_running_distinct"  -> Relational.w8RunningDistinct _,
+    "a13_mode"             -> Relational.a13Mode _,
+    "q_group_regression"   -> Relational.qGroupRegression _,
+    "f16_hof"              -> Relational.f16Hof _,
   )
 
   private val llmQueries: Map[String, Query] = Map(
@@ -170,6 +177,7 @@ object SparkEntry {
     "st7_stream_left_join" -> Streaming.streamStreamLeftJoin _,
     "st8_stream_upsert"    -> Streaming.st8StreamUpsert _,
     "st9_sessionize_custom" -> Streaming.st9SessionizeCustom _,
+    "st10_stream_full_outer" -> Streaming.streamStreamFullOuter _,
   )
 
   private val multimodalQueries: Map[String, Query] = Map(
@@ -1091,7 +1099,90 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
+  // -- Round-7 oracles -------------------------------------------------
+
+  private val round7Oracle: Map[String, String] = Map(
+    // TPC-H twins (near-verbatim like Q3/Q5): integer cents/micro sums,
+    // count already BIGINT in DuckDB; milli-ratio via the shared
+    // round-half-up primitive.
+    "q_tpch_q1" ->
+      ("SELECT l_returnflag, l_linestatus, " +
+        "CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty, " +
+        "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents, " +
+        "CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_cents, " +
+        "CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) AS BIGINT)) AS BIGINT) AS sum_charge_cents, " +
+        "CAST((2000 * sum(CAST(round(l_discount * 1000) AS BIGINT)) + count(1)) // (2 * count(1)) AS BIGINT) AS avg_disc_micro, " +
+        "count(*) AS count_order " +
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' " +
+        "GROUP BY l_returnflag, l_linestatus"),
+    "q_tpch_q6" ->
+      ("SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT)) AS BIGINT) AS revenue_cents, " +
+        "count(*) AS n_rows FROM lineitem " +
+        "WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01' " +
+        "AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24"),
+    // The bloom pre-filter is a pure shuffle reduction — false positives
+    // die in the exact join — so the oracle is the PLAIN join.
+    "j10_bloom_prejoin" ->
+      ("SELECT o_orderkey, o_custkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "WHERE c_mktsegment = 'BUILDING'"),
+    // Same first-occurrence-flag trick stated in SQL: rank each
+    // (user, type) stream, running-sum the rank-1 flags.
+    "w8_running_distinct" ->
+      ("WITH f AS (SELECT event_id, user_id, ts, event_type, " +
+        "CASE WHEN row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) = 1 THEN 1 ELSE 0 END AS is_first " +
+        "FROM events) " +
+        "SELECT event_id, user_id, " +
+        "CAST(sum(is_first) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_types_so_far FROM f"),
+    // Mode twin: explicit (count DESC, lang) window — the tie order the
+    // engine's min(struct(-cnt, lang)) argmax encodes.
+    "a13_mode" ->
+      ("SELECT source, lang AS mode_lang, cnt AS n_docs FROM (" +
+        "SELECT source, lang, count(*) AS cnt, " +
+        "row_number() OVER (PARTITION BY source ORDER BY count(*) DESC, lang) AS rn " +
+        "FROM documents GROUP BY source, lang) t WHERE rn = 1"),
+    // Regression twin: identical integer moments; DuckDB's HUGEINT
+    // intermediates cast back to BIGINT.
+    "q_group_regression" ->
+      ("WITH daily AS (SELECT CAST(c_nationkey AS BIGINT) AS nation, " +
+        "CAST(CAST(o_orderdate AS DATE) - DATE '1992-01-01' AS BIGINT) AS x, " +
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2) " +
+        "SELECT nation, count(*) AS n_days, " +
+        "CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS BIGINT) AS slope_num, " +
+        "CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS BIGINT) AS slope_den " +
+        "FROM daily GROUP BY nation"),
+    // Lambda-HOF twin: DuckDB list lambdas; float→double widening before
+    // the per-element round on both sides, so both engines fold the same
+    // integer sequences.
+    "f16_hof" ->
+      ("SELECT vec_id, " +
+        "CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos, " +
+        "CAST(len(list_filter(embedding, x -> x > 0.5)) > 0 AS BIGINT) AS has_big, " +
+        "CAST(list_sum(list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))) AS BIGINT) AS sum_milli, " +
+        "CAST(list_sum(list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) * CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))) AS BIGINT) AS norm2_milli2 " +
+        "FROM embeddings"),
+    // Full-outer adds BOTH eviction contracts to st7's twin: unmatched
+    // signups cut at s_ts + 7d < wm (their match window), unmatched
+    // purchases at p_ts < wm (no signup ≤ p_ts can still arrive).
+    "st10_stream_full_outer" ->
+      ("WITH s AS (SELECT event_id AS signup_id, user_id, CAST(ts AS TIMESTAMP) AS s_ts FROM events WHERE event_type = 'signup'), " +
+        "p AS (SELECT event_id AS purchase_id, user_id, CAST(ts AS TIMESTAMP) AS p_ts FROM events WHERE event_type = 'purchase'), " +
+        "gw AS (SELECT least((SELECT max(s_ts) FROM s), (SELECT max(p_ts) FROM p)) - INTERVAL 10 MINUTE AS wm) " +
+        "SELECT signup_id, purchase_id, s.user_id AS user_id, epoch_ms(s_ts) AS s_ms, epoch_ms(p_ts) AS p_ms " +
+        "FROM s JOIN p ON s.user_id = p.user_id AND p_ts >= s_ts AND p_ts <= s_ts + INTERVAL 7 DAY " +
+        "UNION ALL " +
+        "SELECT signup_id, -1 AS purchase_id, user_id, epoch_ms(s_ts) AS s_ms, -1 AS p_ms FROM s " +
+        "WHERE NOT EXISTS (SELECT 1 FROM p WHERE p.user_id = s.user_id AND p_ts >= s_ts AND p_ts <= s_ts + INTERVAL 7 DAY) " +
+        "AND s_ts + INTERVAL 7 DAY < (SELECT wm FROM gw) " +
+        "UNION ALL " +
+        "SELECT -1 AS signup_id, purchase_id, user_id, -1 AS s_ms, epoch_ms(p_ts) AS p_ms FROM p " +
+        "WHERE NOT EXISTS (SELECT 1 FROM s WHERE s.user_id = p.user_id AND p_ts >= s_ts AND p_ts <= s_ts + INTERVAL 7 DAY) " +
+        "AND p_ts < (SELECT wm FROM gw)"),
+  )
+
   def oracleSql: Map[String, String] =
     relationalOracle ++ llmOracle ++ llmOracle2 ++ simOracle ++ streamingOracle ++
-      multimodalOracle ++ multimodalOracle2
+      multimodalOracle ++ multimodalOracle2 ++ round7Oracle
 }

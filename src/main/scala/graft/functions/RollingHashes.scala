@@ -59,13 +59,17 @@ case class RollingHashes(child: Expression, window: Int)
 object RollingHashes {
   import RollingMinHash.{Base, Mod}
 
-  /** Streaming (pos, hash) rows; O(1) state — the generator contract. */
+  /** Streaming (pos, hash) rows; O(1) rolling state over the codepoint
+    * array (positions are CODEPOINT offsets — the same positions the
+    * oracle twin's substr() arithmetic produces for any text).
+    */
   def hashIterator(s: String, w: Int): Iterator[InternalRow] = {
-    val n = s.length
+    val cp = s.codePoints().toArray
+    val n = cp.length
     val ww = math.min(w, n)
     var h = 0L
     var i = 0
-    while (i < ww) { h = (h * Base + s.charAt(i)) % Mod; i += 1 }
+    while (i < ww) { h = (h * Base + cp(i)) % Mod; i += 1 }
     var pow = 1L
     var j = 1
     while (j < ww) { pow = pow * Base % Mod; j += 1 }
@@ -78,7 +82,7 @@ object RollingHashes {
       override def next(): InternalRow = {
         val row = InternalRow(pos.toLong, cur)
         if (pos < n - ww)
-          cur = ((cur - s.charAt(pos) * p % Mod + Mod) % Mod * Base + s.charAt(pos + ww)) % Mod
+          cur = ((cur - cp(pos) * p % Mod + Mod) % Mod * Base + cp(pos + ww)) % Mod
         pos += 1
         row
       }

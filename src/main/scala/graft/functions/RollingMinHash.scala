@@ -15,7 +15,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Arithmetic: h_i = Σ_j code(c_{i+j})·B^{w−1−j} mod M with B = 257,
   * M = 2³¹−1 — pure integer math a SQL oracle reproduces exactly
-  * (character codes are UTF-16 units ≡ code points for ASCII corpora).
+  * (character codes are Unicode code points, matching ord()/substr()
+  * semantics in the oracle for any input text, not just ASCII).
   * Strings shorter than the window hash as one degenerate whole-string
   * window. Codegen calls the same static loop both paths share, inside
   * the whole-stage span — no interpreted fallback.
@@ -47,32 +48,35 @@ case class RollingMinHash(child: Expression, window: Int)
 object RollingMinHash {
   // Encoding contract for every consumer of these constants
   // (RollingMinHash, RollingHashes.hashIterator and their SQL oracle
-  // twins): the polynomial runs over UTF-16 code units (String.charAt /
-  // String.length). The DuckDB twins hash codepoints via ord()/substr(),
-  // so positions and hash values agree only while the corpus is ASCII —
-  // which the documents fixture is, by construction (TESTDATA.md). For a
-  // non-ASCII corpus, hash UTF-8 bytes on BOTH sides to make the twin
-  // encoding-independent; t13/t18 oracles would need the same change.
+  // twins): the polynomial runs over Unicode CODE POINTS — exactly what
+  // the DuckDB twins hash via ord()/substr() (DuckDB character positions
+  // and ord() are codepoint-based). Positions, window widths and hash
+  // values therefore agree between engine and oracle for ANY text, not
+  // just ASCII: é contributes 0xE9 and 𝄞 (a surrogate pair in Java's
+  // UTF-16 Strings) contributes the single value 0x1D11E on both sides.
+  // codepoint overflow is impossible: max codepoint 0x10FFFF < 2^21 and
+  // every intermediate stays below Mod·Base + 2^21 < 2^40.
   val Base = 257L
   val Mod = 2147483647L // 2^31 - 1
 
-  /** Min over all `w`-char window hashes; O(n) rolling update. All
-    * intermediates stay below 2^48 — no overflow in Long.
+  /** Min over all `w`-codepoint window hashes; O(n) rolling update over
+    * the codepoint array (one decode pass per document).
     */
   def compute(s: String, w: Int): Long = {
-    val n = s.length
+    val cp = s.codePoints().toArray
+    val n = cp.length
     if (n == 0) return 0L
     val ww = math.min(w, n)
     var h = 0L
     var i = 0
-    while (i < ww) { h = (h * Base + s.charAt(i)) % Mod; i += 1 }
+    while (i < ww) { h = (h * Base + cp(i)) % Mod; i += 1 }
     var minH = h
     var pow = 1L
     var j = 1
     while (j < ww) { pow = pow * Base % Mod; j += 1 }
     i = ww
     while (i < n) {
-      h = ((h - s.charAt(i - ww) * pow % Mod + Mod) % Mod * Base + s.charAt(i)) % Mod
+      h = ((h - cp(i - ww) * pow % Mod + Mod) % Mod * Base + cp(i)) % Mod
       if (h < minH) minH = h
       i += 1
     }

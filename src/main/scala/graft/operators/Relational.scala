@@ -1215,6 +1215,180 @@ object Relational {
         |GROUP BY n_name""".stripMargin)
   }
 
+  /** TPC-H Q1 (pricing summary), adapted: the canonical wide-aggregate
+    * scan — one pass over the fact table, four sums + a count per
+    * (returnflag, linestatus) group, no join anywhere. Same spark.sql
+    * text surface and integer-cents discipline as [[qTpchQ3]]; averages
+    * are integer MILLI ratios of already-exact integer sums, so the
+    * whole result hash-matches with zero float tolerance. At 100 TB
+    * this is THE map-combinable shape: partial aggregation reduces each
+    * scan task to ≤6 group rows before the one metadata-sized shuffle.
+    */
+  def qTpchQ1(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      s"""SELECT l_returnflag, l_linestatus,
+        |  sum(cast(round(l_quantity) as bigint)) AS sum_qty,
+        |  sum(cast(round(l_extendedprice * 100) as bigint)) AS sum_base_cents,
+        |  sum(cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)) AS sum_disc_cents,
+        |  sum(cast(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) as bigint)) AS sum_charge_cents,
+        |  ${LlmOps.milli("sum(cast(round(l_discount * 1000) as bigint))", "count(1)")} AS avg_disc_micro,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= timestamp'1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin)
+  }
+
+  /** TPC-H Q6 (forecast revenue), adapted: the selective filter-and-sum
+    * scan — three pushable predicates, one global aggregate, result is
+    * ONE row. The predicates reach the parquet reader (PushedFilters;
+    * row-group min/max stats skip whole chunks at scale) and the
+    * aggregate needs no real shuffle: every task emits one partial row.
+    * Discount bounds compare the stored doubles against literals that
+    * parse identically in both engines — no epsilon anywhere.
+    */
+  def qTpchQ6(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """SELECT
+        |  sum(cast(round(l_extendedprice * l_discount * 100) as bigint)) AS revenue_cents,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= timestamp'1996-01-01'
+        |  AND l_shipdate < timestamp'1997-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin)
+  }
+
+  /** J10: bloom-filter semi-join reduction — the 100 TB shuffle-volume
+    * cut stated explicitly. A sketch of the selective dimension's keys
+    * (Spark's own BloomFilterAggregate, surfaced as `bloom_agg` by
+    * [[graft.GraftExtensions]]) is built in a scalar subquery (one
+    * metadata-sized broadcast, ~1 MB for a million keys), and the fact
+    * scan drops non-candidate rows BEFORE the join's exchange with
+    * `might_contain` — the same machinery Spark's AQE runtime filters
+    * inject automatically, but as an explicit, composable operator.
+    * False positives (sketch, not set) are removed by the exact join
+    * that follows; the filter can only shrink shuffle volume, never
+    * change the result — which is why the oracle is the PLAIN join.
+    * At 100 TB: fact-side shuffle drops from all rows to
+    * selectivity + ε, and the filter evaluates inside the scan stage.
+    */
+  def j10BloomPrejoin(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """SELECT o_orderkey, o_custkey,
+        |  cast(round(o_totalprice * 100) as bigint) AS cents
+        |FROM (
+        |  SELECT * FROM orders
+        |  WHERE might_contain(
+        |    (SELECT bloom_agg(xxhash64(c_custkey)) FROM customer
+        |     WHERE c_mktsegment = 'BUILDING'),
+        |    xxhash64(o_custkey))) pre
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'""".stripMargin)
+  }
+
+  /** W8: cumulative distinct count — per user, how many DISTINCT event
+    * types they had used as of each event. A distinct-in-frame window
+    * (`count(distinct x) over (... rows unbounded preceding)`) is not
+    * supported by either engine AND would be O(frame²) anyway; the
+    * scalable form is the first-occurrence-flag trick: rank each
+    * (user, type) stream by time, flag rank-1 rows, and running-sum the
+    * flags. Two windowed passes, both partitioned on user-derived keys —
+    * the second window reuses the first's user_id clustering (Catalyst
+    * plans one Exchange on (user_id, event_type) and one on user_id;
+    * at 100 TB both are ordinary hash-partitioned sorts, never a global
+    * sort, never per-frame set state.
+    */
+  def w8RunningDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val firstOfType = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts"), col("event_id"))
+    val perUser = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        (row_number().over(firstOfType) === 1).cast("long").as("is_first"))
+      .select(col("event_id"), col("user_id"),
+        sum("is_first").over(perUser).as("n_types_so_far"))
+  }
+
+  /** A13: per-group MODE (most frequent value) with a deterministic
+    * tie-break — dominant language per document source. Two
+    * map-combinable aggregates: (source, lang) counts, then an argmax
+    * via `min(struct(-cnt, lang))` — struct ordering is lexicographic,
+    * so the smallest (-cnt, lang) pair IS (highest count, first lang
+    * alphabetically on ties): the window row_number()-over-(cnt DESC,
+    * lang) = 1 row, computed as a PARTIAL aggregate instead. Each map
+    * task reduces to one candidate per source before the shuffle — the
+    * same shuffle-volume argument as [[j4PickFirstSupplier]], and the
+    * reason built-in `mode()` (no tie order contract in either engine)
+    * is not used.
+    */
+  def a13Mode(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy("source", "lang").agg(count(lit(1)).as("cnt"))
+      .groupBy("source")
+      .agg(min(struct((-col("cnt")).as("neg_cnt"), col("lang"))).as("m"))
+      .select(col("source"), col("m.lang").as("mode_lang"),
+        (-col("m.neg_cnt")).as("n_docs"))
+
+  /** Per-group OLS regression slope over daily revenue — "is each
+    * nation's order volume trending up?" — as EXACT RATIONAL arithmetic:
+    * the slope numerator n·Σxy − Σx·Σy and denominator n·Σxx − (Σx)²
+    * are returned as integer columns instead of dividing into a float.
+    * x is the epoch-day of the order date, y the day's revenue in cents;
+    * every moment is a map-combinable integer sum, so the whole
+    * regression is ONE scan + one two-level aggregate — no sort, no
+    * window, no driver math. At 100 TB the same plan holds; for cent
+    * sums beyond ~2^63/n_days the sums move to DECIMAL(38,0), shape
+    * unchanged. (Ratios-as-rationals is the repo's float discipline:
+    * consumers divide at display time; the gate compares exact ints.)
+    */
+  def qGroupRegression(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_nationkey").cast("long").as("nation"),
+        datediff(col("o_orderdate").cast("date"), lit("1992-01-01").cast("date"))
+          .cast("long").as("x"),
+        expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+      .groupBy("nation", "x").agg(sum("cents").as("y"))
+    daily.groupBy("nation")
+      .agg(count(lit(1)).as("n_days"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("nation"), col("n_days"),
+        (col("n_days") * col("sxy") - col("sx") * col("sy")).as("slope_num"),
+        (col("n_days") * col("sxx") - col("sx") * col("sx")).as("slope_den"))
+  }
+
+  /** F16: higher-order lambda function family over array columns —
+    * filter / exists / transform+aggregate / zip_with on the embedding
+    * vectors, every output an exact integer (per-element
+    * round-to-milli BEFORE summing, float→double widening first, so
+    * both engines fold identical integer sequences). These are the
+    * lambda forms of what [[graft.functions.CosineMilli]] does natively;
+    * kept map-only and measured — the repo's round-3 lesson is that
+    * interpreted lambdas cost ~µs/element, so the HOF surface exists
+    * for expressiveness while hot paths use the codegen'd Expression.
+    */
+  def f16Hof(spark: SparkSession, dir: String): DataFrame = {
+    val toMilli = (x: org.apache.spark.sql.Column) =>
+      round(x.cast("double") * 1000).cast("long")
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        size(filter(col("embedding"), x => x > lit(0f))).cast("long").as("n_pos"),
+        exists(col("embedding"), x => x > lit(0.5f)).cast("long").as("has_big"),
+        aggregate(transform(col("embedding"), toMilli),
+          lit(0L), (acc, x) => acc + x).as("sum_milli"),
+        aggregate(zip_with(col("embedding"), col("embedding"),
+            (a, b) => toMilli(a) * toMilli(b)),
+          lit(0L), (acc, x) => acc + x).as("norm2_milli2"))
+  }
+
   /** F13: map-typed column family — parse JSON props into a real
     * `map<string,string>` (schema-on-read for ragged key sets, vs f7's
     * fixed struct), augment it with `map_concat`, and flatten with the

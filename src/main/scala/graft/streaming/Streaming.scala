@@ -310,6 +310,49 @@ object Streaming {
         coalesce(unix_millis(col("p_ts")), lit(-1L)).as("p_ms"))
   }
 
+  /** ST10: stream-stream FULL OUTER join — completes the stream-join
+    * family (st4 inner, st7 left): BOTH unmatched sides emit
+    * null-extended once the watermark closes their match window. The
+    * eviction rules differ per side, and that asymmetry is the point:
+    *  - an unmatched SIGNUP emits when the watermark passes the last
+    *    possible purchase time it could match (s_ts + 7 days) — same
+    *    rule as st7;
+    *  - an unmatched PURCHASE emits when the watermark passes p_ts
+    *    itself: the range condition implies a matching signup has
+    *    s_ts ∈ [p_ts − 7d, p_ts], so once no signup ≤ p_ts can still
+    *    arrive, the purchase is provably unmatched.
+    * The DuckDB twin states both cutoffs explicitly against the global
+    * watermark (min of the two streams' max-ts − 10 min). Null-extended
+    * columns are −1-coalesced on both sides so the hash compare never
+    * meets a NULL. Join state at scale is bounded by the 7-day range on
+    * the signup side and by the watermark delay on the purchase side —
+    * the same state bound st4 documents, held on both stores.
+    */
+  def streamStreamFullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val signups = eventsStream(spark, dir)
+      .filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("user_id").as("s_user"),
+        col("ts").as("s_ts"))
+      .withWatermark("s_ts", "10 minutes")
+    val purchases = eventsStream(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "10 minutes")
+    val joined = signups.join(purchases,
+      col("s_user") === col("p_user") &&
+        col("p_ts") >= col("s_ts") &&
+        col("p_ts") <= col("s_ts") + expr("INTERVAL 7 DAYS"),
+      "fullOuter")
+    runAppendToParquet(spark, joined)
+      .select(
+        coalesce(col("signup_id"), lit(-1L)).as("signup_id"),
+        coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"),
+        coalesce(col("s_user"), col("p_user")).as("user_id"),
+        coalesce(unix_millis(col("s_ts")), lit(-1L)).as("s_ms"),
+        coalesce(unix_millis(col("p_ts")), lit(-1L)).as("p_ms"))
+  }
+
   /** ST5: streaming ingestion dedup — the at-ingest half of the dedup
     * family (d1 is the batch half): duplicate events dropped as they
     * stream in, keyed on (event_type, user_id, minute bucket).

@@ -142,6 +142,16 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("j10's explicit bloom pre-filter sits on the fact side before the join") {
+    val j10 = plan(Relational.j10BloomPrejoin(spark, Sf))
+    // The sketch filter must survive into the physical plan as a filter
+    // over the orders scan (shuffle-volume cut BEFORE the join), and the
+    // exact join must still be there to kill false positives.
+    assert(j10.contains("might_contain"), s"bloom pre-filter missing:\n$j10")
+    assert(j10.contains("Join") || j10.contains("BroadcastHashJoin"),
+      s"exact join after the pre-filter missing:\n$j10")
+  }
+
   test("native rolling_min_hash stays inside whole-stage codegen") {
     import graft.operators.LlmOps
     val df = LlmOps.t13RollingFp(spark, Sf)

@@ -14,13 +14,16 @@ import graft.functions.RollingMinHash
 class RollingMinHashSpec extends SparkTestBase {
   import spark.implicits._
 
+  // From-scratch reference over CODEPOINTS — the engine's declared
+  // contract (and the oracle twins' ord()/substr() semantics).
   private def brute(s: String, w: Int): Long = {
     import RollingMinHash.{Base, Mod}
-    val n = s.length
+    val cp = s.codePoints().toArray
+    val n = cp.length
     if (n == 0) return 0L
     val ww = math.min(w, n)
     (0 to n - ww).map { i =>
-      (0 until ww).foldLeft(0L)((h, j) => (h * Base + s.charAt(i + j)) % Mod)
+      (0 until ww).foldLeft(0L)((h, j) => (h * Base + cp(i + j)) % Mod)
     }.min
   }
 
@@ -34,6 +37,28 @@ class RollingMinHashSpec extends SparkTestBase {
     samples.foreach { s =>
       assert(RollingMinHash.compute(s, 8) === brute(s, 8), s"input='$s'")
     }
+  }
+
+  test("non-ASCII text hashes codepoints: BMP accents and surrogate pairs") {
+    // é is one codepoint (0xE9); 𝄞 (U+1D11E) is a surrogate PAIR in
+    // Java's UTF-16 String — a UTF-16-unit loop would hash two units and
+    // shift every later position. The engine must agree with the
+    // codepoint reference on both, and window widths count codepoints.
+    val samples = Seq(
+      "café crème brûlée",
+      "clef: 𝄞 then ascii tail",
+      "𝄞𝄞𝄞",
+      "mixed é𝄞ü end")
+    samples.foreach { s =>
+      assert(RollingMinHash.compute(s, 4) === brute(s, 4), s"input='$s'")
+      // 4-codepoint string ≡ one degenerate window at w≥4
+      val cpLen = s.codePoints().count().toInt
+      assert(RollingMinHash.compute(s, cpLen) === brute(s, cpLen))
+    }
+    // hashIterator position count = cpLen - w + 1 (codepoint positions)
+    val s = "ab𝄞cd" // 5 codepoints, 6 UTF-16 units
+    val rows = functions.RollingHashes.hashIterator(s, 2).toList
+    assert(rows.size === 4)
   }
 
   test("the registered SQL expression equals the static loop") {

@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Relational
+import graft.streaming.Streaming
+
+/** Behavioral checks for the round-7 operators, each against an
+  * INDEPENDENT recomputation (Scala-side simulation or an alternative
+  * plan) rather than the shared oracle SQL — the reconciliation idea
+  * from SURVEY.md §5.2.5.
+  */
+class Round7Spec extends SparkTestBase {
+  import spark.implicits._
+
+  test("a13 mode argmax breaks count ties on the alphabetically first value") {
+    // min(struct(-cnt, lang)) must equal the row_number()-over-
+    // (cnt DESC, lang)=1 row. Plant an exact tie: src1 has aa=2, bb=2.
+    val df = Seq(
+      ("src1", "bb"), ("src1", "bb"), ("src1", "aa"), ("src1", "aa"),
+      ("src2", "zz"), ("src2", "zz"), ("src2", "aa")).toDF("source", "lang")
+    val got = df.groupBy("source", "lang").agg(count(lit(1)).as("cnt"))
+      .groupBy("source")
+      .agg(min(struct((-col("cnt")).as("neg_cnt"), col("lang"))).as("m"))
+      .select(col("source"), col("m.lang").as("mode_lang"),
+        (-col("m.neg_cnt")).as("n_docs"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === Set(("src1", "aa", 2L), ("src2", "zz", 2L)))
+  }
+
+  test("w8 running distinct equals a per-user Scala simulation") {
+    val got = Relational.w8RunningDistinct(spark, Sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val events = Tables.events(spark, Sf)
+      .select(col("user_id"), col("ts").cast("long").as("t"),
+        col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(events.nonEmpty)
+    val expected = events.groupBy(_._1).toSeq.flatMap { case (_, evs) =>
+      val seen = scala.collection.mutable.Set[String]()
+      evs.sortBy(e => (e._2, e._3)).map { e =>
+        seen += e._4
+        e._3 -> seen.size.toLong
+      }.toSeq
+    }
+    assert(got.size === events.length)
+    expected.foreach { case (id, n) => assert(got(id) === n, s"event $id") }
+  }
+
+  test("q_group_regression recovers an exact planted slope as a rational") {
+    // y = 3x + 40 daily: slope_num/slope_den must equal exactly 3.
+    val df = (0 until 200).flatMap { x =>
+      Seq((1L, x.toLong, 3L * x + 40L))
+    }.toDF("nation", "x", "y")
+    val got = df.groupBy("nation")
+      .agg(count(lit(1)).as("n_days"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(
+        (col("n_days") * col("sxy") - col("sx") * col("sy")).as("num"),
+        (col("n_days") * col("sxx") - col("sx") * col("sx")).as("den"))
+      .collect().head
+    val (num, den) = (got.getLong(0), got.getLong(1))
+    assert(den > 0 && num === 3 * den, s"num=$num den=$den")
+  }
+
+  test("f16 lambda HOFs agree with a driver-side fold over the same vectors") {
+    val rows = Relational.f16Hof(spark, Sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val raw = Tables.embeddings(spark, Sf)
+      .select(col("vec_id"), col("embedding")).collect()
+    assert(raw.nonEmpty && rows.size === raw.length)
+    raw.foreach { r =>
+      val vec = r.getSeq[Float](1)
+      val milli = vec.map(x => math.round(x.toDouble * 1000))
+      val exp = (
+        vec.count(_ > 0f).toLong,
+        if (vec.exists(_ > 0.5f)) 1L else 0L,
+        milli.sum,
+        milli.map(m => m * m).sum)
+      assert(rows(r.getLong(0)) === exp, s"vec ${r.getLong(0)}")
+    }
+  }
+
+  test("j10 bloom pre-join equals the plain exact join") {
+    val viaBloom = Relational.j10BloomPrejoin(spark, Sf)
+    val plain = Tables.orders(spark, Sf)
+      .join(Tables.customer(spark, Sf).filter(col("c_mktsegment") === "BUILDING"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+    assert(viaBloom.count() === plain.count())
+    assert(viaBloom.exceptAll(plain).isEmpty && plain.exceptAll(viaBloom).isEmpty)
+  }
+
+  test("st10 full outer: matched subset equals st4's inner join; sentinels disjoint") {
+    val full = Streaming.streamStreamFullOuter(spark, Sf).collect()
+    val matched = full.filter(r => r.getLong(0) != -1L && r.getLong(1) != -1L)
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inner = Streaming.streamStreamJoin(spark, Sf)
+      .select(col("signup_id"), col("purchase_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(matched === inner, "full-outer matched rows must equal the inner join")
+    // No row may be null-extended on BOTH sides.
+    assert(!full.exists(r => r.getLong(0) == -1L && r.getLong(1) == -1L))
+    // Null-extended rows exist on each side in the fixture (signups that
+    // never converted; purchases with no preceding signup).
+    assert(full.exists(r => r.getLong(1) == -1L), "expected unmatched signups")
+    assert(full.exists(r => r.getLong(0) == -1L), "expected unmatched purchases")
+  }
+}
