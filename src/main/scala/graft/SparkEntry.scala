@@ -120,6 +120,9 @@ object SparkEntry {
         uniqueKey = Some("o_orderkey"))),
     "q_tpch_q1"            -> Relational.qTpchQ1 _,
     "q_tpch_q6"            -> Relational.qTpchQ6 _,
+    "q_tpch_q4"            -> Relational.qTpchQ4 _,
+    "q_tpch_q12"           -> Relational.qTpchQ12 _,
+    "q_tpch_q14"           -> Relational.qTpchQ14 _,
     "j10_bloom_prejoin"    -> Relational.j10BloomPrejoin _,
     "w8_running_distinct"  -> Relational.w8RunningDistinct _,
     "a13_mode"             -> Relational.a13Mode _,
@@ -156,6 +159,8 @@ object SparkEntry {
     "t17_inverted_index" -> LlmOps.t17InvertedIndex _,
     "t18_cdc_chunks"   -> LlmOps.t18CdcChunks _,
     "t19_dup_spans"    -> LlmOps.t19DupSpans _,
+    "t20_heavy_hitters" -> LlmOps.t20HeavyHitters _,
+    "t21_bm25"         -> LlmOps.t21Bm25 _,
   )
 
   private val simQueries: Map[String, Query] = Map(
@@ -164,6 +169,7 @@ object SparkEntry {
     "sim_ivf_topk"  -> Similarity.simIvfTopk _,
     "sim_quantize_q8" -> Similarity.simQuantizeQ8 _,
     "sim_pq_topk"   -> Similarity.simPqTopk _,
+    "q_kmeans"      -> Similarity.qKmeansCluster _,
     "d8_embed_neardup" -> Similarity.d8EmbedNeardup _,
   )
 
@@ -1120,6 +1126,86 @@ object SparkEntry {
         "count(*) AS n_rows FROM lineitem " +
         "WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01' " +
         "AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24"),
+    // BM25 twin: identical fixed-point derivation (rational ln-free idf,
+    // fifths-scaled k1/b, round-half-up at each step — // floors =
+    // truncates, all operands non-negative).
+    "t21_bm25" ->
+      ("WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), " +
+        "dlen AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY doc_id), " +
+        "corpus AS (SELECT count(*) AS n_docs, " +
+        "(2000 * sum(len) + count(*)) // (2 * count(*)) AS avglen_milli FROM dlen), " +
+        "tfs AS (SELECT doc_id, tok, count(*) AS tf FROM toks " +
+        "WHERE tok IN ('join', 'filter', 'hash') GROUP BY doc_id, tok), " +
+        "dfs AS (SELECT tok, count(*) AS df FROM tfs GROUP BY tok), " +
+        "sc AS (SELECT t.doc_id, " +
+        "(2000 * (c.n_docs - d.df) + (d.df + 1)) // (2 * (d.df + 1)) AS idf_milli, " +
+        "250 + (2 * 750000 * l.len + c.avglen_milli) // (2 * c.avglen_milli) AS norm_milli, " +
+        "t.tf FROM tfs t JOIN dfs d USING (tok) JOIN dlen l USING (doc_id), corpus c) " +
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits, " +
+        "CAST(sum((2000 * (idf_milli * 11 * tf) + (5000 * tf + 6 * norm_milli)) " +
+        "// (2 * (5000 * tf + 6 * norm_milli))) AS BIGINT) AS score_milli " +
+        "FROM sc GROUP BY doc_id"),
+    // K-means twin: the SAME three unrolled Lloyd iterations in integer
+    // arithmetic — shifted milli values, HUGEINT-safe sums, // floor-div
+    // centroid means (operands non-negative by the +1000 shift), and the
+    // (dist, cid) row_number tie-break mirroring the engine's struct-min.
+    "q_kmeans" -> {
+      def assignFrom(c: String, d: String, a: String) =
+        s"$d AS (SELECT v.vec_id, c.cid, sum((v.val - c.c) * (v.val - c.c)) AS dist " +
+          s"FROM v JOIN $c c ON v.dim = c.dim GROUP BY v.vec_id, c.cid), " +
+          s"$a AS (SELECT vec_id, cid, dist FROM (SELECT vec_id, cid, dist, " +
+          "row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn " +
+          s"FROM $d) WHERE rn = 1)"
+      def updateFrom(a: String, c: String) =
+        s"$c AS (SELECT cid, dim, (2 * sum(val) + count(*)) // (2 * count(*)) AS c " +
+          s"FROM $a JOIN v USING (vec_id) GROUP BY cid, dim)"
+      "WITH v AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim, " +
+        "CAST(round(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) + 1000 AS val " +
+        "FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)), " +
+        "init AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid " +
+        "FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)), " +
+        "c0 AS (SELECT cid, dim, val AS c FROM init JOIN v USING (vec_id)), " +
+        assignFrom("c0", "d1", "a1") + ", " + updateFrom("a1", "c1") + ", " +
+        assignFrom("c1", "d2", "a2") + ", " + updateFrom("a2", "c2") + ", " +
+        assignFrom("c2", "d3", "a3") + " " +
+        "SELECT vec_id, CAST(cid AS BIGINT) AS cluster, CAST(dist AS BIGINT) AS dist2 FROM a3"
+    },
+    // The sketch pass is a pure candidate generator (superset guarantee
+    // + exact recount), so the oracle is the plain count-and-threshold.
+    "t20_heavy_hitters" ->
+      ("WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents), " +
+        "g AS (SELECT toks[i] || ' ' || toks[i + 1] AS sh " +
+        "FROM t, unnest(range(1, len(toks))) AS u(i)), " +
+        "tot AS (SELECT count(*) AS n FROM g) " +
+        "SELECT sh, CAST(count(*) AS BIGINT) AS tf, " +
+        "CAST((SELECT n FROM tot) AS BIGINT) AS n_bigrams " +
+        "FROM g GROUP BY sh " +
+        "HAVING count(*) * 601 > (SELECT n FROM tot)"),
+    // Q4 twin: same 60-day-late EXISTS; DuckDB's INTERVAL addition on
+    // TIMESTAMP matches Spark's day-interval arithmetic exactly.
+    "q_tpch_q4" ->
+      ("SELECT o_orderpriority, count(*) AS order_count FROM orders " +
+        "WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01' " +
+        "AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey " +
+        "AND l_shipdate > o_orderdate + INTERVAL 60 DAY) " +
+        "GROUP BY o_orderpriority"),
+    // Q12 twin: conditional counts cast back from DuckDB's HUGEINT.
+    "q_tpch_q12" ->
+      ("SELECT l_returnflag, " +
+        "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_count, " +
+        "CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_count " +
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey " +
+        "WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01' " +
+        "GROUP BY l_returnflag"),
+    // Q14 twin: identical conditional cent-sums; the milli ratio via the
+    // shared round-half-up form (// floors = truncates, sums positive).
+    "q_tpch_q14" ->
+      ("SELECT CAST((2000 * sum(CASE WHEN p_type = 'PROMO' THEN CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) ELSE 0 END) " +
+        "+ sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))) " +
+        "// (2 * sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))) AS BIGINT) AS promo_milli, " +
+        "CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "WHERE l_shipdate >= TIMESTAMP '1997-09-01' AND l_shipdate < TIMESTAMP '1997-10-01'"),
     // The bloom pre-filter is a pure shuffle reduction — false positives
     // die in the exact join — so the oracle is the PLAIN join.
     "j10_bloom_prejoin" ->

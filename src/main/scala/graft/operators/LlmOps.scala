@@ -1115,6 +1115,116 @@ object LlmOps {
   }
 
   // ---------------------------------------------------------------------
+  // T20: heavy hitters — sketch-then-verify frequent n-grams.
+  // ---------------------------------------------------------------------
+
+  /** Capacity of [[graft.functions.FrequentItemsAggregator]] in
+    * [[t20HeavyHitters]]: the frequency threshold is n/(m+1). 600 is
+    * deliberately BELOW the fixture's bigram vocabulary (~900 at
+    * sf0.01) so the sketch genuinely evicts — a capacity above the
+    * vocabulary would degenerate to exact counting.
+    */
+  val FrequentCapacity = 600
+
+  /** T20: heavy-hitter word bigrams — the boilerplate-phrase detector —
+    * via SKETCH-THEN-VERIFY, the two-pass shape that replaces the naive
+    * full-vocabulary groupBy at scale.
+    *
+    * Pass 1 runs the Misra-Gries Aggregator (per-partition partial
+    * summaries, mergeable-summaries merge) and yields ONE O(m) row
+    * whose keys are guaranteed (sketch property, FrequentItemsSpec) to
+    * be a superset of every bigram with frequency > n/(m+1). Pass 2
+    * re-scans, keeps only candidate bigrams (broadcast hash semi-filter
+    * BEFORE the aggregation, so the groupBy state is ≤ m keys however
+    * large the vocabulary), counts them EXACTLY, and applies the
+    * threshold — which is why the final answer is exact and
+    * partitioning-independent even though per-partition sketch contents
+    * are not, and why the DuckDB oracle is the plain "count and filter"
+    * query. At 100 TB the naive plan shuffles the whole key space; this
+    * one shuffles two metadata-sized aggregates plus candidate rows
+    * only. Bigrams are built shuffle-free like [[shingleRowsOf]]
+    * (posexplode carrying the token array, element_at for the
+    * successor).
+    */
+  def t20HeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val bigrams = Tables.documents(spark, dir)
+      .select(expr(tokExpr).as("toks"))
+      .select(col("toks"), posexplode(col("toks")).as(Seq("pos", "tok")))
+      .filter(col("pos") <= size(col("toks")) - 2)
+      .select(concat_ws(" ", col("tok"),
+        element_at(col("toks"), col("pos") + 2)).as("sh"))
+    val sketch = bigrams.select(col("sh")).as(org.apache.spark.sql.Encoders.STRING)
+      .select(new graft.functions.FrequentItemsAggregator(FrequentCapacity)
+        .toColumn.name("cand"))
+    val candidates = sketch.select(explode(map_keys(col("cand"))).as("sh"))
+    val total = bigrams.agg(count(lit(1)).as("n_bigrams"))
+    bigrams
+      .join(broadcast(candidates), "sh")
+      .groupBy("sh")
+      .agg(count(lit(1)).as("tf"))
+      .crossJoin(broadcast(total))
+      .filter(col("tf") * (FrequentCapacity + 1) > col("n_bigrams"))
+      .select(col("sh"), col("tf"), col("n_bigrams"))
+  }
+
+  // ---------------------------------------------------------------------
+  // T21: BM25 relevance scoring (the retrieval-side ranking primitive).
+  // ---------------------------------------------------------------------
+
+  /** T21: BM25 document scoring for a fixed query term set — the
+    * ranking function behind retrieval-augmented data curation (score
+    * corpus docs against a probe query; [[t16TfIdf]] without the
+    * saturation/length terms). Standard parameters k1 = 1.2, b = 0.75;
+    * the logarithmic Robertson idf is replaced by its rational core
+    * idf = (N − df)/(df + 1) in fixed-point MILLI (ln-free ⇒ exactly
+    * reproducible across engines — both sides fold identical integers,
+    * so the gate hash-matches with zero float tolerance; the log's
+    * monotone ordering is preserved for any single-term ranking).
+    *
+    * Exact fixed-point derivation (all round-half-up via the shared
+    * milli primitive, every operand non-negative):
+    *   avglen_milli = milli(Σlen, N);  norm_milli = 250 +
+    *   rhu(750000·len / avglen_milli);  score_milli per (doc, term) =
+    *   milli(idf_milli·11·tf, 5000·tf + 6·norm_milli)   [k1+1 = 11/5,
+    *   k1 = 6/5 — fifths keep every coefficient integral].
+    *
+    * Scale shape: the query-term filter runs BEFORE any shuffle, so the
+    * data side aggregates only rows containing query terms; df comes
+    * from that same tiny aggregate (one row per term), corpus scalars
+    * (N, Σlen) are a map-combinable two-column aggregate, and both are
+    * BROADCAST back. The full vocabulary is never shuffled — at 100 TB
+    * the cost is one corpus scan plus candidate-row aggregation, the
+    * same filter-then-aggregate discipline as [[t20HeavyHitters]]'s
+    * verify pass. Long arithmetic holds to corpora of ~10^9 docs
+    * (idf_milli·11·tf ≲ 10^15); past that the sums move to
+    * DECIMAL(38,0), plan unchanged.
+    */
+  def t21Bm25(spark: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("join", "filter", "hash")
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(expr(tokExpr)).as("tok"))
+    val dlen = toks.groupBy("doc_id").agg(count(lit(1)).as("len"))
+    val corpus = dlen
+      .agg(count(lit(1)).as("n_docs"), sum("len").as("total_tokens"))
+      .select(col("n_docs"),
+        expr(milli("total_tokens", "n_docs")).as("avglen_milli"))
+    val tfs = toks.filter(col("tok").isin(terms: _*))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfs = tfs.groupBy("tok").agg(count(lit(1)).as("df"))
+    tfs.join(broadcast(dfs), "tok")
+      .join(dlen, "doc_id")
+      .crossJoin(broadcast(corpus))
+      .select(col("doc_id"), col("tf"),
+        expr(milli("n_docs - df", "df + 1")).as("idf_milli"),
+        expr("250 + (2 * 750000 * len + avglen_milli) div (2 * avglen_milli)")
+          .as("norm_milli"))
+      .select(col("doc_id"),
+        expr(milli("idf_milli * 11 * tf", "5000 * tf + 6 * norm_milli")).as("s"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"), sum("s").as("score_milli"))
+  }
+
+  // ---------------------------------------------------------------------
   // T3: quality scoring.
   // ---------------------------------------------------------------------
 

@@ -1260,6 +1260,80 @@ object Relational {
         |  AND l_quantity < 24""".stripMargin)
   }
 
+  /** TPC-H Q4 (order-priority checking), adapted: the fixture has no
+    * l_commitdate/l_receiptdate, so "late" is a lineitem shipped more
+    * than 60 days after the order date — same correlated-EXISTS shape.
+    * Catalyst rewrites the EXISTS into a LEFT SEMI join on l_orderkey
+    * (RewritePredicateSubquery), so the fact table is scanned once,
+    * filtered at the scan (shipdate pushdown applies to neither side
+    * here — the correlation is an inter-column compare — but the
+    * orderdate window does push into the orders scan), and each order
+    * row is emitted at most once regardless of how many late lines it
+    * has. At 100 TB: one equi-shuffle on orderkey; the count-by-priority
+    * is a ≤5-row map-combinable aggregate.
+    */
+  def qTpchQ4(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= timestamp'1996-01-01'
+        |  AND o_orderdate < timestamp'1996-07-01'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey
+        |      AND l_shipdate > o_orderdate + interval 60 days)
+        |GROUP BY o_orderpriority""".stripMargin)
+  }
+
+  /** TPC-H Q12 (shipping-mode priority classes), adapted: the fixture
+    * has no l_shipmode, so lines are grouped by l_returnflag instead —
+    * the shape is unchanged: fact⋈fact equi-join on orderkey, then
+    * CONDITIONAL COUNTS (high/low priority) inside one aggregate pass,
+    * the "pivot a predicate into columns" idiom. Both conditional sums
+    * are map-combinable; the only shuffle is the orderkey join (orders
+    * and lineitem co-shuffle; at 100 TB bucketing both on orderkey
+    * makes it exchange-free).
+    */
+  def qTpchQ12(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """SELECT l_returnflag,
+        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |           THEN 1 ELSE 0 END) AS high_count,
+        |  sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |           THEN 1 ELSE 0 END) AS low_count
+        |FROM orders
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_shipdate >= timestamp'1997-01-01'
+        |  AND l_shipdate < timestamp'1998-01-01'
+        |GROUP BY l_returnflag""".stripMargin)
+  }
+
+  /** TPC-H Q14 (promotion effect), adapted to the fixture's enum-valued
+    * p_type: what integer-MILLI fraction of one month's discounted
+    * revenue came from PROMO parts. The part side is dimension-sized →
+    * Catalyst broadcasts it (PlanSpec locks that); the lineitem scan is
+    * cut by the one-month shipdate pushdown BEFORE the join, so the
+    * probe side is a month of the fact table, not all of it. The ratio
+    * rides the shared round-half-up integer primitive over two
+    * conditional cent-sums — zero float tolerance, like every ratio in
+    * the repo.
+    */
+  def qTpchQ14(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      s"""SELECT
+        |  ${LlmOps.milli(
+               "sum(CASE WHEN p_type = 'PROMO' THEN cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint) ELSE 0 END)",
+               "sum(cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint))")} AS promo_milli,
+        |  sum(cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)) AS revenue_cents
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= timestamp'1997-09-01'
+        |  AND l_shipdate < timestamp'1997-10-01'""".stripMargin)
+  }
+
   /** J10: bloom-filter semi-join reduction — the 100 TB shuffle-volume
     * cut stated explicitly. A sketch of the selective dimension's keys
     * (Spark's own BloomFilterAggregate, surfaced as `bloom_agg` by

@@ -334,4 +334,75 @@ object Similarity {
           .as("q"),
         col("scale"))
   }
+
+  // ---------------------------------------------------------------------
+  // K-means clustering (the SemDeDup / mixture-balancing primitive).
+  // ---------------------------------------------------------------------
+
+  /** Clusters and Lloyd iterations for [[qKmeansCluster]]. Three
+    * iterations is a demonstration depth — the per-iteration plan is
+    * what matters; production runs more rounds of the same plan.
+    */
+  val KmeansK = 8
+  val KmeansIters = 3
+
+  /** Deterministic k-means over the embedding corpus — the clustering
+    * step behind semantic dedup (SemDeDup-style: near-dups are sought
+    * within a cluster, never across the corpus) and embedding-space
+    * mixture balancing. Everything that usually makes k-means
+    * non-reproducible is pinned: init is the k smallest vec_ids (no
+    * RNG), arithmetic is INTEGER end-to-end, and the argmin tie-breaks
+    * on (distance, cid) — so the run is bit-stable on any cluster size,
+    * partitioning, or rerun, and the DuckDB oracle replays it exactly.
+    *
+    * Integer discipline: values are milli-rounded then SHIFTED +1000
+    * (embeddings lie in [-1, 1], so shifted values are non-negative —
+    * squared distances are shift-invariant, and non-negativity makes
+    * Spark's truncating `div` and DuckDB's flooring `//` agree on the
+    * centroid mean, the repo's round-half-up primitive). Distances and
+    * sums stay well inside long range (≤ 64·1520² per pair).
+    *
+    * Plan shape per Lloyd iteration, all relational (the round-3
+    * lesson: no interpreted lambdas in hot loops):
+    *   assign  = (vec,dim) rows ⋈ BROADCAST centroids (k·d = 512 rows)
+    *             on dim → partial-aggregated sum of squares per
+    *             (vec, cid) → struct-min argmin per vec;
+    *   update  = assignment ⋈ (vec,dim) rows on vec_id → k·d-row
+    *             aggregate of round-half-up means.
+    * At 100 TB: each iteration is one corpus scan, map-side combine
+    * everywhere, shuffles carry n·k and n·d keyed rows — never a
+    * cross join; the centroid table is metadata-sized throughout. The
+    * loop is unrolled (3 iterations), so Catalyst sees one static plan;
+    * more iterations would localCheckpoint per round like
+    * [[graft.operators.LlmOps.connectedComponents]]. Empty clusters
+    * (possible under argmin) simply drop out of the next round on both
+    * engines identically.
+    */
+  def qKmeansCluster(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "xf")))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"),
+        (round(col("xf").cast("double") * 1000).cast("long") + 1000L).as("val"))
+    val init = Tables.embeddings(spark, dir)
+      .select("vec_id").orderBy("vec_id").limit(KmeansK)
+      .select(col("vec_id"),
+        (row_number().over(Window.orderBy("vec_id")) - 1).cast("long").as("cid"))
+    var centroids = init.join(v, "vec_id")
+      .select(col("cid"), col("dim"), col("val").as("c"))
+    var assign: DataFrame = null
+    for (i <- 1 to KmeansIters) {
+      assign = v.join(broadcast(centroids), "dim")
+        .groupBy("vec_id", "cid")
+        .agg(sum((col("val") - col("c")) * (col("val") - col("c"))).as("dist"))
+        .groupBy("vec_id")
+        .agg(min(struct(col("dist"), col("cid"))).as("m"))
+        .select(col("vec_id"), col("m.cid").as("cid"), col("m.dist").as("dist"))
+      if (i < KmeansIters)
+        centroids = assign.join(v, "vec_id")
+          .groupBy("cid", "dim")
+          .agg(expr("(2 * sum(val) + count(1)) div (2 * count(1))").as("c"))
+    }
+    assign.select(col("vec_id"), col("cid").as("cluster"),
+      col("dist").as("dist2"))
+  }
 }

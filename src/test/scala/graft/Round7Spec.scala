@@ -110,4 +110,41 @@ class Round7Spec extends SparkTestBase {
     assert(full.exists(r => r.getLong(1) == -1L), "expected unmatched signups")
     assert(full.exists(r => r.getLong(0) == -1L), "expected unmatched purchases")
   }
+
+  test("q_kmeans matches a full Scala simulation of the integer Lloyd loop") {
+    val got = graft.operators.Similarity.qKmeansCluster(spark, Sf)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // Independent simulation: same pinned init, shift, argmin tie-break
+    // and round-half-up centroid mean, straight Scala collections.
+    val vecs = Tables.embeddings(spark, Sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.round(x.toDouble * 1000) + 1000L).toArray)
+      .sortBy(_._1)
+    assert(vecs.nonEmpty)
+    val k = graft.operators.Similarity.KmeansK
+    var centroids: Map[Long, Array[Long]] =
+      vecs.take(k).zipWithIndex.map { case ((_, v), i) => i.toLong -> v.clone() }.toMap
+    var assign: Map[Long, (Long, Long)] = Map.empty
+    for (iter <- 1 to graft.operators.Similarity.KmeansIters) {
+      assign = vecs.map { case (id, v) =>
+        val best = centroids.toSeq.map { case (cid, c) =>
+          val d = v.indices.map(i => (v(i) - c(i)) * (v(i) - c(i))).sum
+          (d, cid)
+        }.min
+        id -> ((best._2, best._1))
+      }.toMap
+      if (iter < graft.operators.Similarity.KmeansIters)
+        centroids = assign.toSeq.groupBy(_._2._1).map { case (cid, members) =>
+          val vs = members.map { case (id, _) => vecs.find(_._1 == id).get._2 }
+          val dim = vs.head.length
+          cid -> Array.tabulate(dim) { i =>
+            val s = vs.map(_(i)).sum
+            (2 * s + vs.size) / (2L * vs.size)
+          }
+        }
+    }
+    assert(got.size === vecs.length)
+    assign.foreach { case (id, exp) => assert(got(id) === exp, s"vec $id") }
+  }
 }
