@@ -184,6 +184,7 @@ object SparkEntry {
     "st8_stream_upsert"    -> Streaming.st8StreamUpsert _,
     "st9_sessionize_custom" -> Streaming.st9SessionizeCustom _,
     "st10_stream_full_outer" -> Streaming.streamStreamFullOuter _,
+    "st11_milestones"      -> Streaming.st11Milestones _,
   )
 
   private val multimodalQueries: Map[String, Query] = Map(
@@ -1126,6 +1127,15 @@ object SparkEntry {
         "count(*) AS n_rows FROM lineitem " +
         "WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01' " +
         "AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24"),
+    // st11 twin: with one AvailableNow batch the per-user processing
+    // order is the explicit (ts, event_id) sort, so milestones are the
+    // rn % Step == 0 rows of a plain event-time ranking. The TIMESTAMP
+    // cast truncates ns→us exactly like the engine's micros conversion.
+    "st11_milestones" ->
+      ("SELECT user_id, CAST(rn AS BIGINT) AS milestone, event_id FROM (" +
+        "SELECT user_id, event_id, row_number() OVER (" +
+        "PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn " +
+        "FROM events) WHERE rn % 10 = 0"),
     // BM25 twin: identical fixed-point derivation (rational ln-free idf,
     // fifths-scaled k1/b, round-half-up at each step — // floors =
     // truncates, all operands non-negative).

@@ -4,7 +4,7 @@ import java.util.concurrent.atomic.AtomicInteger
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{OutputMode, TimeMode, Trigger}
 
 /** Structured Streaming over the `events` table (SURVEY.md §2.9 / M6).
   * The reference is a weekly batch with no streaming semantics; these are
@@ -445,5 +445,45 @@ object Streaming {
         col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"))
+  }
+
+  /** ST11: per-user count milestones via Spark 4's transformWithState —
+    * see [[Milestones]] for the processor and the determinism contract.
+    * The API REQUIRES the RocksDB state store provider (it refuses the
+    * default heap-backed one), so the provider conf is scoped around
+    * the run exactly like RocksDbStateSpec — which is the right
+    * default at scale anyway: per-user longs for every user ever seen
+    * outlive any executor heap. Append mode through the executor-side
+    * parquet sink; output rows ∝ events/Step.
+    */
+  /** The st11 pipeline over any (streaming) events frame with
+    * (user_id, ts, event_id) — split out so MilestonesSpec can feed a
+    * hand-staged multi-batch stream and prove the count state carries
+    * across micro-batches.
+    */
+  private[graft] def milestonesOf(spark: SparkSession, evs: DataFrame): DataFrame = {
+    import spark.implicits._
+    evs.select(col("user_id"), col("ts"), col("event_id"))
+      .as[Milestones.MEv]
+      .groupByKey(_.user_id)
+      .transformWithState(new Milestones.MilestoneProcessor,
+        TimeMode.None(), OutputMode.Append())
+      .toDF()
+  }
+
+  def st11Milestones(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      runAppendToParquet(spark, milestonesOf(spark, eventsStream(spark, dir)))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
   }
 }
