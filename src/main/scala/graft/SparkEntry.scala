@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Delta, LlmOps, Multimodal, Relational, Scale, Similarity}
+import graft.operators.{Delta, Graph, LlmOps, Multimodal, Relational, Scale, Similarity}
 import graft.streaming.Streaming
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -121,10 +121,12 @@ object SparkEntry {
     "q_tpch_q1"            -> Relational.qTpchQ1 _,
     "q_tpch_q6"            -> Relational.qTpchQ6 _,
     "q_tpch_q4"            -> Relational.qTpchQ4 _,
+    "q_pagerank"           -> Graph.qPagerank _,
     "q_tpch_q12"           -> Relational.qTpchQ12 _,
     "q_tpch_q14"           -> Relational.qTpchQ14 _,
     "j10_bloom_prejoin"    -> Relational.j10BloomPrejoin _,
     "w8_running_distinct"  -> Relational.w8RunningDistinct _,
+    "w9_ewma"              -> Relational.w9Ewma _,
     "a13_mode"             -> Relational.a13Mode _,
     "q_group_regression"   -> Relational.qGroupRegression _,
     "f16_hof"              -> Relational.f16Hof _,
@@ -1127,6 +1129,35 @@ object SparkEntry {
         "count(*) AS n_rows FROM lineitem " +
         "WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01' " +
         "AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24"),
+    // w9 twin: the identical integer recurrence replayed as a recursive
+    // CTE over the same (ts, event_id) ordering.
+    "w9_ewma" ->
+      ("WITH RECURSIVE ev AS (SELECT user_id, CAST(round(value * 1000) AS BIGINT) AS x, " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn FROM events), " +
+        "cnt AS (SELECT user_id, max(rn) AS n FROM ev GROUP BY user_id), " +
+        "s AS (SELECT user_id, rn, x AS s FROM ev WHERE rn = 1 " +
+        "UNION ALL SELECT ev.user_id, ev.rn, (2 * (200 * ev.x + 800 * s.s) + 1000) // 2000 " +
+        "FROM s JOIN ev ON ev.user_id = s.user_id AND ev.rn = s.rn + 1) " +
+        "SELECT s.user_id, CAST(c.n AS BIGINT) AS n_events, CAST(s.s AS BIGINT) AS ewma_milli " +
+        "FROM s JOIN cnt c ON s.user_id = c.user_id AND s.rn = c.n"),
+    // PageRank twin: same nano-mass floor-div power iterations unrolled;
+    // HUGEINT sums cast back at the end.
+    "q_pagerank" -> {
+      def iter(rPrev: String, c: String, r: String) =
+        s"$c AS (SELECT e.dst AS node, sum((850 * (r.rank // r.deg)) // 1000) AS s " +
+          s"FROM $rPrev r JOIN e ON r.node = e.src GROUP BY e.dst), " +
+          s"$r AS (SELECT d.node, d.deg, 150000000 // nn.n + $c.s AS rank " +
+          s"FROM deg d JOIN $c USING (node), nn)"
+      "WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS src, l_partkey * 2 + 1 AS dst " +
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey), " +
+        "e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0), " +
+        "deg AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY src), " +
+        "nn AS (SELECT count(*) AS n FROM deg), " +
+        "r0 AS (SELECT node, deg, 1000000000 // nn.n AS rank FROM deg, nn), " +
+        iter("r0", "c1", "r1") + ", " + iter("r1", "c2", "r2") + ", " +
+        iter("r2", "c3", "r3") + " " +
+        "SELECT node, CAST(rank AS BIGINT) AS rank_nano FROM r3"
+    },
     // st11 twin: with one AvailableNow batch the per-user processing
     // order is the explicit (ts, event_id) sort, so milestones are the
     // rn % Step == 0 rows of a plain event-time ranking. The TIMESTAMP

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{PersistScope, Tables}
+
+/** Graph analytics over relational data — the second graph operator
+  * family after [[LlmOps.connectedComponents]] (dedup resolution).
+  * Reference scope: the reference has no graph operators; these are the
+  * engine-extension analytics a curation/recommendation pipeline runs
+  * on the same tables (SURVEY.md §2.11 pattern: every op oracle-checked
+  * in exact integer arithmetic).
+  */
+object Graph {
+
+  /** Power iterations for [[qPagerank]] — a demonstration depth like
+    * k-means; production runs more rounds of the same per-iteration
+    * plan (with localCheckpoint per round past ~10 iterations, the
+    * [[LlmOps.connectedComponents]] lineage lesson).
+    */
+  val PagerankIters = 3
+
+  /** PageRank over the customer–part purchase graph (who-bought-what,
+    * both directions, so every node has degree ≥ 1 and there are no
+    * dangling nodes by construction) — the recommendation/centrality
+    * primitive. Damping 0.85.
+    *
+    * Integer discipline: mass lives in NANO units (total 10^9) and
+    * every division is an integer floor — r0 = 10^9 div N, teleport =
+    * 0.15·10^9 div N, and each edge contribution is
+    * (850 · (rank div deg)) div 1000, all operands non-negative so
+    * Spark's `div` and DuckDB's `//` agree bit-for-bit. Flooring leaks
+    * a little mass per round (deterministically, identically on both
+    * engines) — ranking order is unaffected, and the gate hash-matches
+    * with zero float tolerance. Node ids disambiguate the bipartite
+    * sides arithmetically: customers = 2·custkey, parts = 2·partkey+1.
+    *
+    * Scale shape per iteration: ranks ⋈ edges equi-join on src, then a
+    * map-combinable sum per dst — the canonical message-passing plan.
+    * Edges are built once (one orderkey join + distinct) and
+    * localCheckpoint'd: the 3 unrolled iterations each re-join the
+    * SAME materialized edge blocks instead of re-running the build; at
+    * 100 TB the edge table is bucketed by src so the per-iteration
+    * join re-shuffles only the (metadata-sized relative to edges) rank
+    * table. N and the teleport term ride a broadcast one-row aggregate,
+    * never a driver-side count.
+    */
+  def qPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val e0 = Tables.orders(spark, dir)
+      .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst"))
+      .distinct()
+    val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(true)
+    PersistScope.register { () =>
+      edges.queryExecution.analyzed match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+        case _ => ()
+      }
+    }
+    val deg = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    val nDf = deg.agg(count(lit(1)).as("n"))
+    var ranks = deg.crossJoin(broadcast(nDf))
+      .select(col("node"), col("deg"), col("n"),
+        expr("1000000000L div n").as("rank"))
+    for (_ <- 1 to PagerankIters) {
+      val contribs = ranks
+        .join(edges, col("node") === col("src"))
+        .select(col("dst"), expr("(850 * (rank div deg)) div 1000").as("c"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum("c").as("s"))
+      ranks = deg.crossJoin(broadcast(nDf)).join(contribs, "node")
+        .select(col("node"), col("deg"), col("n"),
+          (expr("150000000L div n") + col("s")).as("rank"))
+    }
+    ranks.select(col("node"), col("rank").as("rank_nano"))
+  }
+}

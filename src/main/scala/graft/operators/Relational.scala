@@ -1388,6 +1388,39 @@ object Relational {
         sum("is_first").over(perUser).as("n_types_so_far"))
   }
 
+  /** W9: per-user exponentially weighted moving average of event values
+    * (α = 0.2) — the ORDERED NON-LINEAR RECURRENCE class no window
+    * frame can express: s_t depends on s_{t−1} through a rounding
+    * step, so unlike w2's running sum there is no prefix-aggregate
+    * form. The scalable shape is per-key fold: one shuffle on user_id,
+    * collect the key's (ts, event_id, value-milli) events, array_sort
+    * (struct order = (ts, event_id, x) — a total order), and a single
+    * `aggregate` lambda fold to the FINAL state per key — the same
+    * per-key-state contract as sessionization (state ∝ one key's
+    * events, never the table). Output is one row per user (the signal
+    * a feature store keeps), not per event.
+    *
+    * Integer discipline: s' = rhu((200·x + 800·s) / 1000) via the
+    * shared round-half-up form — event values are non-negative (data
+    * contract, asserted nowhere cheaper than the oracle equality
+    * itself), so Spark `div` ≡ DuckDB `//`. The lambda fold is
+    * interpreted (round-3 lesson) but runs once per KEY, not per
+    * event-pair; the DuckDB twin replays the identical recurrence as a
+    * recursive CTE.
+    */
+  def w9Ewma(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        expr("cast(round(value * 1000) as bigint)").as("x"))
+      .groupBy("user_id")
+      .agg(array_sort(collect_list(struct(col("ts"), col("event_id"), col("x")))).as("evs"))
+      .select(col("user_id"),
+        size(col("evs")).cast("long").as("n_events"),
+        expr("""aggregate(evs, cast(null as bigint),
+                (s, e) -> CASE WHEN s IS NULL THEN e.x
+                          ELSE (2 * (200 * e.x + 800 * s) + 1000) div 2000 END)""")
+          .as("ewma_milli"))
+
   /** A13: per-group MODE (most frequent value) with a deterministic
     * tie-break — dominant language per document source. Two
     * map-combinable aggregates: (source, lang) counts, then an argmax

@@ -111,6 +111,32 @@ class Round7Spec extends SparkTestBase {
     assert(full.exists(r => r.getLong(0) == -1L), "expected unmatched purchases")
   }
 
+  test("q_pagerank matches a full Scala simulation of the nano-mass power iteration") {
+    val got = graft.operators.Graph.qPagerank(spark, Sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val e0 = Tables.orders(spark, Sf)
+      .join(Tables.lineitem(spark, Sf), col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(e0.nonEmpty)
+    val edges = e0 ++ e0.map { case (s, d) => (d, s) }
+    val deg = edges.groupBy(_._1).map { case (n, es) => n -> es.size.toLong }
+    val n = deg.size.toLong
+    var rank: Map[Long, Long] = deg.map { case (node, _) => node -> 1000000000L / n }
+    for (_ <- 1 to graft.operators.Graph.PagerankIters) {
+      val inbound = edges.groupBy(_._2)
+      rank = deg.map { case (node, _) =>
+        val s = inbound(node).map { case (u, _) => 850 * (rank(u) / deg(u)) / 1000 }.sum
+        node -> (150000000L / n + s)
+      }
+    }
+    assert(got.size === rank.size)
+    rank.foreach { case (node, r) => assert(got(node) === r, s"node $node") }
+    // Floored mass stays within the unit budget and most of it survives.
+    val total = got.values.sum
+    assert(total <= 1000000000L && total > 900000000L)
+  }
+
   test("q_kmeans matches a full Scala simulation of the integer Lloyd loop") {
     val got = graft.operators.Similarity.qKmeansCluster(spark, Sf)
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
