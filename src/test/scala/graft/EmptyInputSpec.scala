@@ -45,6 +45,15 @@ class EmptyInputSpec extends SparkTestBase {
       StructField("o_orderdate", TimestampNTZType), StructField("o_orderpriority", StringType)))
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], ordSchema)
       .write.parquet(s"$dir/orders.parquet")
+    val liSchema = StructType(Seq(
+      StructField("l_orderkey", LongType), StructField("l_partkey", LongType),
+      StructField("l_suppkey", LongType), StructField("l_linenumber", IntegerType),
+      StructField("l_quantity", DoubleType), StructField("l_extendedprice", DoubleType),
+      StructField("l_discount", DoubleType), StructField("l_tax", DoubleType),
+      StructField("l_returnflag", StringType), StructField("l_linestatus", StringType),
+      StructField("l_shipdate", TimestampNTZType)))
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], liSchema)
+      .write.parquet(s"$dir/lineitem.parquet")
     dir
   }
 
@@ -92,6 +101,23 @@ class EmptyInputSpec extends SparkTestBase {
     assert(graft.operators.Relational.f15Variant(spark, emptyDir).count() === 0)
     assert(LlmOps.t19DupSpans(spark, emptyDir).count() === 0)
     assert(Multimodal.m4AudioMeta(spark, emptyDir).count() === 0)
+  }
+
+  test("round-7 operators survive empty inputs") {
+    // Sketch over zero bigrams: the Misra-Gries summary is an empty
+    // map, the candidate explode emits nothing, the recount is empty.
+    assert(LlmOps.t20HeavyHitters(spark, emptyDir).count() === 0)
+    // BM25 over zero documents: corpus scalars divide by zero into
+    // NULLs, but no scored row exists to carry them.
+    assert(LlmOps.t21Bm25(spark, emptyDir).count() === 0)
+    // k-means: zero vectors → zero initial centroids → empty
+    // assignment each iteration; must converge to nothing, not throw.
+    assert(Similarity.qKmeansCluster(spark, emptyDir).count() === 0)
+    // PageRank: an empty purchase graph has no nodes; the node-count
+    // broadcast is zero and no rank row exists to divide.
+    assert(graft.operators.Graph.qPagerank(spark, emptyDir).count() === 0)
+    // EWMA: no users, no folds.
+    assert(graft.operators.Relational.w9Ewma(spark, emptyDir).count() === 0)
   }
 
   test("document operators return empty on an empty corpus") {

@@ -175,4 +175,31 @@ class PlanSpec extends SparkTestBase {
     assert(projLine.isDefined, s"no cosine_milli projection found in plan:\n$p")
     assert(projLine.get.contains("*("), s"cosine_milli projection not codegen'd: ${projLine.get}")
   }
+
+  test("round-7 operators keep their scale shapes (Q14, k-means, t20, PageRank)") {
+    // Q14: the part dimension must broadcast; the month filter must
+    // reach the lineitem scan (probe side cut before the join).
+    val q14 = plan(Relational.qTpchQ14(spark, Sf))
+    assert(q14.contains("BroadcastHashJoin"), s"part dim not broadcast:\n$q14")
+    assert(q14.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      s"shipdate pushdown missing:\n$q14")
+    // k-means: every per-iteration centroid join must be a broadcast
+    // (k·d rows), and nothing may plan as a cartesian/nested loop.
+    val km = plan(Similarity.qKmeansCluster(spark, Sf))
+    assert("BroadcastHashJoin".r.findAllIn(km).length >= 3,
+      s"centroid joins must broadcast in all ${Similarity.KmeansIters} iterations:\n$km")
+    assert(!km.contains("CartesianProduct") && !km.contains("BroadcastNestedLoopJoin"))
+    // t20: the exact-recount pass must semi-filter via a BROADCAST of
+    // the candidate keys BEFORE the counting aggregate.
+    val t20 = plan(graft.operators.LlmOps.t20HeavyHitters(spark, Sf))
+    assert(t20.contains("BroadcastHashJoin"), s"candidate filter not broadcast:\n$t20")
+    // PageRank: message passing is equi-joins + aggregates; the only
+    // permitted nested-loop is the ONE-ROW broadcast of the node count
+    // (crossJoin(broadcast(nDf)) — metadata-sized by construction), so
+    // a cartesian over DATA may never appear.
+    val pr = plan(graft.operators.Graph.qPagerank(spark, Sf))
+    assert(!pr.contains("CartesianProduct"), s"pagerank planned a cartesian:\n$pr")
+    assert(pr.contains("BroadcastHashJoin") || pr.contains("SortMergeJoin"),
+      s"rank⋈edges must be an equi-join:\n$pr")
+  }
 }
