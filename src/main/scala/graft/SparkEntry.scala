@@ -163,6 +163,7 @@ object SparkEntry {
     "t19_dup_spans"    -> LlmOps.t19DupSpans _,
     "t20_heavy_hitters" -> LlmOps.t20HeavyHitters _,
     "t21_bm25"         -> LlmOps.t21Bm25 _,
+    "t22_group_sample" -> LlmOps.t22GroupSample _,
   )
 
   private val simQueries: Map[String, Query] = Map(
@@ -1129,6 +1130,14 @@ object SparkEntry {
         "count(*) AS n_rows FROM lineitem " +
         "WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01' " +
         "AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24"),
+    // t22 twin: the bounded-heap sample equals the window form stated
+    // directly — rank by the same 48-bit md5 prefix (hex via 0x-cast),
+    // keep rn <= k.
+    "t22_group_sample" ->
+      ("SELECT source, CAST(rn AS BIGINT) AS sample_rank, doc_id FROM (" +
+        "SELECT source, doc_id, row_number() OVER (PARTITION BY source " +
+        "ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT), doc_id) AS rn " +
+        "FROM documents) WHERE rn <= 5"),
     // w9 twin: the identical integer recurrence replayed as a recursive
     // CTE over the same (ts, event_id) ordering.
     "w9_ewma" ->

@@ -1225,6 +1225,46 @@ object LlmOps {
   }
 
   // ---------------------------------------------------------------------
+  // T22: deterministic per-group sampling (bounded-heap, no sort).
+  // ---------------------------------------------------------------------
+
+  /** T22: deterministic k-per-group sample — [[t10MixtureSample]]'s
+    * content-addressed hashing applied to "give me k docs per source"
+    * (eval slices, human review batches, per-domain probes): rank each
+    * group by a 48-bit md5 prefix of the doc id (uniform, engine- and
+    * rerun-stable, no RNG) and keep the k smallest.
+    *
+    * Executed through [[graft.functions.TopKAggregator]] — a bounded
+    * k-entry heap with partial aggregation — NOT a window row_number:
+    * the window form sorts every group in full (O(n log n) per group,
+    * whole-table exchange+sort), while the heap form scans once and
+    * merges O(partitions · k) candidates per group, the same
+    * shuffle-volume argument as [[Relational.j4PickFirstSupplier]] but
+    * for k > 1. The 48-bit hash prefix is exact in a Double (< 2^53),
+    * so the typed (score, id) Aggregator applies unchanged; ordering is
+    * (hash asc, doc_id asc) — a total order the DuckDB window twin
+    * states directly.
+    */
+  def t22GroupSample(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val k = 5
+    val scored = Tables.documents(spark, dir)
+      .select(col("source"),
+        expr("-cast(conv(substring(md5(cast(doc_id as string)), 1, 12), 16, 10) as double)")
+          .as("score"),
+        col("doc_id"))
+      .as(Encoders.tuple(Encoders.STRING, Encoders.scalaDouble, Encoders.scalaLong))
+    scored
+      .groupByKey(_._1)(Encoders.STRING)
+      .mapValues(t => (t._2, t._3))(Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong))
+      .agg(new graft.functions.TopKAggregator(k).toColumn.name("samples"))
+      .toDF("source", "samples")
+      .select(col("source"), posexplode(col("samples")).as(Seq("pos", "s")))
+      .select(col("source"), (col("pos") + 1).cast("long").as("sample_rank"),
+        col("s._2").as("doc_id"))
+  }
+
+  // ---------------------------------------------------------------------
   // T3: quality scoring.
   // ---------------------------------------------------------------------
 
