@@ -59,7 +59,10 @@ object Graph {
         case _ => ()
       }
     }
-    val deg = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    // deg is referenced once per iteration plus the node-count subtree;
+    // persist so the degree aggregate over the edge blocks runs once.
+    val deg = PersistScope.persisted(
+      edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg")))
     val nDf = deg.agg(count(lit(1)).as("n"))
     var ranks = deg.crossJoin(broadcast(nDf))
       .select(col("node"), col("deg"), col("n"),

@@ -379,10 +379,16 @@ object Similarity {
     * engines identically.
     */
   def qKmeansCluster(spark: SparkSession, dir: String): DataFrame = {
-    val v = Tables.embeddings(spark, dir)
+    // The (vec, dim, val) rows are referenced ~2× per unrolled Lloyd
+    // iteration (assign join + centroid update); persist so the scan +
+    // explode + shift runs once, not ~6 times (measured 3.5 s → 2.4 s
+    // at sf0.1). Registered with PersistScope like every query-scoped
+    // intermediate; at cluster scale this is the cached working set a
+    // real k-means job would hold across iterations anyway.
+    val v = graft.PersistScope.persisted(Tables.embeddings(spark, dir)
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "xf")))
       .select(col("vec_id"), col("dim").cast("long").as("dim"),
-        (round(col("xf").cast("double") * 1000).cast("long") + 1000L).as("val"))
+        (round(col("xf").cast("double") * 1000).cast("long") + 1000L).as("val")))
     val init = Tables.embeddings(spark, dir)
       .select("vec_id").orderBy("vec_id").limit(KmeansK)
       .select(col("vec_id"),

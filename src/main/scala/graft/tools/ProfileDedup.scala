@@ -74,6 +74,10 @@ object ProfileDedup {
     reset()
     time("d7 full")(LlmOps.d7DedupResolve(spark, dir).count())
     reset()
+    time("q_kmeans")(SparkEntry.queries("q_kmeans")(spark, dir).count())
+    graft.PersistScope.releaseAll(); reset()
+    time("q_pagerank")(SparkEntry.queries("q_pagerank")(spark, dir).count())
+    graft.PersistScope.releaseAll(); reset()
     time("st4_stream_join")(SparkEntry.queries("st4_stream_join")(spark, dir).count())
     spark.stop()
   }
