@@ -195,6 +195,7 @@ object SparkEntry {
     "m2_frame_sample" -> Multimodal.m2FrameSample _,
     "m3_resize"       -> Multimodal.m3Resize _,
     "m4_audio_meta"   -> Multimodal.m4AudioMeta _,
+    "m5_image_phash"  -> Multimodal.m5ImagePhash _,
   )
 
   def queries: Map[String, Query] =
@@ -1130,6 +1131,25 @@ object SparkEntry {
         "count(*) AS n_rows FROM lineitem " +
         "WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01' " +
         "AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24"),
+    // m5 twin: identical grid/gray/bit arithmetic with ord() and //
+    // over the same text-reconstructed pixel section as m3's twin.
+    "m5_image_phash" -> {
+      import graft.operators.Multimodal.{GridH, GridW}
+      def gray(gx: Int, gy: Int): String = {
+        val idx = s"((($gy * h) // $GridH) * w + (($gx * w) // ${GridW + 1}))"
+        val at = (k: Int) => s"ord(substr(pix, CAST($idx * 3 + $k AS INTEGER), 1))"
+        s"((${at(1)} + ${at(2)} + ${at(3)}) // 3)"
+      }
+      val bits = (for { gy <- 0 until GridH; gx <- 0 until GridW } yield
+        s"(CASE WHEN ${gray(gx, gy)} > ${gray(gx + 1, gy)} " +
+          s"THEN ${1L << (gy * GridW + gx)} ELSE 0 END)").mkString(" + ")
+      "WITH g AS (SELECT doc_id, CAST(1 + n_chars % 16 AS INTEGER) AS w, " +
+        "CAST(1 + n_chars % 12 AS INTEGER) AS h, text FROM documents), " +
+        "p AS (SELECT doc_id, w, h, rpad(substr(text, 1, w * h * 3), w * h * 3, 'x') AS pix FROM g), " +
+        s"ph AS (SELECT doc_id, $bits AS phash FROM p) " +
+        "SELECT doc_id, CAST(phash AS BIGINT) AS phash, " +
+        "CAST(phash // 256 AS BIGINT) AS band_hi, CAST(phash % 256 AS BIGINT) AS band_lo FROM ph"
+    },
     // t22 twin: the bounded-heap sample equals the window form stated
     // directly — rank by the same 48-bit md5 prefix (hex via 0x-cast),
     // keep rn <= k.

@@ -152,6 +152,50 @@ object Multimodal {
         expr(sampled).as("resized_md5"))
   }
 
+  /** M5 grid geometry: gray samples on a (GridW+1)×GridH grid give
+    * GridW·GridH difference bits — the dHash layout (classically 9×8 →
+    * 64 bits; scaled to the fixture's ≤16×12 images).
+    */
+  val GridW = 4
+  val GridH = 4
+
+  /** M5: perceptual image hash (dHash) over the REAL decoded P6
+    * pixels — the multimodal arm of the dedup family: two images whose
+    * CONTENT is near-identical (crop padding, re-encode, small edits)
+    * hash to nearby bit strings even when their bytes differ, which is
+    * exactly what d1's exact checksum cannot see. Pipeline, all
+    * codegen'd integer expressions inside the scan stage: parse the P6
+    * header, slice the RGB section, nearest-neighbor-sample a
+    * (GridW+1)×GridH luminance grid (gray = (r+g+b) div 3 on the raw
+    * byte values), and set bit (gy·GridW+gx) when gray strictly
+    * decreases to the right — a 16-bit hash plus its two 8-bit halves
+    * as band keys, so near-dup pairing is the d6 banded-Hamming join
+    * shape (equi-join per half, verify the full distance) — never
+    * all-pairs. Map-only; payloads never leave the executors.
+    */
+  def m5ImagePhash(spark: SparkSession, dir: String): DataFrame = {
+    def gray(gx: Int, gy: Int): String = {
+      val idx = s"((($gy * h) div $GridH) * w + (($gx * w) div ${GridW + 1}))"
+      val at = (k: Int) => s"ascii(substring(pix, $idx * 3 + $k, 1))"
+      s"((${at(1)} + ${at(2)} + ${at(3)}) div 3)"
+    }
+    val bits = (for { gy <- 0 until GridH; gx <- 0 until GridW } yield
+      s"(case when ${gray(gx, gy)} > ${gray(gx + 1, gy)} " +
+        s"then ${1L << (gy * GridW + gx)}L else 0L end)").mkString(" + ")
+    ppmTable(spark, dir)
+      .withColumn("hdr", expr("decode(substring(media, 1, 24), 'UTF-8')"))
+      .withColumn("w", expr("cast(regexp_extract(hdr, '^P6\n(\\\\d+) (\\\\d+)\n', 1) as int)"))
+      .withColumn("h", expr("cast(regexp_extract(hdr, '^P6\n(\\\\d+) (\\\\d+)\n', 2) as int)"))
+      .withColumn("pix", expr(
+        "decode(substring(media, length(concat('P6\n', w, ' ', h, '\n255\n')) + 1, w * h * 3), 'UTF-8')"))
+      .select(
+        col("doc_id"),
+        expr(s"cast($bits as bigint)").as("phash"))
+      .select(col("doc_id"), col("phash"),
+        expr("phash div 256").as("band_hi"),
+        expr("phash % 256").as("band_lo"))
+  }
+
   /** Documents rendered as REAL Sun AU (audio/basic) payloads — the
     * audio sibling of [[ppmTable]]: '.snd' magic, then five BIG-endian
     * uint32 header fields (data offset 24, data size, encoding 3 =

@@ -118,6 +118,10 @@ class EmptyInputSpec extends SparkTestBase {
     assert(graft.operators.Graph.qPagerank(spark, emptyDir).count() === 0)
     // EWMA: no users, no folds.
     assert(graft.operators.Relational.w9Ewma(spark, emptyDir).count() === 0)
+    // phash: zero documents → zero images to hash.
+    assert(Multimodal.m5ImagePhash(spark, emptyDir).count() === 0)
+    // Bounded-heap sampling over zero groups.
+    assert(LlmOps.t22GroupSample(spark, emptyDir).count() === 0)
   }
 
   test("document operators return empty on an empty corpus") {

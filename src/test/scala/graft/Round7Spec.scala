@@ -111,6 +111,29 @@ class Round7Spec extends SparkTestBase {
     assert(full.exists(r => r.getLong(0) == -1L), "expected unmatched purchases")
   }
 
+  test("m5 phash is perceptual: a one-pixel edit moves ≤ 2 bits, md5 moves entirely") {
+    // Two docs, identical but for ONE character inside the pixel
+    // section (same n_chars → same geometry). The edit lands in at most
+    // one sampled grid cell, so at most its two horizontal comparisons
+    // can flip — while the exact checksum (d1's signal) changes
+    // completely. This is the property that makes phash a DEDUP key.
+    val base = ("the quick brown fox jumps over the lazy dog " * 20).take(600)
+    val edited = base.updated(10, 'Z')
+    val dir = tempDir("phash_docs")
+    Seq((1L, base, "en", "src", base.length.toLong),
+        (2L, edited, "en", "src", edited.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = graft.operators.Multimodal.m5ImagePhash(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hamming = java.lang.Long.bitCount(rows(1L) ^ rows(2L))
+    assert(hamming <= 2, s"one-pixel edit moved $hamming bits")
+    val md5s = graft.operators.Multimodal.m1MediaMeta(spark, dir)
+      .select(col("doc_id"), col("checksum")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(md5s(1L) !== md5s(2L))
+  }
+
   test("q_pagerank matches a full Scala simulation of the nano-mass power iteration") {
     val got = graft.operators.Graph.qPagerank(spark, Sf)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
