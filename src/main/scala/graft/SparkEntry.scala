@@ -121,6 +121,8 @@ object SparkEntry {
     "q_tpch_q1"            -> Relational.qTpchQ1 _,
     "q_tpch_q6"            -> Relational.qTpchQ6 _,
     "q_tpch_q4"            -> Relational.qTpchQ4 _,
+    "q_tpch_q10"           -> Relational.qTpchQ10 _,
+    "q_tpch_q18"           -> Relational.qTpchQ18 _,
     "q_pagerank"           -> Graph.qPagerank _,
     "q_tpch_q12"           -> Relational.qTpchQ12 _,
     "q_tpch_q14"           -> Relational.qTpchQ14 _,
@@ -1131,6 +1133,26 @@ object SparkEntry {
         "count(*) AS n_rows FROM lineitem " +
         "WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01' " +
         "AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24"),
+    // Q10/Q18 twins: near-verbatim; integer cents/quantities and total
+    // ORDER BY keys make both LIMIT sets deterministic.
+    "q_tpch_q10" ->
+      ("SELECT c_custkey, c_name, n_name, " +
+        "CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents " +
+        "FROM customer JOIN orders ON c_custkey = o_custkey " +
+        "JOIN lineitem ON l_orderkey = o_orderkey " +
+        "JOIN nation ON c_nationkey = n_nationkey " +
+        "WHERE o_orderdate >= TIMESTAMP '1996-10-01' AND o_orderdate < TIMESTAMP '1997-01-01' " +
+        "AND l_returnflag = 'R' " +
+        "GROUP BY c_custkey, c_name, n_name " +
+        "ORDER BY revenue_cents DESC, c_custkey LIMIT 20"),
+    "q_tpch_q18" ->
+      ("SELECT c_custkey, c_name, o_orderkey, CAST(o_orderdate AS DATE) AS order_date, big.sum_qty " +
+        "FROM (SELECT l_orderkey, CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty " +
+        "FROM lineitem GROUP BY l_orderkey " +
+        "HAVING CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) > 210) big " +
+        "JOIN orders ON o_orderkey = big.l_orderkey " +
+        "JOIN customer ON c_custkey = o_custkey " +
+        "ORDER BY big.sum_qty DESC, o_orderkey LIMIT 10"),
     // m5 twin: identical grid/gray/bit arithmetic with ord() and //
     // over the same text-reconstructed pixel section as m3's twin.
     "m5_image_phash" -> {

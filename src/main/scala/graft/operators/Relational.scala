@@ -1334,6 +1334,56 @@ object Relational {
         |  AND l_shipdate < timestamp'1997-10-01'""".stripMargin)
   }
 
+  /** TPC-H Q10 (returned-item reporting), adapted: which customers
+    * returned the most revenue in a quarter — top 20 by integer-cents
+    * revenue with a (revenue DESC, custkey) total order so the LIMIT is
+    * deterministic on both engines. Plan: the returnflag + quarter
+    * predicates cut lineitem AT THE SCAN, orders⋈lineitem co-shuffle on
+    * orderkey, the per-customer aggregate shuffles once on custkey, and
+    * the customer/nation dims broadcast onto the 20-row result side.
+    * The LIMIT plans as TakeOrderedAndProject — partial top-20 per
+    * partition, never a global sort (PlanSpec).
+    */
+  def qTpchQ10(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """SELECT c_custkey, c_name, n_name,
+        |  sum(cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)) AS revenue_cents
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= timestamp'1996-10-01'
+        |  AND o_orderdate < timestamp'1997-01-01'
+        |  AND l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue_cents DESC, c_custkey
+        |LIMIT 20""".stripMargin)
+  }
+
+  /** TPC-H Q18 (large-volume customers), adapted: orders whose total
+    * quantity exceeds a threshold — the HAVING-over-fact-aggregate
+    * shape. The inner per-order aggregate runs FIRST (map-combinable on
+    * orderkey, the same key the join needs, so Catalyst reuses the
+    * exchange), the HAVING cuts it to a handful of rows, and only
+    * those join back to orders/customer. Quantities sum as exact
+    * integers; (sum DESC, orderkey) totally orders the LIMIT.
+    */
+  def qTpchQ18(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """SELECT c_custkey, c_name, o_orderkey, cast(o_orderdate as date) AS order_date,
+        |  big.sum_qty
+        |FROM (
+        |  SELECT l_orderkey, sum(cast(round(l_quantity) as bigint)) AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING sum(cast(round(l_quantity) as bigint)) > 210) big
+        |JOIN orders ON o_orderkey = big.l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |ORDER BY big.sum_qty DESC, o_orderkey
+        |LIMIT 10""".stripMargin)
+  }
+
   /** J10: bloom-filter semi-join reduction — the 100 TB shuffle-volume
     * cut stated explicitly. A sketch of the selective dimension's keys
     * (Spark's own BloomFilterAggregate, surfaced as `bloom_agg` by

@@ -103,6 +103,14 @@ class PlanSpec extends SparkTestBase {
     assert(!q5.contains("CartesianProduct") && !q5.contains("BroadcastNestedLoopJoin"))
     val q3 = plan(Relational.qTpchQ3(spark, Sf))
     assert(q3.contains("TakeOrderedAndProject"), "Q3's LIMIT must plan bounded")
+    // Q10: bounded top-20 (never a global sort) and broadcast dims.
+    val q10 = plan(Relational.qTpchQ10(spark, Sf))
+    assert(q10.contains("TakeOrderedAndProject"), "Q10's LIMIT must plan bounded")
+    assert(q10.contains("BroadcastHashJoin") && !q10.contains("CartesianProduct"))
+    // Q18: the HAVING aggregate must run BEFORE the joins (the filtered
+    // per-order aggregate is the build side, not the raw fact table).
+    val q18 = plan(Relational.qTpchQ18(spark, Sf))
+    assert(q18.contains("TakeOrderedAndProject") && !q18.contains("CartesianProduct"))
   }
 
   test("interval-overlap join equi-joins on the bucket, never a nested loop") {
