@@ -175,6 +175,7 @@ object SparkEntry {
     "sim_quantize_q8" -> Similarity.simQuantizeQ8 _,
     "sim_pq_topk"   -> Similarity.simPqTopk _,
     "q_kmeans"      -> Similarity.qKmeansCluster _,
+    "q_semdedup"    -> Similarity.qSemDedup _,
     "d8_embed_neardup" -> Similarity.d8EmbedNeardup _,
   )
 
@@ -1114,6 +1115,31 @@ object SparkEntry {
     */
   // -- Round-7 oracles -------------------------------------------------
 
+  /** The unrolled integer-Lloyd CTE chain (shared by the q_kmeans and
+    * q_semdedup twins): ends at `a3`, the third-iteration assignment
+    * with columns (vec_id, cid, dist).
+    */
+  private lazy val kmeansCtes: String = {
+    def assignFrom(c: String, d: String, a: String) =
+      s"$d AS (SELECT v.vec_id, c.cid, sum((v.val - c.c) * (v.val - c.c)) AS dist " +
+        s"FROM v JOIN $c c ON v.dim = c.dim GROUP BY v.vec_id, c.cid), " +
+        s"$a AS (SELECT vec_id, cid, dist FROM (SELECT vec_id, cid, dist, " +
+        "row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn " +
+        s"FROM $d) WHERE rn = 1)"
+    def updateFrom(a: String, c: String) =
+      s"$c AS (SELECT cid, dim, (2 * sum(val) + count(*)) // (2 * count(*)) AS c " +
+        s"FROM $a JOIN v USING (vec_id) GROUP BY cid, dim)"
+    "v AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim, " +
+      "CAST(round(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) + 1000 AS val " +
+      "FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)), " +
+      "init AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid " +
+      "FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)), " +
+      "c0 AS (SELECT cid, dim, val AS c FROM init JOIN v USING (vec_id)), " +
+      assignFrom("c0", "d1", "a1") + ", " + updateFrom("a1", "c1") + ", " +
+      assignFrom("c1", "d2", "a2") + ", " + updateFrom("a2", "c2") + ", " +
+      assignFrom("c2", "d3", "a3")
+  }
+
   private val round7Oracle: Map[String, String] = Map(
     // TPC-H twins (near-verbatim like Q3/Q5): integer cents/micro sums,
     // count already BIGINT in DuckDB; milli-ratio via the shared
@@ -1241,27 +1267,22 @@ object SparkEntry {
     // arithmetic — shifted milli values, HUGEINT-safe sums, // floor-div
     // centroid means (operands non-negative by the +1000 shift), and the
     // (dist, cid) row_number tie-break mirroring the engine's struct-min.
-    "q_kmeans" -> {
-      def assignFrom(c: String, d: String, a: String) =
-        s"$d AS (SELECT v.vec_id, c.cid, sum((v.val - c.c) * (v.val - c.c)) AS dist " +
-          s"FROM v JOIN $c c ON v.dim = c.dim GROUP BY v.vec_id, c.cid), " +
-          s"$a AS (SELECT vec_id, cid, dist FROM (SELECT vec_id, cid, dist, " +
-          "row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn " +
-          s"FROM $d) WHERE rn = 1)"
-      def updateFrom(a: String, c: String) =
-        s"$c AS (SELECT cid, dim, (2 * sum(val) + count(*)) // (2 * count(*)) AS c " +
-          s"FROM $a JOIN v USING (vec_id) GROUP BY cid, dim)"
-      "WITH v AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim, " +
-        "CAST(round(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) + 1000 AS val " +
-        "FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)), " +
-        "init AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid " +
-        "FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)), " +
-        "c0 AS (SELECT cid, dim, val AS c FROM init JOIN v USING (vec_id)), " +
-        assignFrom("c0", "d1", "a1") + ", " + updateFrom("a1", "c1") + ", " +
-        assignFrom("c1", "d2", "a2") + ", " + updateFrom("a2", "c2") + ", " +
-        assignFrom("c2", "d3", "a3") + " " +
-        "SELECT vec_id, CAST(cid AS BIGINT) AS cluster, CAST(dist AS BIGINT) AS dist2 FROM a3"
-    },
+    "q_kmeans" ->
+      (s"WITH $kmeansCtes " +
+        "SELECT vec_id, CAST(cid AS BIGINT) AS cluster, CAST(dist AS BIGINT) AS dist2 FROM a3"),
+    // SemDeDup twin: the k-means CTEs feed a same-cluster pair join with
+    // the exact-cosine verify; a vector is a dup when any smaller-id
+    // cluster-mate clears the threshold.
+    "q_semdedup" ->
+      (s"WITH $kmeansCtes, " +
+        "we AS (SELECT a3.vec_id, a3.cid, e.emb FROM a3 " +
+        "JOIN (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings) e USING (vec_id)), " +
+        "dropped AS (SELECT DISTINCT b.vec_id FROM we a JOIN we b " +
+        "ON a.cid = b.cid AND a.vec_id < b.vec_id " +
+        s"WHERE ${cosOf("a.emb", "b.emb")} >= ${graft.operators.Similarity.SemDedupCosMilli}) " +
+        "SELECT a3.vec_id, CAST(a3.cid AS BIGINT) AS cluster, " +
+        "CAST(CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_dup " +
+        "FROM a3 LEFT JOIN dropped d ON a3.vec_id = d.vec_id"),
     // The sketch pass is a pure candidate generator (superset guarantee
     // + exact recount), so the oracle is the plain count-and-threshold.
     "t20_heavy_hitters" ->

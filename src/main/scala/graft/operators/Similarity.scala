@@ -411,4 +411,46 @@ object Similarity {
     assign.select(col("vec_id"), col("cid").as("cluster"),
       col("dist").as("dist2"))
   }
+
+  /** Cosine-milli threshold above which two same-cluster vectors count
+    * as semantic duplicates in [[qSemDedup]]. The fixture's max
+    * pairwise cosine is ~0.513 (organic vectors, no planted dups), so
+    * 500 keeps the query's dup branch exercised while a production
+    * corpus would run 950+.
+    */
+  val SemDedupCosMilli = 500L
+
+  /** SemDeDup: semantic deduplication = k-means clustering + exact
+    * cosine verification WITHIN each cluster only (Abbas et al. 2023's
+    * design) — the composition that makes embedding dedup tractable:
+    * the cluster assignment bounds the quadratic; pairs are only ever
+    * formed between same-cluster vectors (an equi-join on cluster id,
+    * never the corpus cross join), and the exact cosine — the native
+    * codegen'd [[graft.functions.CosineMilli]] — runs on those
+    * candidates only. A vector is a DUP if a smaller-id same-cluster
+    * neighbor sits above the threshold (the d8 one-hop canonical
+    * election, deterministic without a second pass). At 100 TB: k
+    * scales with corpus size so cluster populations stay bounded, and
+    * each cluster's pair generation is local to its shuffle partition —
+    * the within-cluster LSH refinement (d8) composes on top unchanged.
+    */
+  def qSemDedup(spark: SparkSession, dir: String): DataFrame = {
+    val assign = qKmeansCluster(spark, dir).select(col("vec_id"), col("cluster"))
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val withEmb = graft.PersistScope.persisted(assign.join(emb, "vec_id"))
+    val a = withEmb.select(col("vec_id").as("vid_a"), col("cluster"),
+      col("embedding").as("emb_a"))
+    val b = withEmb.select(col("vec_id").as("vid_b"), col("cluster"),
+      col("embedding").as("emb_b"))
+    val dropped = a.join(b, "cluster")
+      .filter(col("vid_a") < col("vid_b"))
+      .filter(expr(cosMilli("emb_a", "emb_b")) >= SemDedupCosMilli)
+      .select(col("vid_b").as("vec_id"))
+      .distinct()
+    assign
+      .join(dropped.withColumn("dup", lit(1L)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        coalesce(col("dup"), lit(0L)).as("is_dup"))
+  }
 }

@@ -201,6 +201,12 @@ class PlanSpec extends SparkTestBase {
     // the candidate keys BEFORE the counting aggregate.
     val t20 = plan(graft.operators.LlmOps.t20HeavyHitters(spark, Sf))
     assert(t20.contains("BroadcastHashJoin"), s"candidate filter not broadcast:\n$t20")
+    // SemDeDup: pairs form ONLY through the cluster equi-join — the
+    // corpus cross join must never appear, and the cosine verify must
+    // be the native codegen'd expression.
+    val sd = plan(Similarity.qSemDedup(spark, Sf))
+    assert(!sd.contains("CartesianProduct"), s"semdedup planned a cartesian:\n$sd")
+    assert(sd.contains("cosine_milli"), s"native cosine verify missing:\n$sd")
     // PageRank: message passing is equi-joins + aggregates; the only
     // permitted nested-loop is the ONE-ROW broadcast of the node count
     // (crossJoin(broadcast(nDf)) — metadata-sized by construction), so
