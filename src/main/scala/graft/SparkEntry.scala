@@ -124,6 +124,7 @@ object SparkEntry {
     "q_tpch_q10"           -> Relational.qTpchQ10 _,
     "q_tpch_q18"           -> Relational.qTpchQ18 _,
     "q_pagerank"           -> Graph.qPagerank _,
+    "q_funnel_steps"       -> Relational.qFunnelSteps _,
     "q_tpch_q12"           -> Relational.qTpchQ12 _,
     "q_tpch_q14"           -> Relational.qTpchQ14 _,
     "j10_bloom_prejoin"    -> Relational.j10BloomPrejoin _,
@@ -1159,6 +1160,19 @@ object SparkEntry {
         "count(*) AS n_rows FROM lineitem " +
         "WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01' " +
         "AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24"),
+    // Funnel-steps twin: the same iterated conditional minima; DuckDB's
+    // TIMESTAMP cast truncates ns→us like the engine's micros
+    // conversion, and date_trunc weeks align (Monday) in both engines.
+    "q_funnel_steps" ->
+      ("WITH s1 AS (SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t1 FROM events WHERE event_type = 'signup' GROUP BY user_id), " +
+        "s2 AS (SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t2 FROM events e JOIN s1 ON e.user_id = s1.user_id " +
+        "WHERE e.event_type = 'view' AND CAST(e.ts AS TIMESTAMP) > s1.t1 GROUP BY e.user_id), " +
+        "s3 AS (SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t3 FROM events e JOIN s2 ON e.user_id = s2.user_id " +
+        "WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > s2.t2 GROUP BY e.user_id) " +
+        "SELECT CAST(date_trunc('week', t1) AS DATE) AS cohort_week, " +
+        "count(*) AS n_signup, count(t2) AS n_viewed, count(t3) AS n_purchased " +
+        "FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id) " +
+        "GROUP BY 1"),
     // Q10/Q18 twins: near-verbatim; integer cents/quantities and total
     // ORDER BY keys make both LIMIT sets deterministic.
     "q_tpch_q10" ->

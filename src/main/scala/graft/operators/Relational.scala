@@ -1146,6 +1146,37 @@ object Relational {
         expr(graft.operators.LlmOps.milli("sum(converted)", "count(1)")).as("conv_milli"))
   }
 
+  /** Q_FUNNEL_STEPS: three-step ORDERED funnel (signup → first view
+    * strictly after it → first purchase strictly after that), counted
+    * per signup cohort week — the sequential-pattern query class
+    * (SQL:2016 MATCH_RECOGNIZE territory) expressed as iterated
+    * conditional aggregation: each step is a map-combinable min() over
+    * the step's event type, joined 1:1 on user_id to the previous
+    * step's timestamp and filtered to "strictly after". Three
+    * fact-side filters cut each scan to one event type BEFORE its
+    * aggregate; the three per-user frames then join on the same
+    * user_id key (one clustering reused), and the cohort rollup is a
+    * metadata-sized aggregate. Never an event×event inequality join —
+    * same discipline as [[qFunnel]], extended to an arbitrary-depth
+    * step chain.
+    */
+  def qFunnelSteps(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    def firstOf(tpe: String) = ev.filter(col("event_type") === tpe)
+    val s1 = firstOf("signup").groupBy("user_id").agg(min("ts").as("t1"))
+    val s2 = firstOf("view").join(s1, "user_id").filter(col("ts") > col("t1"))
+      .groupBy("user_id").agg(min("ts").as("t2"))
+    val s3 = firstOf("purchase").join(s2, "user_id").filter(col("ts") > col("t2"))
+      .groupBy("user_id").agg(min("ts").as("t3"))
+    s1.join(s2, Seq("user_id"), "left").join(s3, Seq("user_id"), "left")
+      .select(expr("cast(date_trunc('week', t1) as date)").as("cohort_week"),
+        col("t2"), col("t3"))
+      .groupBy("cohort_week")
+      .agg(count(lit(1)).as("n_signup"),
+        count(col("t2")).as("n_viewed"),
+        count(col("t3")).as("n_purchased"))
+  }
+
   /** Retention cohort matrix: users grouped by first-seen week, one row
     * per (cohort week, week offset) with the count still active — the
     * triangle every growth dashboard draws. Two map-combinable
