@@ -192,6 +192,7 @@ object SparkEntry {
     "st9_sessionize_custom" -> Streaming.st9SessionizeCustom _,
     "st10_stream_full_outer" -> Streaming.streamStreamFullOuter _,
     "st11_milestones"      -> Streaming.st11Milestones _,
+    "st12_inactivity"      -> Streaming.st12Inactivity _,
   )
 
   private val multimodalQueries: Map[String, Query] = Map(
@@ -1258,6 +1259,14 @@ object SparkEntry {
         "SELECT user_id, event_id, row_number() OVER (" +
         "PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn " +
         "FROM events) WHERE rn % 10 = 0"),
+    // st12 twin: the final AvailableNow watermark settles at
+    // max(ts) − 10 min, so exactly the users whose (last event + 30 min)
+    // alarm lies strictly before it have fired.
+    "st12_inactivity" ->
+      ("WITH mx AS (SELECT max(CAST(ts AS TIMESTAMP)) AS m FROM events), " +
+        "u AS (SELECT user_id, max(CAST(ts AS TIMESTAMP)) AS last_ts, count(*) AS n FROM events GROUP BY user_id) " +
+        "SELECT user_id, epoch_ms(last_ts) AS last_ms, CAST(n AS BIGINT) AS n_events " +
+        "FROM u, mx WHERE last_ts + INTERVAL 30 MINUTE < m - INTERVAL 10 MINUTE"),
     // BM25 twin: identical fixed-point derivation (rational ln-free idf,
     // fifths-scaled k1/b, round-half-up at each step — // floors =
     // truncates, all operands non-negative).

@@ -57,4 +57,62 @@ object Milestones {
       out.result().iterator
     }
   }
+
+  /** ST12's inactivity window: a user is "gone" once the event-time
+    * watermark passes their last event + this many milliseconds.
+    */
+  val IdleMs: Long = 30L * 60 * 1000
+
+  final case class Gone(user_id: Long, last_ms: Long, n_events: Long)
+  final case class IdleState(lastMs: Long, n: Long)
+
+  /** ST12's processor: EVENT-TIME TIMERS through transformWithState —
+    * the other half of the new API that [[MilestoneProcessor]] (pure
+    * per-row state, TimeMode.None) does not touch: `registerTimer` on
+    * the handle arms a per-key event-time alarm at last-seen + 30 min,
+    * re-armed (old timer deleted) as new events arrive, and
+    * `handleExpiredTimer` fires when the WATERMARK passes it — emitting
+    * the user's churn row and clearing their state. This is the
+    * inactivity/abandonment detector: output appears WITHOUT any new
+    * event for the key, something no input-driven operator can do.
+    *
+    * At scale: state is (long, long) per live user and each key holds
+    * at most one armed timer; both are dropped at emission, so resident
+    * state tracks ACTIVE users only — the watermark is the GC.
+    */
+  class InactivityProcessor extends StatefulProcessor[Long, MEv, Gone] {
+    @transient private var st: ValueState[IdleState] = _
+    @transient private var armed: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      st = getHandle.getValueState[IdleState]("idle",
+        org.apache.spark.sql.Encoders.product[IdleState], TTLConfig.NONE)
+      armed = getHandle.getValueState[Long]("armed", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[MEv],
+                                 tv: TimerValues): Iterator[Gone] = {
+      var lastMs = if (st.exists()) st.get().lastMs else Long.MinValue
+      var n = if (st.exists()) st.get().n else 0L
+      rows.foreach { e =>
+        val ms = e.ts.getEpochSecond * 1000 + e.ts.getNano / 1000000
+        if (ms > lastMs) lastMs = ms
+        n += 1
+      }
+      st.update(IdleState(lastMs, n))
+      if (armed.exists()) getHandle.deleteTimer(armed.get())
+      getHandle.registerTimer(lastMs + IdleMs)
+      armed.update(lastMs + IdleMs)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long, tv: TimerValues,
+                                    info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[Gone] = {
+      val out =
+        if (st.exists()) Iterator.single(Gone(key, st.get().lastMs, st.get().n))
+        else Iterator.empty
+      st.clear(); armed.clear()
+      out
+    }
+  }
 }

@@ -471,19 +471,48 @@ object Streaming {
       .toDF()
   }
 
-  def st11Milestones(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+  def st11Milestones(spark: SparkSession, dir: String): DataFrame =
+    withRocksDb(spark) {
+      runAppendToParquet(spark, milestonesOf(spark, eventsStream(spark, dir)))
+    }
+
+  /** transformWithState refuses the default heap-backed state store;
+    * scope the RocksDB provider around a run (also simply the right
+    * backend at scale — see RocksDbStateSpec).
+    */
+  private def withRocksDb[T](spark: SparkSession)(f: => T): T = {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
-      runAppendToParquet(spark, milestonesOf(spark, eventsStream(spark, dir)))
-    } finally {
+    try f finally {
       prev match {
         case Some(v) => spark.conf.set(key, v)
         case None => spark.conf.unset(key)
       }
     }
   }
+
+  /** ST12: inactivity (churn) detection via EVENT-TIME TIMERS in
+    * transformWithState — see [[Milestones.InactivityProcessor]]. The
+    * watermark drives emission: a user's row appears when the
+    * watermark passes their last event + 30 min, i.e. WITHOUT any
+    * further input for that key. With AvailableNow the final watermark
+    * settles at max(ts) − 10 min, so exactly the users whose last
+    * event is older than (max − 10 min − 30 min) emit — the
+    * deterministic contract the DuckDB twin states; still-active
+    * users' state would emit on the next day's run.
+    */
+  def st12Inactivity(spark: SparkSession, dir: String): DataFrame =
+    withRocksDb(spark) {
+      import spark.implicits._
+      val out = eventsStream(spark, dir)
+        .withWatermark("ts", "10 minutes")
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .as[Milestones.MEv]
+        .groupByKey(_.user_id)
+        .transformWithState(new Milestones.InactivityProcessor,
+          TimeMode.EventTime(), OutputMode.Append())
+      runAppendToParquet(spark, out.toDF())
+    }
 }
