@@ -125,6 +125,7 @@ object SparkEntry {
     "q_tpch_q18"           -> Relational.qTpchQ18 _,
     "q_pagerank"           -> Graph.qPagerank _,
     "q_funnel_steps"       -> Relational.qFunnelSteps _,
+    "q_rec_closure"        -> Graph.qRecClosure _,
     "q_tpch_q12"           -> Relational.qTpchQ12 _,
     "q_tpch_q14"           -> Relational.qTpchQ14 _,
     "j10_bloom_prejoin"    -> Relational.j10BloomPrejoin _,
@@ -1161,6 +1162,20 @@ object SparkEntry {
         "count(*) AS n_rows FROM lineitem " +
         "WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01' " +
         "AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24"),
+    // Recursive-closure twin: verbatim UNION ALL recursion with the
+    // same hop bound and outer min-hop dedup.
+    "q_rec_closure" ->
+      ("WITH RECURSIVE r(node, hop) AS (" +
+        "SELECT CAST(4 AS BIGINT) AS node, 0 AS hop " +
+        "UNION ALL " +
+        "SELECT e.dst, r.hop + 1 FROM r " +
+        "JOIN (SELECT o_custkey * 2 AS src, l_partkey * 2 + 1 AS dst " +
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey " +
+        "UNION ALL " +
+        "SELECT l_partkey * 2 + 1 AS src, o_custkey * 2 AS dst " +
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey) e " +
+        "ON e.src = r.node WHERE r.hop < 2) " +
+        "SELECT node, CAST(min(hop) AS BIGINT) AS hops FROM r GROUP BY node"),
     // Funnel-steps twin: the same iterated conditional minima; DuckDB's
     // TIMESTAMP cast truncates ns→us like the engine's micros
     // conversion, and date_trunc weeks align (Monday) in both engines.

@@ -79,4 +79,34 @@ object Graph {
     }
     ranks.select(col("node"), col("rank").as("rank_nano"))
   }
+
+  /** Q_REC_CLOSURE: bounded transitive closure (2-hop BFS from a seed
+    * customer over the purchase graph) through Spark 4's RECURSIVE CTE
+    * text surface — "what might this customer buy next" candidate
+    * generation (their parts, then those parts' other buyers). Spark
+    * 4.1 supports only UNION ALL recursion (UNION-distinct raises
+    * UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE), so frontiers are PATHS,
+    * not node sets: the hop bound caps the blowup and a min-hop
+    * aggregate outside the recursion dedups — fine at bounded depth
+    * (rows ∝ Σ frontier degrees), while UNBOUNDED closure at scale
+    * stays with [[LlmOps.connectedComponents]]'s linear-frontier loop,
+    * which dedups per round. Seed = customer 2 (node 4 in the 2k/2k+1
+    * id scheme).
+    */
+  def qRecClosure(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """WITH RECURSIVE r(node, hop) AS (
+        |  SELECT CAST(4 AS BIGINT) AS node, 0 AS hop
+        |  UNION ALL
+        |  SELECT e.dst, r.hop + 1 FROM r
+        |  JOIN (SELECT o_custkey * 2 AS src, l_partkey * 2 + 1 AS dst
+        |        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |        UNION ALL
+        |        SELECT l_partkey * 2 + 1 AS src, o_custkey * 2 AS dst
+        |        FROM orders JOIN lineitem ON o_orderkey = l_orderkey) e
+        |    ON e.src = r.node
+        |  WHERE r.hop < 2)
+        |SELECT node, min(hop) AS hops FROM r GROUP BY node""".stripMargin)
+  }
 }
