@@ -32,6 +32,24 @@ object PersistScope {
   /** Remember a custom release action (checkpoint blocks, RDD storage). */
   def register(release: () => Unit): Unit = synchronized { thunks += release }
 
+  /** Free the executor blocks behind a `localCheckpoint`ed DataFrame.
+    * `Dataset.unpersist` only uncaches CacheManager entries; a local
+    * checkpoint's storage belongs to the materialized RDD inside the
+    * resulting `LogicalRDD` leaf, so that RDD is what must be
+    * unpersisted. Matches only when the DataFrame's plan root IS the
+    * checkpoint leaf — a tree-wide traversal would also release
+    * checkpoints this plan merely READS (e.g. a loop's round-0 state
+    * derives from an adjacency checkpoint; releasing that mid-loop
+    * loses blocks a later round still needs). The DataFrame must not
+    * be used again afterwards (its lineage was truncated at the
+    * checkpoint). Shared by the d7 CC loop and PageRank's edge table.
+    */
+  def releaseCheckpointBlocks(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
+
   /** Release everything registered since the last call. Call AFTER the
     * query's action: plain persists recompute transparently if the plan
     * is touched again, but checkpoint-backed registrations (d7's final

@@ -1273,7 +1273,7 @@ object SparkEntry {
       ("SELECT user_id, CAST(rn AS BIGINT) AS milestone, event_id FROM (" +
         "SELECT user_id, event_id, row_number() OVER (" +
         "PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn " +
-        "FROM events) WHERE rn % 10 = 0"),
+        s"FROM events) WHERE rn % ${graft.streaming.Milestones.Step} = 0"),
     // st12 twin: the final AvailableNow watermark settles at
     // max(ts) − 10 min, so exactly the users whose (last event + 30 min)
     // alarm lies strictly before it have fired.
@@ -1331,7 +1331,7 @@ object SparkEntry {
         "SELECT sh, CAST(count(*) AS BIGINT) AS tf, " +
         "CAST((SELECT n FROM tot) AS BIGINT) AS n_bigrams " +
         "FROM g GROUP BY sh " +
-        "HAVING count(*) * 601 > (SELECT n FROM tot)"),
+        s"HAVING count(*) * ${LlmOps.FrequentCapacity + 1} > (SELECT n FROM tot)"),
     // Q4 twin: same 60-day-late EXISTS; DuckDB's INTERVAL addition on
     // TIMESTAMP matches Spark's day-interval arithmetic exactly.
     "q_tpch_q4" ->

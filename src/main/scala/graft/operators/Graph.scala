@@ -53,12 +53,7 @@ object Graph {
       .distinct()
     val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint(true)
-    PersistScope.register { () =>
-      edges.queryExecution.analyzed match {
-        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
-        case _ => ()
-      }
-    }
+    PersistScope.register(() => PersistScope.releaseCheckpointBlocks(edges))
     // deg is referenced once per iteration plus the node-count subtree;
     // persist so the degree aggregate over the edge blocks runs once.
     val deg = PersistScope.persisted(
@@ -107,6 +102,6 @@ object Graph {
         |        FROM orders JOIN lineitem ON o_orderkey = l_orderkey) e
         |    ON e.src = r.node
         |  WHERE r.hop < 2)
-        |SELECT node, min(hop) AS hops FROM r GROUP BY node""".stripMargin)
+        |SELECT node, CAST(min(hop) AS BIGINT) AS hops FROM r GROUP BY node""".stripMargin)
   }
 }

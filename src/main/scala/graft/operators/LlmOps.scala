@@ -607,22 +607,11 @@ object LlmOps {
     (labels, converged)
   }
 
-  /** Free the executor blocks behind a `localCheckpoint`ed DataFrame.
-    * `Dataset.unpersist` only uncaches CacheManager entries; a local
-    * checkpoint's storage belongs to the materialized RDD inside the
-    * resulting `LogicalRDD` leaf, so that RDD is what must be
-    * unpersisted. Matches only when the DataFrame's plan root IS the
-    * checkpoint leaf — a tree-wide traversal would also release
-    * checkpoints this plan merely READS (e.g. round-0 labels derive from
-    * the adjacency checkpoint; releasing that mid-loop loses blocks a
-    * later round still needs). The DataFrame must not be used again
-    * afterwards (its lineage was truncated at the checkpoint).
+  /** See [[PersistScope.releaseCheckpointBlocks]] — shared helper,
+    * aliased for the loop code below.
     */
   private def releaseCheckpointBlocks(df: DataFrame): Unit =
-    df.queryExecution.analyzed match {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
-      case _ => ()
-    }
+    PersistScope.releaseCheckpointBlocks(df)
 
   // ---------------------------------------------------------------------
   // T1: per-document text statistics.
@@ -1147,12 +1136,15 @@ object LlmOps {
     * successor).
     */
   def t20HeavyHitters(spark: SparkSession, dir: String): DataFrame = {
-    val bigrams = Tables.documents(spark, dir)
+    // Referenced by the sketch pass, the total count, and the recount —
+    // persist so the corpus explodes once, not three times (reviewer
+    // finding).
+    val bigrams = PersistScope.persisted(Tables.documents(spark, dir)
       .select(expr(tokExpr).as("toks"))
       .select(col("toks"), posexplode(col("toks")).as(Seq("pos", "tok")))
       .filter(col("pos") <= size(col("toks")) - 2)
       .select(concat_ws(" ", col("tok"),
-        element_at(col("toks"), col("pos") + 2)).as("sh"))
+        element_at(col("toks"), col("pos") + 2)).as("sh")))
     val sketch = bigrams.select(col("sh")).as(org.apache.spark.sql.Encoders.STRING)
       .select(new graft.functions.FrequentItemsAggregator(FrequentCapacity)
         .toColumn.name("cand"))
@@ -1201,8 +1193,11 @@ object LlmOps {
     */
   def t21Bm25(spark: SparkSession, dir: String): DataFrame = {
     val terms = Seq("join", "filter", "hash")
-    val toks = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(expr(tokExpr)).as("tok"))
+    // Referenced by dlen (twice, via corpus and the join) and tfs —
+    // persist so the corpus tokenizes once, not three times (reviewer
+    // finding; the qKmeansCluster working-set lesson).
+    val toks = PersistScope.persisted(Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(expr(tokExpr)).as("tok")))
     val dlen = toks.groupBy("doc_id").agg(count(lit(1)).as("len"))
     val corpus = dlen
       .agg(count(lit(1)).as("n_docs"), sum("len").as("total_tokens"))

@@ -448,7 +448,10 @@ object Similarity {
       .filter(expr(cosMilli("emb_a", "emb_b")) >= SemDedupCosMilli)
       .select(col("vid_b").as("vec_id"))
       .distinct()
-    assign
+    // Project the output from the PERSISTED frame — joining `assign`
+    // here would re-execute the whole unrolled Lloyd plan a second
+    // time (reviewer finding).
+    withEmb.select(col("vec_id"), col("cluster"))
       .join(dropped.withColumn("dup", lit(1L)), Seq("vec_id"), "left")
       .select(col("vec_id"), col("cluster"),
         coalesce(col("dup"), lit(0L)).as("is_dup"))

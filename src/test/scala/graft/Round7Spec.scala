@@ -113,12 +113,17 @@ class Round7Spec extends SparkTestBase {
 
   test("m5 phash is perceptual: a one-pixel edit moves ≤ 2 bits, md5 moves entirely") {
     // Two docs, identical but for ONE character inside the pixel
-    // section (same n_chars → same geometry). The edit lands in at most
-    // one sampled grid cell, so at most its two horizontal comparisons
-    // can flip — while the exact checksum (d1's signal) changes
+    // section (same n_chars → same geometry). Geometry is chosen so
+    // every grid sample hits a DISTINCT pixel (604 chars → w=13, h=5:
+    // px = 0,2,5,7,10 and py = 0,1,2,3 all distinct — with h < 4 the
+    // four grid rows would alias one pixel row and a single flipped
+    // comparison would replicate 4×, reviewer finding), and the edit
+    // targets the first byte of SAMPLED pixel (px=2, py=0), grid cell
+    // (gx=1, gy=0) — so at most that cell's two horizontal comparisons
+    // can flip, while the exact checksum (d1's signal) changes
     // completely. This is the property that makes phash a DEDUP key.
-    val base = ("the quick brown fox jumps over the lazy dog " * 20).take(600)
-    val edited = base.updated(10, 'Z')
+    val base = ("the quick brown fox jumps over the lazy dog " * 20).take(604)
+    val edited = base.updated(6, 'Z')
     val dir = tempDir("phash_docs")
     Seq((1L, base, "en", "src", base.length.toLong),
         (2L, edited, "en", "src", edited.length.toLong))

@@ -11,6 +11,16 @@ import org.scalatest.funsuite.AnyFunSuite
 trait SparkTestBase extends AnyFunSuite {
   lazy val spark: SparkSession = Sessions.local("4")
 
+  /** Release PersistScope registrations after EVERY test — suites run
+    * queries that pin working sets (dedup family, k-means, PageRank),
+    * and the shared session otherwise accumulates their blocks for the
+    * whole run; worse, lingering CacheManager entries can make a later
+    * plan-shape assertion resolve through InMemoryRelation instead of
+    * the scan it was written against (reviewer finding).
+    */
+  override protected def withFixture(test: NoArgTest): org.scalatest.Outcome =
+    try super.withFixture(test) finally PersistScope.releaseAll()
+
   /** sf0.001 corpus — smallest driver fixture, for tests that want real
     * tables rather than in-memory rows.
     */
