@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Delta, Graph, LlmOps, Multimodal, Relational, Scale, Similarity}
+import graft.operators.{Delta, Graph, LlmOps, Multimodal, Relational, Scale, Similarity, Tpch}
 import graft.streaming.Streaming
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -134,6 +134,19 @@ object SparkEntry {
     "a13_mode"             -> Relational.a13Mode _,
     "q_group_regression"   -> Relational.qGroupRegression _,
     "f16_hof"              -> Relational.f16Hof _,
+    "q_tpch_q2"            -> Tpch.q2 _,
+    "q_tpch_q7"            -> Tpch.q7 _,
+    "q_tpch_q8"            -> Tpch.q8 _,
+    "q_tpch_q9"            -> Tpch.q9 _,
+    "q_tpch_q11"           -> Tpch.q11 _,
+    "q_tpch_q13"           -> Tpch.q13 _,
+    "q_tpch_q15"           -> Tpch.q15 _,
+    "q_tpch_q16"           -> Tpch.q16 _,
+    "q_tpch_q17"           -> Tpch.q17 _,
+    "q_tpch_q19"           -> Tpch.q19 _,
+    "q_tpch_q20"           -> Tpch.q20 _,
+    "q_tpch_q21"           -> Tpch.q21 _,
+    "q_tpch_q22"           -> Tpch.q22 _,
   )
 
   private val llmQueries: Map[String, Query] = Map(
@@ -1419,7 +1432,153 @@ object SparkEntry {
         "AND p_ts < (SELECT wm FROM gw)"),
   )
 
+  /** Twins for the [[Tpch]] suite-completion queries. Near-verbatim —
+    * the only divergences are DuckDB's `//` for Spark's `div` (Q8's
+    * milli ratio) and `INTERVAL 60 DAY` for `interval 60 days` (Q21,
+    * like Q4's twin). Every money column is integer cents on both
+    * sides; HUGEINT sums are cast back to BIGINT at the projection.
+    */
+  private val tpchOracle: Map[String, String] = Map(
+    "q_tpch_q2" ->
+      ("WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) " +
+        "SELECT CAST(round(s_acctbal * 100) AS BIGINT) AS acctbal_cents, " +
+        "s_name, n_name, p_partkey, p_name " +
+        "FROM part JOIN ps ON p_partkey = ps.l_partkey " +
+        "JOIN supplier ON s_suppkey = ps.l_suppkey " +
+        "JOIN nation ON s_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey " +
+        "WHERE p_size = 25 AND p_type = 'LARGE' AND r_name = 'EUROPE' " +
+        "AND round(s_acctbal * 100) = (" +
+        "SELECT min(round(s2.s_acctbal * 100)) FROM ps ps2 " +
+        "JOIN supplier s2 ON s2.s_suppkey = ps2.l_suppkey " +
+        "JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey " +
+        "JOIN region r2 ON n2.n_regionkey = r2.r_regionkey " +
+        "WHERE ps2.l_partkey = p_partkey AND r2.r_name = 'EUROPE') " +
+        "ORDER BY acctbal_cents DESC, s_name, p_partkey LIMIT 20"),
+    "q_tpch_q7" ->
+      ("SELECT supp_nation, cust_nation, l_year, CAST(sum(cents) AS BIGINT) AS revenue_cents " +
+        "FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, " +
+        "CAST(year(l_shipdate) AS BIGINT) AS l_year, " +
+        "CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS cents " +
+        "FROM supplier JOIN lineitem ON s_suppkey = l_suppkey " +
+        "JOIN orders ON o_orderkey = l_orderkey " +
+        "JOIN customer ON c_custkey = o_custkey " +
+        "JOIN nation n1 ON s_nationkey = n1.n_nationkey " +
+        "JOIN nation n2 ON c_nationkey = n2.n_nationkey " +
+        "WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7') " +
+        "OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')) " +
+        "AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01') shipping " +
+        "GROUP BY supp_nation, cust_nation, l_year"),
+    "q_tpch_q8" ->
+      ("SELECT o_year, " +
+        "CAST((2000 * CAST(sum(CASE WHEN supp_nation = 'NATION_9' THEN cents ELSE 0 END) AS BIGINT) " +
+        "+ CAST(sum(cents) AS BIGINT)) // (2 * CAST(sum(cents) AS BIGINT)) AS BIGINT) AS mkt_share_milli, " +
+        "CAST(sum(cents) AS BIGINT) AS total_cents " +
+        "FROM (SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, " +
+        "CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS cents, " +
+        "n2.n_name AS supp_nation " +
+        "FROM part JOIN lineitem ON p_partkey = l_partkey " +
+        "JOIN supplier ON s_suppkey = l_suppkey " +
+        "JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation n1 ON c_nationkey = n1.n_nationkey " +
+        "JOIN region ON n1.n_regionkey = r_regionkey " +
+        "JOIN nation n2 ON s_nationkey = n2.n_nationkey " +
+        "WHERE r_name = 'ASIA' AND p_type = 'STANDARD' " +
+        "AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01') all_nations " +
+        "GROUP BY o_year"),
+    "q_tpch_q9" ->
+      ("SELECT nation, o_year, CAST(sum(profit_cents) AS BIGINT) AS profit_cents " +
+        "FROM (SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year, " +
+        "CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) " +
+        "- CAST(round(p_retailprice * l_quantity * 100) AS BIGINT) AS profit_cents " +
+        "FROM part JOIN lineitem ON p_partkey = l_partkey " +
+        "JOIN supplier ON s_suppkey = l_suppkey " +
+        "JOIN orders ON o_orderkey = l_orderkey " +
+        "JOIN nation ON s_nationkey = n_nationkey " +
+        "WHERE p_name LIKE '%red%') profit " +
+        "GROUP BY nation, o_year"),
+    "q_tpch_q11" ->
+      ("WITH val AS (SELECT l_partkey AS partkey, " +
+        "sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS v " +
+        "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey " +
+        "WHERE s_nationkey = 3 GROUP BY l_partkey) " +
+        "SELECT partkey, CAST(v AS BIGINT) AS value_cents FROM val " +
+        "WHERE v * 1000 > (SELECT sum(v) FROM val)"),
+    "q_tpch_q13" ->
+      ("SELECT c_count, count(*) AS custdist " +
+        "FROM (SELECT c_custkey, count(o_orderkey) AS c_count " +
+        "FROM customer LEFT JOIN orders ON c_custkey = o_custkey " +
+        "AND o_orderpriority <> '1-URGENT' " +
+        "GROUP BY c_custkey) c_orders " +
+        "GROUP BY c_count"),
+    "q_tpch_q15" ->
+      ("WITH revenue AS (SELECT l_suppkey AS supplier_no, " +
+        "sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS total " +
+        "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01' " +
+        "AND l_shipdate < TIMESTAMP '1997-04-01' GROUP BY l_suppkey) " +
+        "SELECT s_suppkey, s_name, CAST(total AS BIGINT) AS total_cents " +
+        "FROM supplier JOIN revenue ON s_suppkey = supplier_no " +
+        "WHERE total = (SELECT max(total) FROM revenue)"),
+    "q_tpch_q16" ->
+      ("SELECT p_brand, p_type, p_size, count(DISTINCT ps_suppkey) AS supplier_cnt " +
+        "FROM (SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey FROM lineitem) ps " +
+        "JOIN part ON p_partkey = ps_partkey " +
+        "WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO' " +
+        "AND p_size IN (1, 4, 9, 16, 25, 36, 49) " +
+        "AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0) " +
+        "GROUP BY p_brand, p_type, p_size"),
+    "q_tpch_q17" ->
+      ("SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS total_cents, " +
+        "count(*) AS n_rows " +
+        "FROM lineitem JOIN part ON p_partkey = l_partkey " +
+        "WHERE p_brand = 'Brand#3' AND p_size <= 10 " +
+        "AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity) " +
+        "FROM lineitem l2 WHERE l2.l_partkey = p_partkey)"),
+    "q_tpch_q19" ->
+      ("SELECT CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents, " +
+        "count(*) AS n_rows " +
+        "FROM lineitem JOIN part ON p_partkey = l_partkey " +
+        "WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11) " +
+        "OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20) " +
+        "OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)"),
+    "q_tpch_q20" ->
+      ("SELECT s_suppkey, s_name, n_name " +
+        "FROM supplier JOIN nation ON s_nationkey = n_nationkey " +
+        "WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3') " +
+        "AND s_suppkey IN (" +
+        "SELECT l_suppkey FROM lineitem JOIN part ON p_partkey = l_partkey " +
+        "WHERE p_name LIKE 'red%' " +
+        "AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01' " +
+        "GROUP BY l_suppkey, l_partkey " +
+        "HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 50)"),
+    "q_tpch_q21" ->
+      ("SELECT s_name, count(*) AS numwait " +
+        "FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey " +
+        "JOIN orders ON o_orderkey = l1.l_orderkey " +
+        "JOIN nation ON s_nationkey = n_nationkey " +
+        "WHERE o_orderstatus = 'F' AND n_name IN ('NATION_4', 'NATION_5') " +
+        "AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY " +
+        "AND EXISTS (SELECT 1 FROM lineitem l2 " +
+        "WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey) " +
+        "AND NOT EXISTS (SELECT 1 FROM lineitem l3 " +
+        "WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey " +
+        "AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY) " +
+        "GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20"),
+    "q_tpch_q22" ->
+      ("WITH pos AS (SELECT sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS s, count(*) AS n " +
+        "FROM customer WHERE c_acctbal > 0 AND c_nationkey IN (1, 2, 3, 4, 5, 6, 7)) " +
+        "SELECT c_nationkey AS nationkey, count(*) AS numcust, " +
+        "CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS totacctbal_cents " +
+        "FROM customer " +
+        "WHERE c_nationkey IN (1, 2, 3, 4, 5, 6, 7) " +
+        "AND CAST(round(c_acctbal * 100) AS BIGINT) * (SELECT n FROM pos) > (SELECT s FROM pos) " +
+        "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey " +
+        "AND o_orderdate >= TIMESTAMP '2000-01-01') " +
+        "GROUP BY c_nationkey"),
+  )
+
   def oracleSql: Map[String, String] =
     relationalOracle ++ llmOracle ++ llmOracle2 ++ simOracle ++ streamingOracle ++
-      multimodalOracle ++ multimodalOracle2 ++ round7Oracle
+      multimodalOracle ++ multimodalOracle2 ++ round7Oracle ++ tpchOracle
 }
