@@ -181,6 +181,7 @@ object SparkEntry {
     "t20_heavy_hitters" -> LlmOps.t20HeavyHitters _,
     "t21_bm25"         -> LlmOps.t21Bm25 _,
     "t22_group_sample" -> LlmOps.t22GroupSample _,
+    "t23_rare_bigrams" -> LlmOps.t23RareBigrams _,
   )
 
   private val simQueries: Map[String, Query] = Map(
@@ -1345,6 +1346,21 @@ object SparkEntry {
         "CAST((SELECT n FROM tot) AS BIGINT) AS n_bigrams " +
         "FROM g GROUP BY sh " +
         s"HAVING count(*) * ${LlmOps.FrequentCapacity + 1} > (SELECT n FROM tot)"),
+    // t23 twin: same bigram construction as t20's; the head set is the
+    // df-threshold filter, rare = total − frequent by subtraction.
+    "t23_rare_bigrams" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+        "g AS (SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS sh " +
+        "FROM t, unnest(range(1, len(toks))) AS u(i)), " +
+        "nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM g), " +
+        "freq AS (SELECT sh FROM (SELECT sh, count(DISTINCT doc_id) AS df FROM g GROUP BY sh) " +
+        s"WHERE df >= 2 AND df * ${LlmOps.NovelDocShare} >= (SELECT n_docs FROM nd)) " +
+        "SELECT doc_id, count(*) AS n_bigrams, " +
+        "CAST(sum(CASE WHEN f.sh IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_freq, " +
+        "CAST((2000 * CAST(count(*) - sum(CASE WHEN f.sh IS NULL THEN 0 ELSE 1 END) AS BIGINT) " +
+        "+ CAST(count(*) AS BIGINT)) // (2 * CAST(count(*) AS BIGINT)) AS BIGINT) AS novelty_milli " +
+        "FROM g LEFT JOIN freq f ON g.sh = f.sh " +
+        "GROUP BY doc_id"),
     // Q4 twin: same 60-day-late EXISTS; DuckDB's INTERVAL addition on
     // TIMESTAMP matches Spark's day-interval arithmetic exactly.
     "q_tpch_q4" ->

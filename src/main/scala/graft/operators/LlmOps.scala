@@ -1220,6 +1220,58 @@ object LlmOps {
   }
 
   // ---------------------------------------------------------------------
+  // T23: rare-bigram novelty — an LM-quality proxy without the LM.
+  // ---------------------------------------------------------------------
+
+  /** A bigram is "frequent" when it appears in at least 1/[[NovelDocShare]]
+    * of the corpus's documents (a RELATIVE floor, so the signal means the
+    * same thing at any corpus size) — and in at least 2 of them (below
+    * ~[[NovelDocShare]] documents the relative floor alone would call
+    * every once-seen bigram frequent and the signal would collapse to 0).
+    */
+  val NovelDocShare = 50
+
+  /** Per-document rare-bigram fraction — the count-based stand-in for
+    * n-gram-LM perplexity used in corpus curation (CCNet-style): text
+    * whose bigrams are mostly unseen elsewhere is either novel or noise,
+    * and either way deserves a different sampling weight than boilerplate.
+    * Integer milli throughout — no log-probabilities, so the score
+    * hash-matches across engines exactly.
+    *
+    * 100 TB shape: the document-frequency aggregate is a wordcount
+    * (map-combinable, head skew absorbed by partial aggregation), and the
+    * FREQUENT set is the small side by construction — at most
+    * n_docs × avg_bigrams / (n_docs / [[NovelDocShare]]) ≈
+    * [[NovelDocShare]] × avg_bigrams_per_doc distinct keys — so the
+    * per-doc scoring join broadcasts the head and never shuffles the
+    * corpus a second time; rare bigrams (the unbounded long tail) are
+    * counted by SUBTRACTION, never materialized as a join side.
+    */
+  def t23RareBigrams(spark: SparkSession, dir: String): DataFrame = {
+    // Referenced by the df aggregate, the doc-count scalar, and the
+    // scoring join — persist so the corpus explodes once.
+    val bigrams = PersistScope.persisted(Tables.documents(spark, dir)
+      .select(col("doc_id"), expr(tokExpr).as("toks"))
+      .select(col("doc_id"), col("toks"), posexplode(col("toks")).as(Seq("pos", "tok")))
+      .filter(col("pos") <= size(col("toks")) - 2)
+      .select(col("doc_id"), concat_ws(" ", col("tok"),
+        element_at(col("toks"), col("pos") + 2)).as("sh")))
+    val nDocs = bigrams.agg(countDistinct("doc_id").as("n_docs"))
+    val frequent = bigrams.groupBy("sh")
+      .agg(countDistinct("doc_id").as("df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") >= 2 && col("df") * NovelDocShare >= col("n_docs"))
+      .select(col("sh"), lit(1L).as("is_freq"))
+    bigrams
+      .join(broadcast(frequent), Seq("sh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(coalesce(col("is_freq"), lit(0L))).as("n_freq"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_freq"),
+        expr(milli("n_bigrams - n_freq", "n_bigrams")).as("novelty_milli"))
+  }
+
+  // ---------------------------------------------------------------------
   // T22: deterministic per-group sampling (bounded-heap, no sort).
   // ---------------------------------------------------------------------
 

@@ -13,6 +13,28 @@ import graft.streaming.Streaming
 class Round7Spec extends SparkTestBase {
   import spark.implicits._
 
+  test("t23 novelty separates boilerplate from unique text") {
+    // Ten docs share the same boilerplate sentence; one doc is unique
+    // prose. With the df ≥ 2 floor the shared bigrams are frequent and
+    // the unique doc's are rare — novelty must be 0 for the clones and
+    // 1000 for the singleton, and a half-boilerplate doc sits between.
+    val boiler = "please subscribe to our newsletter for updates"
+    val unique = "quantum marmots recalibrate the gradient telescope nightly"
+    val half = boiler + " whereupon zeppelins audit crystalline spreadsheets"
+    val dir = tempDir("novelty_docs")
+    val docs = (1L to 10L).map(i => (i, boiler, "en", "src", boiler.length.toLong)) ++
+      Seq((11L, unique, "en", "src", unique.length.toLong),
+          (12L, half, "en", "src", half.length.toLong))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.operators.LlmOps.t23RareBigrams(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got(1L) === 0L, "boilerplate clones must score 0")
+    assert(got(11L) === 1000L, "a fully unique doc must score 1000")
+    assert(got(12L) > 0L && got(12L) < 1000L,
+      s"mixed doc must land strictly between, got ${got(12L)}")
+  }
+
   test("a13 mode argmax breaks count ties on the alphabetically first value") {
     // min(struct(-cnt, lang)) must equal the row_number()-over-
     // (cnt DESC, lang)=1 row. Plant an exact tie: src1 has aa=2, bb=2.
