@@ -104,4 +104,44 @@ object Graph {
         |  WHERE r.hop < 2)
         |SELECT node, CAST(min(hop) AS BIGINT) AS hops FROM r GROUP BY node""".stripMargin)
   }
+
+  /** Triangle counting over the supplier co-supply graph (suppliers are
+    * adjacent when they ship lines of the same order), by DEGREE-ORIENTED
+    * wedge join — the standard scalable algorithm: orient every edge from
+    * its (degree, id)-smaller endpoint to the larger, join a vertex's
+    * out-edges with themselves to enumerate wedges, and close each wedge
+    * with an equi-join on the oriented third edge. Orientation bounds
+    * out-degree by O(√m), so the wedge set is O(m^1.5) worst case instead
+    * of Σdeg² — the difference between feasible and not on a skewed
+    * 100 TB graph (a hub with degree 10⁶ contributes ZERO wedges at its
+    * own rank once oriented away from it). Every join is an equi-join on
+    * vertex keys (the inequality is a residual on the wedge pair); the
+    * pair-building self-join of lineitem is per-order (bounded by
+    * lines-per-order², single-digit here), never global. Each triangle
+    * {a,b,c} is counted exactly once: at its (degree, id)-minimal vertex.
+    */
+  def qTriangles(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """WITH e0 AS (
+        |  SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+        |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |  WHERE a.l_suppkey < b.l_suppkey),
+        |e AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+        |deg AS (SELECT u AS node, count(*) AS d FROM e GROUP BY u),
+        |o AS (
+        |  SELECT e.u AS src, e.v AS dst, dv.d AS d_dst
+        |  FROM e
+        |  JOIN deg du ON du.node = e.u
+        |  JOIN deg dv ON dv.node = e.v
+        |  WHERE du.d < dv.d OR (du.d = dv.d AND e.u < e.v))
+        |SELECT
+        |  (SELECT count(*) FROM deg) AS n_nodes,
+        |  (SELECT count(*) FROM e0) AS n_edges,
+        |  count(*) AS n_triangles
+        |FROM o o1
+        |JOIN o o2 ON o1.src = o2.src
+        |  AND (o1.d_dst < o2.d_dst OR (o1.d_dst = o2.d_dst AND o1.dst < o2.dst))
+        |JOIN o o3 ON o3.src = o1.dst AND o3.dst = o2.dst""".stripMargin)
+  }
 }

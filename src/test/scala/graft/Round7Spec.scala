@@ -13,6 +13,29 @@ import graft.streaming.Streaming
 class Round7Spec extends SparkTestBase {
   import spark.implicits._
 
+  test("q_triangles equals a brute-force count over the same co-supply graph") {
+    val row = graft.operators.Graph.qTriangles(spark, Sf).collect().head
+    val (nNodes, nEdges, nTri) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    // Independent recomputation: materialize the edge set in Scala and
+    // enumerate closed wedges directly (no orientation machinery at all).
+    val pairs = Tables.lineitem(spark, Sf)
+      .select(col("l_orderkey"), col("l_suppkey")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val edges: Set[(Long, Long)] = pairs.groupBy(_._1).values.flatMap { lines =>
+      val ss = lines.map(_._2).distinct.sorted
+      for (i <- ss.indices; j <- (i + 1) until ss.length) yield (ss(i), ss(j))
+    }.toSet
+    val nodes = edges.flatMap(e => Seq(e._1, e._2))
+    val adj = edges ++ edges.map(e => (e._2, e._1))
+    val expected = edges.toSeq.map { case (a, b) =>
+      nodes.count(c => c > b && adj((a, c)) && adj((b, c))).toLong
+    }.sum
+    assert(nNodes === nodes.size.toLong)
+    assert(nEdges === edges.size.toLong)
+    assert(nTri === expected, s"oriented wedge count $nTri != brute force $expected")
+    assert(nTri > 0, "fixture graph must actually contain triangles")
+  }
+
   test("t23 novelty separates boilerplate from unique text") {
     // Ten docs share the same boilerplate sentence; one doc is unique
     // prose. With the df ≥ 2 floor the shared bigrams are frequent and
