@@ -1350,9 +1350,9 @@ object SparkEntry {
     // Triangle twin: verbatim — the degree-oriented wedge join is plain
     // ANSI SQL; DuckDB counts the same once-per-triangle orientation.
     "q_triangles" ->
-      ("WITH e0 AS (SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v " +
+      ("WITH e0 AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v " +
         "FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey " +
-        "WHERE a.l_suppkey < b.l_suppkey), " +
+        "WHERE a.l_partkey < b.l_partkey), " +
         "e AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0), " +
         "deg AS (SELECT u AS node, count(*) AS d FROM e GROUP BY u), " +
         "o AS (SELECT e.u AS src, e.v AS dst, dv.d AS d_dst FROM e " +

@@ -1,0 +1,35 @@
+package graft.tools
+
+import graft.{PersistScope, Sessions, SparkEntry}
+
+/** Scratch per-query timer: `runMain graft.tools.TimeQuery q1,q2,...`
+  * times each named [[SparkEntry.queries]] entry on
+  * SPARK_GRAFT_SF_DIR (default sf0.1), median of SPARK_GRAFT_REPS
+  * (default 3) after one untimed warm-up, releasing pinned working sets
+  * between reps. Set SPARK_GRAFT_EXPLAIN=1 to also dump each query's
+  * formatted physical plan once. Not part of the library surface.
+  */
+object TimeQuery {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    val names = args.headOption.map(_.split(',').toSeq)
+      .getOrElse(SparkEntry.queries.keys.toSeq.sorted)
+    names.foreach { name =>
+      val fn = SparkEntry.queries.getOrElse(name,
+        sys.error(s"unknown query: $name"))
+      if (sys.env.contains("SPARK_GRAFT_EXPLAIN"))
+        fn(spark, dir).explain("formatted")
+      val times = (0 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        val n = fn(spark, dir).count()
+        PersistScope.releaseAll()
+        ((System.nanoTime() - t0) / 1e9, n)
+      }.tail // first rep is the untimed warm-up
+      val med = times.map(_._1).sorted.apply(times.size / 2)
+      println(f"TIME $name%-24s median=$med%7.3f s  reps=${times.map(t => f"${t._1}%.3f").mkString(",")}  rows=${times.head._2}")
+    }
+    spark.stop()
+  }
+}

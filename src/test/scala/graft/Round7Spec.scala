@@ -13,13 +13,13 @@ import graft.streaming.Streaming
 class Round7Spec extends SparkTestBase {
   import spark.implicits._
 
-  test("q_triangles equals a brute-force count over the same co-supply graph") {
+  test("q_triangles equals a brute-force count over the same co-purchase graph") {
     val row = graft.operators.Graph.qTriangles(spark, Sf).collect().head
     val (nNodes, nEdges, nTri) = (row.getLong(0), row.getLong(1), row.getLong(2))
     // Independent recomputation: materialize the edge set in Scala and
     // enumerate closed wedges directly (no orientation machinery at all).
     val pairs = Tables.lineitem(spark, Sf)
-      .select(col("l_orderkey"), col("l_suppkey")).collect()
+      .select(col("l_orderkey"), col("l_partkey")).collect()
       .map(r => r.getLong(0) -> r.getLong(1))
     val edges: Set[(Long, Long)] = pairs.groupBy(_._1).values.flatMap { lines =>
       val ss = lines.map(_._2).distinct.sorted
