@@ -63,6 +63,7 @@ object SparkEntry {
     // engine-specific; ApproxDistinctSpec bounds them against exact
     // percentiles (a6's contract).
     "a12_approx_percentile" -> Relational.a12ApproxPercentile _,
+    "a14_hll_merge"        -> Relational.a14HllMerge _,
     "q_global_rownum"      -> Relational.qGlobalRownum _,
     "f12_conditional_agg"  -> Relational.f12ConditionalAgg _,
     "q_scalar_subquery"    -> Relational.qScalarSubquery _,

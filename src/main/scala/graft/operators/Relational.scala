@@ -805,6 +805,31 @@ object Relational {
         col("pcts").getItem(1).as("p90_approx"),
         col("n"))
 
+  /** A14: sketch-merge — the pre-aggregation pattern behind every
+    * incremental distinct-count dashboard. Daily DataSketches HLL
+    * sketches of active users are built ONCE (one pass over events),
+    * then the weekly distinct count is the UNION of the day sketches —
+    * no second scan of the raw data. At 100 TB this is the difference
+    * between "re-scan a quarter of events per weekly rollup" and
+    * "merge 7 kilobyte-sized sketches": stored daily sketches make any
+    * window (week, month, arbitrary ad-hoc span) answerable at
+    * metadata cost, and the merge is associative so it map-combines.
+    * No DuckDB oracle BY CONTRACT (sketch bytes are engine-specific);
+    * ApproxDistinctSpec bounds the weekly estimates against exact
+    * distincts instead.
+    */
+  def a14HllMerge(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(date_trunc("DAY", col("ts")).as("day"), col("user_id"))
+      .groupBy("day")
+      .agg(hll_sketch_agg(col("user_id")).as("sk"), count(lit(1)).as("n_events"))
+    daily
+      .groupBy(date_trunc("WEEK", col("day")).cast("date").as("week"))
+      .agg(
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"),
+        sum("n_events").as("n_events"))
+  }
+
   /** Ordered collection aggregate: each customer's order keys as one
     * comma-joined string in (date, key) order. collect_list gives NO
     * ordering guarantee across partitions — the deterministic form is

@@ -43,6 +43,25 @@ class ApproxDistinctSpec extends SparkTestBase {
     }
   }
 
+  test("a14 merged day-sketches match exact weekly distincts within HLL error") {
+    val approx = Relational.a14HllMerge(spark, Sf)
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    val exact = Tables.events(spark, Sf)
+      .select(date_trunc("WEEK", col("ts")).cast("date").as("week"), col("user_id"))
+      .groupBy("week").agg(countDistinct("user_id").as("n"))
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    assert(approx.keySet === exact.keySet && approx.nonEmpty,
+      "sketch-merge weeks must equal the exact rollup's weeks")
+    exact.foreach { case (week, ex) =>
+      val ap = approx(week)
+      val relErr = math.abs(ap - ex).toDouble / ex
+      // Default lgConfigK=12 → rsd ≈ 1.6%%; allow 5× — union of sketches
+      // adds no error beyond the base sketch's.
+      assert(relErr <= 5 * 0.016,
+        s"week $week: approx=$ap exact=$ex relErr=$relErr")
+    }
+  }
+
   test("approx_count_distinct stays within 3×rsd of the exact count per group") {
     val approx = Relational.aApproxDistinct(spark, Sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
