@@ -135,7 +135,11 @@ object Graph {
         .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
         .distinct())
     val e = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
-    val deg = e.groupBy(col("u").as("node")).agg(count(lit(1)).as("d"))
+    // deg is read twice building o plus once for n_nodes — persist so
+    // the degree aggregate over the edge union runs once (the qPagerank
+    // pattern).
+    val deg = PersistScope.persisted(
+      e.groupBy(col("u").as("node")).agg(count(lit(1)).as("d")))
     val o = PersistScope.persisted(
       e.join(deg.select(col("node").as("u"), col("d").as("d_u")), "u")
         .join(deg.select(col("node").as("v"), col("d").as("d_v")), "v")

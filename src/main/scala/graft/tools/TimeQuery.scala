@@ -13,6 +13,7 @@ object TimeQuery {
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    require(reps >= 1, s"SPARK_GRAFT_REPS must be >= 1, got $reps")
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     val names = args.headOption.map(_.split(',').toSeq)
       .getOrElse(SparkEntry.queries.keys.toSeq.sorted)
@@ -21,11 +22,15 @@ object TimeQuery {
         sys.error(s"unknown query: $name"))
       if (sys.env.contains("SPARK_GRAFT_EXPLAIN"))
         fn(spark, dir).explain("formatted")
+      // Release pinned working sets OUTSIDE the timed window — Bench
+      // releases in an untimed finally too, so medians stay comparable
+      // to BENCH_DETAIL neighbors for persist-heavy queries.
       val times = (0 to reps).map { _ =>
         val t0 = System.nanoTime()
         val n = fn(spark, dir).count()
+        val elapsed = (System.nanoTime() - t0) / 1e9
         PersistScope.releaseAll()
-        ((System.nanoTime() - t0) / 1e9, n)
+        (elapsed, n)
       }.tail // first rep is the untimed warm-up
       val med = times.map(_._1).sorted.apply(times.size / 2)
       println(f"TIME $name%-24s median=$med%7.3f s  reps=${times.map(t => f"${t._1}%.3f").mkString(",")}  rows=${times.head._2}")

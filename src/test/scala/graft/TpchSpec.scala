@@ -62,6 +62,6 @@ class TpchSpec extends SparkTestBase {
   test("q22's threshold math is integer-exact and its anti join is hashed") {
     val p = plan(Tpch.q22(spark, Sf))
     assert(p.contains("LeftAnti"))
-    assert(!plan(Tpch.q22(spark, Sf)).contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 }
