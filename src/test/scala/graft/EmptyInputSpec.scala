@@ -54,6 +54,26 @@ class EmptyInputSpec extends SparkTestBase {
       StructField("l_shipdate", TimestampNTZType)))
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], liSchema)
       .write.parquet(s"$dir/lineitem.parquet")
+    val suppSchema = StructType(Seq(
+      StructField("s_suppkey", LongType), StructField("s_name", StringType),
+      StructField("s_nationkey", IntegerType), StructField("s_acctbal", DoubleType)))
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], suppSchema)
+      .write.parquet(s"$dir/supplier.parquet")
+    val partSchema = StructType(Seq(
+      StructField("p_partkey", LongType), StructField("p_name", StringType),
+      StructField("p_brand", StringType), StructField("p_type", StringType),
+      StructField("p_size", IntegerType), StructField("p_retailprice", DoubleType)))
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], partSchema)
+      .write.parquet(s"$dir/part.parquet")
+    val natSchema = StructType(Seq(
+      StructField("n_nationkey", IntegerType), StructField("n_name", StringType),
+      StructField("n_regionkey", IntegerType)))
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], natSchema)
+      .write.parquet(s"$dir/nation.parquet")
+    val regSchema = StructType(Seq(
+      StructField("r_regionkey", IntegerType), StructField("r_name", StringType)))
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], regSchema)
+      .write.parquet(s"$dir/region.parquet")
     dir
   }
 
@@ -122,6 +142,26 @@ class EmptyInputSpec extends SparkTestBase {
     assert(Multimodal.m5ImagePhash(spark, emptyDir).count() === 0)
     // Bounded-heap sampling over zero groups.
     assert(LlmOps.t22GroupSample(spark, emptyDir).count() === 0)
+  }
+
+  test("round-7b operators survive empty inputs") {
+    import graft.operators.{Graph, Relational, Tpch}
+    // Novelty: zero documents → zero bigrams, zero frequent head.
+    assert(LlmOps.t23RareBigrams(spark, emptyDir).count() === 0)
+    // Triangles: the three count aggregates each yield one zero row,
+    // cross-joined into a single (0, 0, 0) summary — never a throw.
+    val tri = Graph.qTriangles(spark, emptyDir).collect()
+    assert(tri.length === 1 &&
+      (0 to 2).forall(i => tri.head.getLong(i) === 0L))
+    // Sketch-merge: no events, no day sketches, no weeks.
+    assert(Relational.a14HllMerge(spark, emptyDir).count() === 0)
+    // TPC-H representatives over the all-empty star schema: the
+    // correlated-MIN, LEFT-JOIN-distribution, and NULL-scalar-threshold
+    // shapes all collapse to empty without errors.
+    assert(Tpch.q2(spark, emptyDir).count() === 0)
+    assert(Tpch.q13(spark, emptyDir).count() === 0)
+    assert(Tpch.q22(spark, emptyDir).count() === 0)
+    assert(Tpch.q21(spark, emptyDir).count() === 0)
   }
 
   test("document operators return empty on an empty corpus") {
