@@ -64,6 +64,7 @@ object SparkEntry {
     // percentiles (a6's contract).
     "a12_approx_percentile" -> Relational.a12ApproxPercentile _,
     "a14_hll_merge"        -> Relational.a14HllMerge _,
+    "q_winsorize"          -> Relational.qWinsorize _,
     "q_global_rownum"      -> Relational.qGlobalRownum _,
     "f12_conditional_agg"  -> Relational.f12ConditionalAgg _,
     "q_scalar_subquery"    -> Relational.qScalarSubquery _,
@@ -1348,6 +1349,21 @@ object SparkEntry {
         "CAST((SELECT n FROM tot) AS BIGINT) AS n_bigrams " +
         "FROM g GROUP BY sh " +
         s"HAVING count(*) * ${LlmOps.FrequentCapacity + 1} > (SELECT n FROM tot)"),
+    // Winsorize twin: verbatim but for DuckDB's `//`; rank-based bounds
+    // (not interpolated quantiles) keep both engines integer-exact.
+    "q_winsorize" ->
+      ("WITH t AS (SELECT o_orderkey, o_orderstatus, " +
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders), " +
+        "ranked AS (SELECT o_orderstatus, cents, " +
+        "row_number() OVER (PARTITION BY o_orderstatus ORDER BY cents, o_orderkey) AS rn, " +
+        "count(*) OVER (PARTITION BY o_orderstatus) AS n FROM t), " +
+        "bounds AS (SELECT o_orderstatus, " +
+        "max(CASE WHEN rn = greatest(1, (n * 5) // 100) THEN cents END) AS lo, " +
+        "max(CASE WHEN rn = least(n, (n * 95) // 100 + 1) THEN cents END) AS hi " +
+        "FROM ranked GROUP BY o_orderstatus) " +
+        "SELECT o_orderkey, t.o_orderstatus, cents, " +
+        "least(greatest(cents, lo), hi) AS clipped_cents " +
+        "FROM t JOIN bounds ON t.o_orderstatus = bounds.o_orderstatus"),
     // Triangle twin: verbatim — the degree-oriented wedge join is plain
     // ANSI SQL; DuckDB counts the same once-per-triangle orientation.
     "q_triangles" ->

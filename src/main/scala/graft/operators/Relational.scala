@@ -830,6 +830,40 @@ object Relational {
         sum("n_events").as("n_events"))
   }
 
+  /** Q_WINSORIZE: per-group outlier clipping at the 5th/95th RANK — the
+    * feature-engineering normalization pass (clip, then feed the model).
+    * Bounds are ORDER STATISTICS (row_number against ⌊n·5/100⌋ with a
+    * (value, key) tie-break), not interpolated percentiles: integer
+    * ranks give bit-identical bounds on any engine, where interpolated
+    * quantiles would ride float position arithmetic. Scale shape: one
+    * window pass partitioned by the group (hash-shuffle, per-partition
+    * sort, never global), a ≤|groups|-row bounds aggregate broadcast
+    * back onto the fact rows, and the clip itself is a codegen'd
+    * least/greatest projection.
+    */
+  def qWinsorize(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """WITH t AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    cast(round(o_totalprice * 100) as bigint) AS cents
+        |  FROM orders),
+        |ranked AS (
+        |  SELECT o_orderstatus, cents,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |                       ORDER BY cents, o_orderkey) AS rn,
+        |    count(*) OVER (PARTITION BY o_orderstatus) AS n
+        |  FROM t),
+        |bounds AS (
+        |  SELECT o_orderstatus,
+        |    max(CASE WHEN rn = greatest(1, (n * 5) div 100) THEN cents END) AS lo,
+        |    max(CASE WHEN rn = least(n, (n * 95) div 100 + 1) THEN cents END) AS hi
+        |  FROM ranked GROUP BY o_orderstatus)
+        |SELECT o_orderkey, t.o_orderstatus, cents,
+        |  least(greatest(cents, lo), hi) AS clipped_cents
+        |FROM t JOIN bounds ON t.o_orderstatus = bounds.o_orderstatus""".stripMargin)
+  }
+
   /** Ordered collection aggregate: each customer's order keys as one
     * comma-joined string in (date, key) order. collect_list gives NO
     * ordering guarantee across partitions — the deterministic form is

@@ -36,6 +36,20 @@ class Round7Spec extends SparkTestBase {
     assert(nTri > 0, "fixture graph must actually contain triangles")
   }
 
+  test("q_winsorize clips both tails and preserves the interior") {
+    val rows = graft.operators.Relational.qWinsorize(spark, Sf)
+      .select(col("cents"), col("clipped_cents")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    // Clipping must engage at BOTH ends (the fixture has outliers)...
+    assert(rows.exists { case (c, cl) => cl > c }, "low tail must clip up")
+    assert(rows.exists { case (c, cl) => cl < c }, "high tail must clip down")
+    // ...but only on the tails: ~5% per side per group, so the clipped
+    // fraction stays near 10% overall.
+    val nClipped = rows.count { case (c, cl) => cl != c }
+    assert(nClipped * 100 <= rows.length * 12,
+      s"$nClipped of ${rows.length} rows clipped — bounds are not tail ranks")
+  }
+
   test("t23 novelty separates boilerplate from unique text") {
     // Ten docs share the same boilerplate sentence; one doc is unique
     // prose. With the df ≥ 2 floor the shared bigrams are frequent and
