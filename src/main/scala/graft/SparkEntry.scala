@@ -160,6 +160,7 @@ object SparkEntry {
     "d5_dedup_incremental" -> LlmOps.d5DedupIncremental _,
     "d5b_index_ingest"     -> LlmOps.d5bIndexIngest _,
     "d6_simhash_neardup" -> LlmOps.d6SimhashNeardup _,
+    "d9_prefix_join"   -> LlmOps.d9PrefixJoin _,
     "d7_dedup_resolve" -> LlmOps.d7DedupResolve _,
     "t1_text_stats"    -> LlmOps.t1TextStats _,
     "t2_lang_id"       -> LlmOps.t2LangId _,
@@ -1349,6 +1350,24 @@ object SparkEntry {
         "CAST((SELECT n FROM tot) AS BIGINT) AS n_bigrams " +
         "FROM g GROUP BY sh " +
         s"HAVING count(*) * ${LlmOps.FrequentCapacity + 1} > (SELECT n FROM tot)"),
+    // d9 twin: BRUTE-FORCE all-pairs Jaccard — no prefix machinery at
+    // all, which is exactly the point: matching it proves the prefix
+    // filter admits no false negatives. Same shingle set as d4's twin.
+    "d9_prefix_join" -> {
+      import LlmOps.{PrefixJaccardDen => den, PrefixJaccardNum => num}
+      ("WITH tokd AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents), " +
+        s"sh AS (SELECT doc_id, unnest($duckShingles) AS shingle FROM tokd WHERE len(tok) >= 3), " +
+        "sizes AS (SELECT doc_id, count(*) AS s FROM sh GROUP BY doc_id), " +
+        "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i " +
+        "FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id " +
+        "GROUP BY 1, 2) " +
+        "SELECT doc_a, doc_b, " +
+        "CAST((2000 * CAST(i AS BIGINT) + CAST(sa.s + sb.s - i AS BIGINT)) " +
+        "// (2 * CAST(sa.s + sb.s - i AS BIGINT)) AS BIGINT) AS jaccard_milli " +
+        "FROM inter JOIN sizes sa ON sa.doc_id = doc_a " +
+        "JOIN sizes sb ON sb.doc_id = doc_b " +
+        s"WHERE i * $den >= $num * (sa.s + sb.s - i)")
+    },
     // Winsorize twin: verbatim but for DuckDB's `//`; rank-based bounds
     // (not interpolated quantiles) keep both engines integer-exact.
     "q_winsorize" ->

@@ -1220,6 +1220,68 @@ object LlmOps {
   }
 
   // ---------------------------------------------------------------------
+  // D9: exact set-similarity join by prefix filtering (AllPairs/PPJoin).
+  // ---------------------------------------------------------------------
+
+  /** Jaccard threshold for [[d9PrefixJoin]] as an exact rational
+    * (4/5 = 0.8) — the qualify test is the integer cross-multiplication
+    * `i·5 ≥ 4·(|A|+|B|−i)`, never a float ratio.
+    */
+  val PrefixJaccardNum = 4
+  val PrefixJaccardDen = 5
+
+  /** Exact shingle-set similarity join by PREFIX FILTERING — the
+    * AllPairs/PPJoin family, the exact counterpart to the approximate
+    * candidate generators (d2's MinHash bands, d6's SimHash bands) and
+    * to d4's blocked comparison: NO false negatives by construction.
+    * Tokens are globally ordered rarest-first (document frequency, then
+    * lexicographic); a document's PREFIX is its first
+    * |A| − ⌈t·|A|⌉ + 1 shingles in that order, and the classic prefix
+    * lemma guarantees any pair with Jaccard ≥ t shares a prefix
+    * shingle — so the candidate join touches prefixes only, and the
+    * exact intersection count then keeps precisely the qualifying
+    * pairs.
+    *
+    * 100 TB shape: the df ranking is a wordcount; prefixes are ~1/5 of
+    * each document's shingles and weighted toward RARE shingles, so the
+    * candidate join's per-key fan-out is small by construction (the
+    * frequent head never appears in a prefix unless a doc is nearly all
+    * boilerplate); intersection counts are relational (the d4 lesson —
+    * no per-pair array ops), and every join is an equi-join on shingle
+    * or doc id.
+    */
+  def d9PrefixJoin(spark: SparkSession, dir: String): DataFrame = {
+    // Distinct (doc, shingle) rows feed the df ranking, the prefix cut,
+    // both intersection sides, and the size lookups — one scan, pinned.
+    val toks = PersistScope.persisted(shingleRows(spark, dir).distinct())
+    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("s"))
+    val dfs = toks.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("df"), col("shingle"))
+    val prefix = toks.join(dfs, "shingle")
+      .withColumn("rn", row_number().over(w))
+      .join(sizes, "doc_id")
+      .filter(col("rn") <= col("s") -
+        expr(s"($PrefixJaccardNum * s + ${PrefixJaccardDen - 1}) div $PrefixJaccardDen") + 1)
+      .select(col("doc_id"), col("shingle"))
+    val cand = prefix.toDF("doc_a", "shingle")
+      .join(prefix.toDF("doc_b", "shingle"), Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val inter = cand
+      .join(toks.toDF("doc_a", "shingle"), "doc_a")
+      .join(toks.toDF("doc_b", "shingle"), Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.toDF("doc_a", "sa"), "doc_a")
+      .join(sizes.toDF("doc_b", "sb"), "doc_b")
+      .filter(col("i") * PrefixJaccardDen >=
+        lit(PrefixJaccardNum) * (col("sa") + col("sb") - col("i")))
+      .select(col("doc_a"), col("doc_b"),
+        expr(milli("i", "sa + sb - i")).as("jaccard_milli"))
+  }
+
+  // ---------------------------------------------------------------------
   // T23: rare-bigram novelty — an LM-quality proxy without the LM.
   // ---------------------------------------------------------------------
 

@@ -148,6 +148,10 @@ class EmptyInputSpec extends SparkTestBase {
     import graft.operators.{Graph, Relational, Tpch}
     // Novelty: zero documents → zero bigrams, zero frequent head.
     assert(LlmOps.t23RareBigrams(spark, emptyDir).count() === 0)
+    // Prefix join: zero shingle rows → zero prefixes → zero candidates.
+    assert(LlmOps.d9PrefixJoin(spark, emptyDir).count() === 0)
+    // Winsorize: no orders, no groups, no bounds, no rows.
+    assert(Relational.qWinsorize(spark, emptyDir).count() === 0)
     // Triangles: the three count aggregates each yield one zero row,
     // cross-joined into a single (0, 0, 0) summary — never a throw.
     val tri = Graph.qTriangles(spark, emptyDir).collect()

@@ -36,6 +36,28 @@ class Round7Spec extends SparkTestBase {
     assert(nTri > 0, "fixture graph must actually contain triangles")
   }
 
+  test("d9 prefix join equals the unfiltered all-pairs join (no false negatives)") {
+    val got = graft.operators.LlmOps.d9PrefixJoin(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // Brute force in Scala over the same distinct shingle sets.
+    val docs = Tables.documents(spark, Sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val sets = docs.map { case (id, text) =>
+      val t = text.split(' ')
+      id -> t.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    }.filter(_._2.nonEmpty)
+    val expected = (for {
+      i <- sets.indices; j <- (i + 1) until sets.length
+      (ida, sa) = if (sets(i)._1 < sets(j)._1) sets(i) else sets(j)
+      (idb, sb) = if (sets(i)._1 < sets(j)._1) sets(j) else sets(i)
+      inter = (sa & sb).size.toLong
+      union = sa.size + sb.size - inter
+      if inter * 5 >= 4 * union
+    } yield (ida, idb, (2000L * inter + union) / (2 * union))).toSet
+    assert(expected.nonEmpty, "fixture must contain qualifying pairs")
+    assert(got === expected)
+  }
+
   test("q_winsorize clips both tails and preserves the interior") {
     val rows = graft.operators.Relational.qWinsorize(spark, Sf)
       .select(col("cents"), col("clipped_cents")).collect()
