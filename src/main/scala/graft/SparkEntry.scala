@@ -65,6 +65,7 @@ object SparkEntry {
     "a12_approx_percentile" -> Relational.a12ApproxPercentile _,
     "a14_hll_merge"        -> Relational.a14HllMerge _,
     "q_winsorize"          -> Relational.qWinsorize _,
+    "q_event_ngrams"       -> Relational.qEventNgrams _,
     "q_global_rownum"      -> Relational.qGlobalRownum _,
     "f12_conditional_agg"  -> Relational.f12ConditionalAgg _,
     "q_scalar_subquery"    -> Relational.qScalarSubquery _,
@@ -1350,6 +1351,15 @@ object SparkEntry {
         "CAST((SELECT n FROM tot) AS BIGINT) AS n_bigrams " +
         "FROM g GROUP BY sh " +
         s"HAVING count(*) * ${LlmOps.FrequentCapacity + 1} > (SELECT n FROM tot)"),
+    // Event-ngram twin: same (ts, event_id) total order; DuckDB's
+    // TIMESTAMP cast truncates ns→us like the engine's micros loader.
+    "q_event_ngrams" ->
+      ("WITH s AS (SELECT user_id, event_type, " +
+        "lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS p1, " +
+        "lag(event_type, 2) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS p2 " +
+        "FROM events) " +
+        "SELECT p2 || ' > ' || p1 || ' > ' || event_type AS pattern, count(*) AS n " +
+        "FROM s WHERE p2 IS NOT NULL GROUP BY 1"),
     // d9 twin: BRUTE-FORCE all-pairs Jaccard — no prefix machinery at
     // all, which is exactly the point: matching it proves the prefix
     // filter admits no false negatives. Same shingle set as d4's twin.

@@ -830,6 +830,28 @@ object Relational {
         sum("n_events").as("n_events"))
   }
 
+  /** Q_EVENT_NGRAMS: sequential-pattern mining lite — corpus-wide counts
+    * of per-user event-type TRIGRAMS (what users actually do next), the
+    * building block of next-action models and funnel discovery. Each
+    * user's stream is ordered by (ts, event_id) — a total order, so the
+    * trigram multiset is deterministic — and the trigram extraction is
+    * two LAG frames over one window pass. Scale shape: one hash shuffle
+    * on user_id with per-partition sort (never global), then a
+    * wordcount-style aggregate whose ≤|event_types|³ key space
+    * map-combines to almost nothing.
+    */
+  def qEventNgrams(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .select(col("event_type").as("t3"),
+        lag("event_type", 1).over(w).as("t2"),
+        lag("event_type", 2).over(w).as("t1"))
+      .filter(col("t1").isNotNull)
+      .groupBy(concat_ws(" > ", col("t1"), col("t2"), col("t3")).as("pattern"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Q_WINSORIZE: per-group outlier clipping at the 5th/95th RANK — the
     * feature-engineering normalization pass (clip, then feed the model).
     * Bounds are ORDER STATISTICS (row_number against ⌊n·5/100⌋ with a

@@ -152,6 +152,8 @@ class EmptyInputSpec extends SparkTestBase {
     assert(LlmOps.d9PrefixJoin(spark, emptyDir).count() === 0)
     // Winsorize: no orders, no groups, no bounds, no rows.
     assert(Relational.qWinsorize(spark, emptyDir).count() === 0)
+    // Event n-grams: no events, no windows, no patterns.
+    assert(Relational.qEventNgrams(spark, emptyDir).count() === 0)
     // Triangles: the three count aggregates each yield one zero row,
     // cross-joined into a single (0, 0, 0) summary — never a throw.
     val tri = Graph.qTriangles(spark, emptyDir).collect()
