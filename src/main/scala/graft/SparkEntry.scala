@@ -1357,7 +1357,7 @@ object SparkEntry {
       ("WITH s AS (SELECT user_id, event_type, " +
         "lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS p1, " +
         "lag(event_type, 2) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS p2 " +
-        "FROM events) " +
+        "FROM events WHERE event_type IS NOT NULL) " +
         "SELECT p2 || ' > ' || p1 || ' > ' || event_type AS pattern, count(*) AS n " +
         "FROM s WHERE p2 IS NOT NULL GROUP BY 1"),
     // d9 twin: BRUTE-FORCE all-pairs Jaccard — no prefix machinery at

@@ -1258,12 +1258,15 @@ object LlmOps {
     val dfs = toks.groupBy("shingle").agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("df"), col("shingle"))
-    val prefix = toks.join(dfs, "shingle")
+    // Both sides of the candidate self-join read prefix — persist so
+    // the df join + per-doc window sort + prefix cut run once, not per
+    // join side (reviewer finding; the qTriangles oriented-edge lesson).
+    val prefix = PersistScope.persisted(toks.join(dfs, "shingle")
       .withColumn("rn", row_number().over(w))
       .join(sizes, "doc_id")
       .filter(col("rn") <= col("s") -
         expr(s"($PrefixJaccardNum * s + ${PrefixJaccardDen - 1}) div $PrefixJaccardDen") + 1)
-      .select(col("doc_id"), col("shingle"))
+      .select(col("doc_id"), col("shingle")))
     val cand = prefix.toDF("doc_a", "shingle")
       .join(prefix.toDF("doc_b", "shingle"), Seq("shingle"))
       .filter(col("doc_a") < col("doc_b"))

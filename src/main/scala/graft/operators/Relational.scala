@@ -843,6 +843,12 @@ object Relational {
   def qEventNgrams(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     Tables.events(spark, dir)
+      // NULL-typed events are ABSENT from the sequence (dropped BEFORE
+      // the window, so lags never straddle them) — without this,
+      // concat_ws would silently shrink a trigram to a bigram while the
+      // oracle's `||` nulls the whole pattern (reviewer finding; the
+      // fixture has no NULL types, so only the contract sees it).
+      .filter(col("event_type").isNotNull)
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
       .select(col("event_type").as("t3"),
         lag("event_type", 1).over(w).as("t2"),

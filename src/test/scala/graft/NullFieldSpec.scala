@@ -68,13 +68,25 @@ class NullFieldSpec extends SparkTestBase {
       Row(0L, base, 1L, "click", 1.5, null),
       Row(1L, base + 3600L * 1000000000L, 1L, null, null, null),
       Row(2L, null, 2L, "click", -0.5, null),
-      Row(3L, base + 2L * 3600 * 1000000000L, null, "error", 2.0, null))
+      Row(3L, base + 2L * 3600 * 1000000000L, null, "error", 2.0, null),
+      // User 1 continues past the NULL-typed event: view and purchase
+      // give them 3 real events STRADDLING the null — the case where a
+      // lag that didn't skip nulls would fabricate a shrunken pattern.
+      Row(4L, base + 2L * 3600 * 1000000000L, 1L, "view", 1.0, null),
+      Row(5L, base + 3L * 3600 * 1000000000L, 1L, "purchase", 9.0, null))
     spark.createDataFrame(spark.sparkContext.parallelize(evs), evSchema)
       .coalesce(1).write.mode("overwrite").parquet(s"$nullDir/events.parquet")
     graft.operators.Relational.w7Sessionize(spark, nullDir).count()
     graft.operators.Relational.qScd2(spark, nullDir).count()
     graft.operators.Relational.qRangeJoin(spark, nullDir).count()
     graft.operators.Relational.a11Histogram(spark, nullDir).count()
+    // Trigram mining: the NULL-typed event is ABSENT from the sequence
+    // (never a shrunken concat_ws pattern), so no pattern may mention it
+    // and no pattern may have fewer than three elements.
+    val pats = graft.operators.Relational.qEventNgrams(spark, nullDir)
+      .collect().map(_.getString(0))
+    assert(pats.toSeq === Seq("click > view > purchase"),
+      s"expected the null-straddling trigram only, got ${pats.mkString("; ")}")
   }
 
   test("similarity operators tolerate a null-embedding row") {
