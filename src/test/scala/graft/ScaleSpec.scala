@@ -156,6 +156,35 @@ class ScaleSpec extends SparkTestBase {
     assert(got.toSet === naive)
   }
 
+  test("AQE splits a skewed join partition automatically (no manual salting)") {
+    // The config-level complement to the manual salting path below: at
+    // 100 TB the FIRST answer to join skew is AQE's runtime split, and
+    // this locks that the session's AQE settings actually engage it.
+    // A child session isolates the aggressive thresholds demo-sized
+    // data needs; production keeps the defaults.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    import s2.implicits._
+    // One hot key carrying 90% of the fact side among 50 uniform keys.
+    val fact = (1 to 200000)
+      .map(i => (if (i % 10 != 0) 999L else (i % 50).toLong, i.toLong))
+      .toDF("k", "v")
+    val dim = (0 to 50).map(_.toLong).union(Seq(999L)).map(k => (k, s"dim_$k"))
+      .toDF("k", "name")
+    val joined = fact.join(dim, "k")
+    // collect() drives THIS DataFrame's QueryExecution — count() would
+    // build a different one and leave this plan un-finalized
+    // (isFinalPlan=false shows the pre-runtime plan, never skew marks).
+    assert(joined.collect().length === 200000)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("skew=true"),
+      s"AQE did not mark the hot partition as skewed:\n${plan.take(2000)}")
+  }
+
   test("salted join returns exactly the plain join's rows") {
     val orders = Tables.orders(spark, Sf)
     val customer = Tables.customer(spark, Sf)
