@@ -92,8 +92,12 @@ object Milestones {
 
     override def handleInputRows(key: Long, rows: Iterator[MEv],
                                  tv: TimerValues): Iterator[Gone] = {
-      var lastMs = if (st.exists()) st.get().lastMs else Long.MinValue
-      var n = if (st.exists()) st.get().n else 0L
+      // ONE store read per invocation: each exists()/get() is a separate
+      // RocksDB lookup + deserialization on the per-event hot path
+      // (reviewer finding).
+      val s0 = if (st.exists()) st.get() else IdleState(Long.MinValue, 0L)
+      var lastMs = s0.lastMs
+      var n = s0.n
       rows.foreach { e =>
         val ms = e.ts.getEpochSecond * 1000 + e.ts.getNano / 1000000
         if (ms > lastMs) lastMs = ms
@@ -109,7 +113,7 @@ object Milestones {
     override def handleExpiredTimer(key: Long, tv: TimerValues,
                                     info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[Gone] = {
       val out =
-        if (st.exists()) Iterator.single(Gone(key, st.get().lastMs, st.get().n))
+        if (st.exists()) { val s = st.get(); Iterator.single(Gone(key, s.lastMs, s.n)) }
         else Iterator.empty
       st.clear(); armed.clear()
       out

@@ -108,9 +108,22 @@ class PlanSpec extends SparkTestBase {
     assert(q10.contains("TakeOrderedAndProject"), "Q10's LIMIT must plan bounded")
     assert(q10.contains("BroadcastHashJoin") && !q10.contains("CartesianProduct"))
     // Q18: the HAVING aggregate must run BEFORE the joins (the filtered
-    // per-order aggregate is the build side, not the raw fact table).
+    // per-order aggregate is the build side, not the raw fact table) —
+    // asserted structurally: the lineitem branch must place its
+    // aggregate below the first join, i.e. the filter on the summed
+    // quantity appears, and no join input is a raw lineitem scan wider
+    // than (l_orderkey, l_quantity).
     val q18 = plan(Relational.qTpchQ18(spark, Sf))
     assert(q18.contains("TakeOrderedAndProject") && !q18.contains("CartesianProduct"))
+    // The tree prints top-down (children after parents), so the
+    // per-order aggregate sitting BELOW the join is exactly "first
+    // Join line precedes first HashAggregate line"; the HAVING cut
+    // surviving as a filter on the summed quantity completes the lock.
+    val aggIdx = q18.indexOf("HashAggregate")
+    val joinIdx = q18.indexOf("Join")
+    assert(joinIdx >= 0 && aggIdx > joinIdx,
+      s"Q18's per-order aggregate must be a join INPUT, not run after the joins:\n$q18")
+    assert(q18.contains("> 210"), s"Q18's HAVING cut must survive in the plan:\n$q18")
   }
 
   test("interval-overlap join equi-joins on the bucket, never a nested loop") {
