@@ -162,6 +162,7 @@ object SparkEntry {
     "d5b_index_ingest"     -> LlmOps.d5bIndexIngest _,
     "d6_simhash_neardup" -> LlmOps.d6SimhashNeardup _,
     "d9_prefix_join"   -> LlmOps.d9PrefixJoin _,
+    "d10_norm_dedup"   -> LlmOps.d10NormDedup _,
     "d7_dedup_resolve" -> LlmOps.d7DedupResolve _,
     "t1_text_stats"    -> LlmOps.t1TextStats _,
     "t2_lang_id"       -> LlmOps.t2LangId _,
@@ -655,6 +656,13 @@ object SparkEntry {
   private val llmOracle: Map[String, String] = Map(
     "d1_dedup_exact" ->
       "SELECT md5(text) AS text_hash, min(doc_id) AS canonical_doc_id, count(*) AS n_copies FROM documents GROUP BY md5(text)",
+    // d10 twin: the same normalization fold, token for token — DuckDB's
+    // regexp_replace needs the explicit 'g' flag for global semantics
+    // (Spark's is global by default).
+    "d10_norm_dedup" ->
+      ("SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_hash, " +
+        "min(doc_id) AS canonical_doc_id, count(*) AS n_copies FROM documents " +
+        "GROUP BY 1"),
     "d2_dedup_minhash" ->
       (s"WITH tokd AS ($duckTok), " +
         s"sh AS (SELECT doc_id, $duckShingles AS s FROM tokd WHERE len(tok) >= 3), " +

@@ -172,6 +172,27 @@ object LlmOps {
         min("doc_id").as("canonical_doc_id"),
         count("*").as("n_copies"))
 
+  /** The canonical pre-dedup text normalization, shared verbatim with
+    * the DuckDB twin: lowercase → non-alphanumerics to spaces →
+    * whitespace collapse → trim. Catches the case/punctuation/spacing
+    * near-clones byte-exact d1 misses (the first normalization pass
+    * every curation pipeline runs before hashing).
+    */
+  private[graft] val normExpr =
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' '), ' +', ' '))"
+
+  /** D10: normalization-aware exact dedup — [[d1DedupExact]] over
+    * [[normExpr]]'d text. Same 100 TB shape as d1 (one shuffle on a
+    * uniform 128-bit key; the normalization itself is a codegen'd
+    * map-side projection), strictly coarser equivalence classes.
+    */
+  def d10NormDedup(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(md5(expr(normExpr)).as("norm_hash"))
+      .agg(
+        min("doc_id").as("canonical_doc_id"),
+        count("*").as("n_copies"))
+
   // ---------------------------------------------------------------------
   // D2: fuzzy dedup — MinHash signatures, LSH banding, banded candidate
   // join, exact-Jaccard verification of candidates only.

@@ -36,6 +36,23 @@ class Round7Spec extends SparkTestBase {
     assert(nTri > 0, "fixture graph must actually contain triangles")
   }
 
+  test("d10 merges case/punctuation variants that byte-exact d1 keeps apart") {
+    val dir = tempDir("norm_docs")
+    val docs = Seq(
+      (1L, "Hello, World! This is a Test.", "en", "src", 29L),
+      (2L, "hello world this is a test", "en", "src", 26L),
+      (3L, "HELLO   WORLD — this IS a test?!", "en", "src", 32L),
+      (4L, "something else entirely", "en", "src", 23L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val d1 = graft.operators.LlmOps.d1DedupExact(spark, dir).count()
+    val d10 = graft.operators.LlmOps.d10NormDedup(spark, dir)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toMap
+    assert(d1 === 4L, "byte-exact dedup sees four distinct texts")
+    assert(d10 === Map(1L -> 3L, 4L -> 1L),
+      s"normalized dedup must fold the three variants onto doc 1, got $d10")
+  }
+
   test("d9 prefix join equals the unfiltered all-pairs join (no false negatives)") {
     val got = graft.operators.LlmOps.d9PrefixJoin(spark, Sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
