@@ -55,5 +55,21 @@ class ZOrderSpec extends SparkTestBase {
     val back = spark.read.parquet(zDir)
     assert(back.count() === events.count())
     assert(back.exceptAll(events).count() === 0)
+
+    // RUNTIME proof, not just envelopes: the scan's numOutputRows under
+    // the pushed user-band predicate counts rows actually DECODED after
+    // row-group skipping — the z layout must decode far less than the
+    // time-sorted one (which matches every row group's user envelope).
+    def decodedRows(dir: String): Long = {
+      val df = spark.read.parquet(dir)
+        .filter(col("user_id") >= uLo && col("user_id") <= uHi)
+      df.collect()
+      df.queryExecution.executedPlan.collectLeaves()
+        .map(_.metrics("numOutputRows").value).sum
+    }
+    val zRows = decodedRows(zDir)
+    val tsRows = decodedRows(tsDir)
+    assert(zRows * 2 <= tsRows,
+      s"z layout decoded $zRows rows vs $tsRows time-sorted — expected at least 2× skipping")
   }
 }
