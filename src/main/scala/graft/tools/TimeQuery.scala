@@ -34,6 +34,13 @@ object TimeQuery {
       }.tail // first rep is the untimed warm-up
       val med = times.map(_._1).sorted.apply(times.size / 2)
       println(f"TIME $name%-24s median=$med%7.3f s  reps=${times.map(t => f"${t._1}%.3f").mkString(",")}  rows=${times.head._2}")
+      // Bench's aged-session lesson (Bench.scala): without an explicit
+      // collection between queries, dead blocks from earlier queries
+      // surface as multi-second mixed GCs inside a later query's timed
+      // window — a sweep measured q_triangles 19 s aged vs 5.6 s fresh
+      // before this was added.
+      spark.catalog.clearCache()
+      System.gc()
     }
     spark.stop()
   }
