@@ -25,7 +25,7 @@ object Bench {
     // setup job), so its timed entry measures what the operator promises:
     // batch-proportional steady-state ingest against the stored index.
     Seq("j1_dim_join", "st2_sliding_window", "d4_ngram_jaccard",
-      "d5b_index_ingest").foreach { q =>
+      "d5b_index_ingest", "q_triangles_idx").foreach { q =>
       try SparkEntry.queries.get(q).foreach(_(spark, sfDir).count())
       catch { case _: Throwable => () }
       PersistScope.releaseAll()

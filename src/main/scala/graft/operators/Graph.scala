@@ -157,4 +157,59 @@ object Graph {
       .crossJoin(broadcast(e0.agg(count(lit(1)).as("n_edges"))))
       .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
   }
+
+  /** Materialize the oriented edge table as a BUCKETED index (the d5b
+    * pattern: build once per graph snapshot, query many times). Bucketed
+    * by src so the wedge self-join runs exchange-free on the stored
+    * layout; the pair-build + degree + orientation work never re-runs
+    * per query. At 100 TB the edge index is the graph — every triangle /
+    * wedge / motif query starts from it.
+    */
+  def buildEdgeIndex(spark: SparkSession, dir: String, prefix: String,
+                     numBuckets: Int = 8): Unit = {
+    val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey"))
+    val e0 = PersistScope.persisted(
+      li.as("a").join(li.as("b"), Seq("l_orderkey"))
+        .filter(col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        .distinct())
+    val e = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+    val deg = PersistScope.persisted(
+      e.groupBy(col("u").as("node")).agg(count(lit(1)).as("d")))
+    val o = e.join(deg.select(col("node").as("u"), col("d").as("d_u")), "u")
+      .join(deg.select(col("node").as("v"), col("d").as("d_v")), "v")
+      .filter(col("d_u") < col("d_v") ||
+        (col("d_u") === col("d_v") && col("u") < col("v")))
+      .select(col("u").as("src"), col("v").as("dst"), col("d_v").as("d_dst"))
+    Scale.writeBucketed(o, s"${prefix}_edges", "src", numBuckets)
+    PersistScope.releaseAll()
+  }
+
+  /** [[qTriangles]] over a [[buildEdgeIndex]] snapshot: ONLY the wedge
+    * join runs per query — the oriented table is read from its bucketed
+    * layout (o1⋈o2 on src needs no exchange), so per-query work drops to
+    * the wedge stream itself. Same output contract and the SAME oracle
+    * as q_triangles: the index changes where the work happens, never the
+    * answer. Build is idempotent and self-healing (writeBucketed
+    * overwrites), gated on table existence like d5b.
+    */
+  def qTrianglesIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val prefix = "tri_idx_" + java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    if (!spark.catalog.tableExists(s"${prefix}_edges"))
+      buildEdgeIndex(spark, dir, prefix)
+    val o = spark.table(s"${prefix}_edges")
+    val wedgeClosed = o.as("o1")
+      .join(o.as("o2"), col("o1.src") === col("o2.src") &&
+        (col("o1.d_dst") < col("o2.d_dst") ||
+          (col("o1.d_dst") === col("o2.d_dst") && col("o1.dst") < col("o2.dst"))))
+      .join(o.as("o3").hint("shuffle_hash"),
+        col("o3.src") === col("o1.dst") && col("o3.dst") === col("o2.dst"))
+    val nNodes = o.select(col("src").as("n")).union(o.select(col("dst").as("n")))
+      .distinct().agg(count(lit(1)).as("n_nodes"))
+    wedgeClosed.agg(count(lit(1)).as("n_triangles"))
+      .crossJoin(broadcast(nNodes))
+      .crossJoin(broadcast(o.agg(count(lit(1)).as("n_edges"))))
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
+  }
 }

@@ -89,6 +89,13 @@ class Round7Spec extends SparkTestBase {
       s"$nClipped of ${rows.length} rows clipped — bounds are not tail ranks")
   }
 
+  test("indexed triangles equal the recompute form") {
+    val direct = graft.operators.Graph.qTriangles(spark, Sf).collect().head
+    val indexed = graft.operators.Graph.qTrianglesIndexed(spark, Sf).collect().head
+    assert((0 to 2).forall(i => direct.getLong(i) === indexed.getLong(i)),
+      s"index changed the answer: $direct vs $indexed")
+  }
+
   test("t23 novelty separates boilerplate from unique text") {
     // Ten docs share the same boilerplate sentence; one doc is unique
     // prose. With the df ≥ 2 floor the shared bigrams are frequent and
