@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Delta, Graph, LlmOps, Multimodal, Relational, Scale, Similarity, Tpch}
+import graft.operators.{Delta, Graph, LlmOps, Maintenance, Multimodal, Relational, Scale, Similarity, Tpch}
 import graft.streaming.Streaming
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -104,6 +104,7 @@ object SparkEntry {
     "q_flagship"           -> Relational.flagship _,
     "q_snapshot_diff"      -> Delta.qSnapshotDiff _,
     "q_scd2_merge"         -> Delta.qScd2Merge _,
+    "q_compact"            -> Maintenance.qCompact _,
     "q_fuzzy_match"        -> Relational.qFuzzyMatch _,
     "q_fuzzy_match_name"   -> Relational.qFuzzyMatchName _,
     "f14_regex"            -> Relational.f14Regex _,
@@ -189,6 +190,9 @@ object SparkEntry {
     "t21_bm25"         -> LlmOps.t21Bm25 _,
     "t22_group_sample" -> LlmOps.t22GroupSample _,
     "t23_rare_bigrams" -> LlmOps.t23RareBigrams _,
+    "t24_bpe_pairs"    -> LlmOps.t24BpePairs _,
+    "t25_classifier"   -> LlmOps.t25Classifier _,
+    "t26_bigram_lm"    -> LlmOps.t26BigramLm _,
   )
 
   private val simQueries: Map[String, Query] = Map(
@@ -449,6 +453,11 @@ object SparkEntry {
         "CASE WHEN o.o_orderkey IS NULL THEN 'added' WHEN n.o_orderkey IS NULL THEN 'removed' " +
         "WHEN o.status <> n.status OR o.cents <> n.cents THEN 'changed' ELSE 'unchanged' END AS change_type " +
         "FROM o FULL JOIN n ON o.o_orderkey = n.o_orderkey) WHERE change_type <> 'unchanged'"),
+    // Compaction twin: the maintenance rewrite must be invisible to any
+    // reader — the oracle reads the same rows straight from the source.
+    "q_compact" ->
+      ("SELECT o_orderkey, o_orderstatus, " +
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders"),
     // SCD2-MERGE twin: the MERGE expansion stated as one FULL JOIN and
     // four UNION ALL branches (unchanged-open / closed / reopened /
     // inserted). Null-safe value compare (IS NOT DISTINCT FROM) matches
@@ -1453,6 +1462,45 @@ object SparkEntry {
         "+ CAST(count(*) AS BIGINT)) // (2 * CAST(count(*) AS BIGINT)) AS BIGINT) AS novelty_milli " +
         "FROM g LEFT JOIN freq f ON g.sh = f.sh " +
         "GROUP BY doc_id"),
+    // BPE-pair twin: distinct-word frequencies, then per-character pair
+    // explosion over the word table — range(1, len) is 1..len-1 on both
+    // engines; words under two chars drop on both sides.
+    "t24_bpe_pairs" ->
+      ("WITH w AS (SELECT tok, count(*) AS freq FROM " +
+        "(SELECT unnest(string_split(text, ' ')) AS tok FROM documents) " +
+        "WHERE length(tok) >= 2 GROUP BY tok), " +
+        "p AS (SELECT substr(tok, CAST(i AS INT), 1) AS left_sym, " +
+        "substr(tok, CAST(i AS INT) + 1, 1) AS right_sym, freq " +
+        "FROM (SELECT tok, freq, unnest(range(1, length(tok))) AS i FROM w)) " +
+        "SELECT left_sym, right_sym, CAST(sum(freq) AS BIGINT) AS pair_count " +
+        "FROM p GROUP BY 1, 2"),
+    // Classifier twin: same df / df_pos vocabulary, same integer milli
+    // weights, same milli-average score and 50-milli prior cut.
+    "t25_classifier" ->
+      ("WITH toks AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok FROM documents), " +
+        "v AS (SELECT tok, count(DISTINCT doc_id) AS df, " +
+        "count(DISTINCT CASE WHEN source = 'src0' THEN doc_id END) AS df_pos FROM toks GROUP BY tok), " +
+        "w AS (SELECT tok, CAST((2000 * CAST(df_pos AS BIGINT) + CAST(df AS BIGINT)) // " +
+        "(2 * CAST(df AS BIGINT)) AS BIGINT) AS w_milli FROM v), " +
+        "s AS (SELECT doc_id, count(*) AS n_toks, CAST(sum(w_milli) AS BIGINT) AS w_sum " +
+        "FROM toks JOIN w USING (tok) GROUP BY doc_id) " +
+        "SELECT doc_id, n_toks, score_milli, " +
+        "CAST(CASE WHEN score_milli > 50 THEN 1 ELSE 0 END AS BIGINT) AS is_pos " +
+        "FROM (SELECT doc_id, n_toks, CAST((2000 * w_sum + 1000 * n_toks) // " +
+        "(2 * 1000 * n_toks) AS BIGINT) AS score_milli FROM s)"),
+    // Bigram-LM twin: context counts over bigram rows (so per-context
+    // rates sum to 1000), integer conditional rates, milli-average score.
+    "t26_bigram_lm" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+        "g AS (SELECT doc_id, toks[i] AS a, toks[i + 1] AS b " +
+        "FROM t, unnest(range(1, len(toks))) AS u(i)), " +
+        "c AS (SELECT a, count(*) AS c_a FROM g GROUP BY a), " +
+        "m AS (SELECT a, b, CAST((2000 * CAST(count(*) AS BIGINT) + CAST(c_a AS BIGINT)) // " +
+        "(2 * CAST(c_a AS BIGINT)) AS BIGINT) AS p_milli FROM g JOIN c USING (a) GROUP BY a, b, c_a), " +
+        "s AS (SELECT doc_id, count(*) AS n_bigrams, CAST(sum(p_milli) AS BIGINT) AS p_sum " +
+        "FROM g JOIN m USING (a, b) GROUP BY doc_id) " +
+        "SELECT doc_id, n_bigrams, CAST((2000 * p_sum + 1000 * n_bigrams) // " +
+        "(2 * 1000 * n_bigrams) AS BIGINT) AS avg_p_milli FROM s"),
     // Q4 twin: same 60-day-late EXISTS; DuckDB's INTERVAL addition on
     // TIMESTAMP matches Spark's day-interval arithmetic exactly.
     "q_tpch_q4" ->

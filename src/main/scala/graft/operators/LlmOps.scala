@@ -1454,4 +1454,131 @@ object LlmOps {
             |else array_min(transform(sequence(1, length(text) - 4),
             |       i -> md5(substring(text, i, 5))))
             |end""".stripMargin).as("min_shingle_hash"))
+
+  // ---------------------------------------------------------------------
+  // T24: BPE pair counting (the tokenizer-training inner loop).
+  // ---------------------------------------------------------------------
+
+  /** T24: adjacent-symbol pair counts, the statistic a BPE tokenizer
+    * trainer maximizes on every merge step (Sennrich et al. 2016): count
+    * each adjacent character pair inside every word, weighted by the
+    * word's corpus frequency. The top pair is the next merge; re-running
+    * after applying a merge is one training iteration.
+    *
+    * Scale shape — the reason BPE training is feasible at 100 TB at all:
+    * the corpus collapses to the DISTINCT-WORD table first (one
+    * wordcount-shaped shuffle whose Zipf head is absorbed by map-side
+    * partial aggregation), and the per-character pair explosion runs
+    * over that small table, never over the corpus. Pair space is
+    * alphabet², so the final aggregate is tiny. Words shorter than two
+    * symbols carry no pair and are dropped on both engines.
+    */
+  def t24BpePairs(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(spark, dir)
+      .select(explode(expr(tokExpr)).as("tok"))
+      .filter(length(col("tok")) >= 2)
+      .groupBy("tok")
+      .agg(count(lit(1)).as("freq"))
+    words
+      // sequence() is safe here: the len >= 2 filter above guarantees an
+      // ascending non-empty range (Spark's sequence(1, 0) would COUNT
+      // DOWN, not return empty — the guard is load-bearing).
+      .select(col("tok"), col("freq"),
+        explode(expr("sequence(1, length(tok) - 1)")).as("i"))
+      .select(
+        expr("substring(tok, i, 1)").as("left_sym"),
+        expr("substring(tok, i + 1, 1)").as("right_sym"),
+        col("freq"))
+      .groupBy("left_sym", "right_sym")
+      .agg(sum("freq").as("pair_count"))
+  }
+
+  // ---------------------------------------------------------------------
+  // T25: token-weight quality classifier (train + infer, one plan).
+  // ---------------------------------------------------------------------
+
+  /** T25: sparse linear classifier over token features — the
+    * fastText-shaped quality-filter inference pass (score a document by
+    * summing per-token weights from a trained vocabulary), with the
+    * training fold into the same relational plan: the weight of a token
+    * is the milli-rate of its document frequency inside the positive
+    * class (`source = 'src0'` plays the "high-quality" label) over its
+    * total document frequency, i.e. an integer-exact naive-Bayes-style
+    * class-likelihood ratio. A document's score is the milli-average of
+    * its tokens' weights; with 20 uniform sources the prior is 50 milli,
+    * so `is_pos` fires when a doc's token mass leans toward the positive
+    * class beyond the prior.
+    *
+    * Scale shape: the corpus tokenizes once (persisted), the vocabulary
+    * is a wordcount-shaped aggregate (map-side partials absorb the Zipf
+    * head), and inference is a BROADCAST join of that small vocab back
+    * onto the token stream followed by a per-doc aggregate — the
+    * model-as-data pattern: retraining ships new weights as a table, not
+    * a code deploy. No UDF anywhere; the whole train+infer pipeline is
+    * one declarative plan.
+    */
+  def t25Classifier(spark: SparkSession, dir: String): DataFrame = {
+    val toks = PersistScope.persisted(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"), explode(expr(tokExpr)).as("tok")))
+    val vocab = toks.groupBy("tok").agg(
+        countDistinct("doc_id").as("df"),
+        countDistinct(when(col("source") === "src0", col("doc_id"))).as("df_pos"))
+      .select(col("tok"), expr(milli("df_pos", "df")).as("w_milli"))
+    toks
+      .join(broadcast(vocab), "tok")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"), sum("w_milli").as("w_sum"))
+      .select(col("doc_id"), col("n_toks"),
+        // w_sum is already in milli units, so milli(w_sum, 1000·n) is
+        // exactly round-half-up(w_sum / n): the milli-average weight.
+        expr(milli("w_sum", "1000 * n_toks")).as("score_milli"))
+      .withColumn("is_pos", (col("score_milli") > 50).cast("int").cast("bigint"))
+  }
+
+  // ---------------------------------------------------------------------
+  // T26: bigram LM scoring (the perplexity-filter shape).
+  // ---------------------------------------------------------------------
+
+  /** T26: bigram language-model scoring — the CCNet/Gopher perplexity
+    * filter re-expressed with integer-exact arithmetic: train token
+    * bigram conditional rates over the corpus
+    * (`p_milli(b|a) = milli(c(a,b), c(a))`, counts over adjacent word
+    * pairs), then score every document by the milli-average conditional
+    * rate of its own bigrams. Low scores mark incoherent/noisy text, high
+    * scores mark boilerplate — both tails are what a curation run cuts.
+    * Integer rates instead of float log-probs keep the oracle compare
+    * exact; the ranking they induce is the same monotone signal.
+    *
+    * Scale shape: the bigram stream is computed once and persisted (it
+    * feeds training counts AND scoring), the model is two
+    * wordcount-shaped aggregates, and scoring joins the model back on
+    * (a, b) — an equi-join co-partitioned with the pair aggregate, so
+    * AQE can reuse the exchange. At 100 TB the model table (vocab²
+    * worst case) is pruned to top-K continuations per context and
+    * broadcast; here it rides the shuffle join, which is the honest
+    * default when the model outgrows the broadcast threshold.
+    */
+  def t26BigramLm(spark: SparkSession, dir: String): DataFrame = {
+    val bi = PersistScope.persisted(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), expr(tokExpr).as("toks"))
+        .select(col("doc_id"), col("toks"), posexplode(col("toks")).as(Seq("pos", "a")))
+        .filter(col("pos") <= size(col("toks")) - 2)
+        .select(col("doc_id"), col("a"),
+          element_at(col("toks"), col("pos") + 2).as("b")))
+    // c(a) counts CONTEXT occurrences (tokens with a successor), so the
+    // per-context rates sum to exactly 1000·c(a) and the milli-average is
+    // a true conditional-probability average.
+    val contexts = bi.groupBy("a").agg(count(lit(1)).as("c_a"))
+    val model = bi.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+      .join(contexts, "a")
+      .select(col("a"), col("b"), expr(milli("c_ab", "c_a")).as("p_milli"))
+    bi
+      .join(model, Seq("a", "b"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("p_milli").as("p_sum"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr(milli("p_sum", "1000 * n_bigrams")).as("avg_p_milli"))
+  }
 }
