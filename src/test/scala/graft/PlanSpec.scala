@@ -229,4 +229,27 @@ class PlanSpec extends SparkTestBase {
     assert(pr.contains("BroadcastHashJoin") || pr.contains("SortMergeJoin"),
       s"rank⋈edges must be an equi-join:\n$pr")
   }
+
+  test("round-8 operators keep their scale shapes (t24, t25, t26)") {
+    import graft.operators.LlmOps
+    // t24: the pair explosion must run over the DISTINCT-WORD aggregate,
+    // never join anything — two hash aggregates and a generate, no join
+    // operator of any kind in the plan.
+    val t24 = plan(LlmOps.t24BpePairs(spark, Sf))
+    assert(!t24.contains("Join"), s"t24 must be aggregate-only:\n$t24")
+    assert(t24.contains("HashAggregate"), s"t24 should partial-aggregate:\n$t24")
+    // t25: inference joins the trained vocabulary back onto the token
+    // stream as a BROADCAST (model-as-data); a shuffle join here would
+    // re-shuffle the corpus-sized token stream against a small model.
+    val t25 = plan(LlmOps.t25Classifier(spark, Sf))
+    assert(t25.contains("BroadcastHashJoin"), s"t25 vocab join must broadcast:\n$t25")
+    assert(!t25.contains("SortMergeJoin"), s"t25 must not shuffle-join the vocab:\n$t25")
+    // t26: the model rides equi-joins, never a nested loop; the bigram
+    // stream is persisted so the corpus explodes once.
+    val t26 = plan(LlmOps.t26BigramLm(spark, Sf))
+    assert(!t26.contains("CartesianProduct") && !t26.contains("BroadcastNestedLoop"),
+      s"t26 must stay on equi-joins:\n$t26")
+    assert(t26.contains("InMemoryTableScan"),
+      s"t26's bigram stream should be persisted and reused:\n$t26")
+  }
 }
