@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Delta, Graph, LlmOps, Maintenance, Multimodal, Relational, Scale, Similarity, Tpch}
+import graft.operators.{Delta, Graph, LlmOps, Multimodal, Relational, Scale, Similarity, Tpch}
 import graft.streaming.Streaming
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -104,7 +104,7 @@ object SparkEntry {
     "q_flagship"           -> Relational.flagship _,
     "q_snapshot_diff"      -> Delta.qSnapshotDiff _,
     "q_scd2_merge"         -> Delta.qScd2Merge _,
-    "q_compact"            -> Maintenance.qCompact _,
+    "q_compact"            -> Scale.qCompact _,
     "q_fuzzy_match"        -> Relational.qFuzzyMatch _,
     "q_fuzzy_match_name"   -> Relational.qFuzzyMatchName _,
     "f14_regex"            -> Relational.f14Regex _,

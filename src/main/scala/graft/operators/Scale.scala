@@ -302,4 +302,23 @@ object Scale {
     val repSmall = small.withColumn("__salt", explode(expr(s"sequence(0, ${salts - 1})")))
     saltedBig.join(repSmall, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** `q_compact`: [[compactFiles]] as an oracle-checked query — fragment
+    * the orders table into 64 small files (the post-ingest state),
+    * compact, and return the compacted table. The oracle twin reads the
+    * SAME rows straight from the source, so the correctness gate itself
+    * proves the maintenance rewrite is invisible to readers.
+    */
+  def qCompact(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val scratch = java.nio.file.Files.createTempDirectory("graft_compact")
+    scratch.toFile.deleteOnExit()
+    val table = s"$scratch/orders"
+    graft.Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+      .repartition(64)
+      .write.mode(SaveMode.Overwrite).parquet(table)
+    compactFiles(spark, table, targetBytes = 8L << 20)
+    spark.read.parquet(table)
+  }
 }

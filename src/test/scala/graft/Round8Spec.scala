@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{LlmOps, Maintenance}
+import graft.operators.LlmOps
 
 /** Behavioral checks for the round-8 operators — each against an
   * independent Scala-side recomputation or a structural invariant the
@@ -110,33 +110,13 @@ class Round8Spec extends SparkTestBase {
     assert(off === 0L, "per-context probability mass must be ~1000 milli")
   }
 
-  test("compact collapses a 64-file table into few files with identical content") {
-    val dir = tempDir("compact_tbl")
-    val table = s"$dir/orders"
-    val src = Tables.orders(spark, Sf)
-      .select(col("o_orderkey"), col("o_orderstatus"))
-    src.repartition(64).write.mode("overwrite").parquet(table)
-    val expected = src.collect().map(_.toString).sorted
-    val stats = Maintenance.compact(spark, table, targetFileBytes = 64L * 1024 * 1024)
-    assert(stats.filesBefore === 64L)
-    assert(stats.filesAfter === 1L, s"64 tiny files must pack into one, got $stats")
-    assert(stats.rows === expected.length.toLong)
-    val got = spark.read.parquet(table).collect().map(_.toString).sorted
-    assert(got.toSeq === expected.toSeq, "compaction must preserve content exactly")
-    // No staging/old residue left behind the swap.
-    val names = new java.io.File(dir).list().toSeq
-    assert(names === Seq("orders"), s"leftover maintenance dirs: $names")
-  }
-
-  test("compact is idempotent: a second run keeps the same file count and rows") {
-    val dir = tempDir("compact_idem")
-    val table = s"$dir/orders"
-    Tables.orders(spark, Sf).select(col("o_orderkey"))
-      .repartition(16).write.mode("overwrite").parquet(table)
-    val first = Maintenance.compact(spark, table, targetFileBytes = 64L * 1024 * 1024)
-    val second = Maintenance.compact(spark, table, targetFileBytes = 64L * 1024 * 1024)
-    assert(second.filesBefore === first.filesAfter)
-    assert(second.filesAfter === first.filesAfter)
-    assert(second.rows === first.rows)
+  test("q_compact leaves a single packed file behind (the 64-file layout is gone)") {
+    // Content preservation is the oracle's job; this locks the layout
+    // effect: after Scale.compactFiles the table directory holds one
+    // data file, not the 64-file post-ingest fragmentation.
+    val df = graft.operators.Scale.qCompact(spark, Sf)
+    val dir = df.inputFiles
+    assert(dir.length === 1, s"expected 1 compacted file, got ${dir.length}")
+    assert(df.count() === Tables.orders(spark, Sf).count())
   }
 }
