@@ -1505,9 +1505,14 @@ object LlmOps {
     * class (`source = 'src0'` plays the "high-quality" label) over its
     * total document frequency, i.e. an integer-exact naive-Bayes-style
     * class-likelihood ratio. A document's score is the milli-average of
-    * its tokens' weights; with 20 uniform sources the prior is 50 milli,
-    * so `is_pos` fires when a doc's token mass leans toward the positive
-    * class beyond the prior.
+    * its tokens' weights; `is_pos` fires when a doc's token mass leans
+    * toward the positive class beyond the prior, which is DERIVED
+    * in-plan as `milli(1, count(distinct source))` (a broadcast one-row
+    * aggregate — 50 milli on the 20-source fixture corpus, 500 on a
+    * two-source corpus) rather than hard-coded, so the cut tracks the
+    * corpus instead of the fixture. Empty tokens from consecutive /
+    * trailing spaces are filtered before they can enter the vocabulary
+    * as features (the t24 discipline).
     *
     * Scale shape: the corpus tokenizes once (persisted), the vocabulary
     * is a wordcount-shaped aggregate (map-side partials absorb the Zipf
@@ -1520,11 +1525,17 @@ object LlmOps {
   def t25Classifier(spark: SparkSession, dir: String): DataFrame = {
     val toks = PersistScope.persisted(
       Tables.documents(spark, dir)
-        .select(col("doc_id"), col("source"), explode(expr(tokExpr)).as("tok")))
+        .select(col("doc_id"), col("source"), explode(expr(tokExpr)).as("tok"))
+        .filter(length(col("tok")) >= 1))
     val vocab = toks.groupBy("tok").agg(
         countDistinct("doc_id").as("df"),
         countDistinct(when(col("source") === "src0", col("doc_id"))).as("df_pos"))
       .select(col("tok"), expr(milli("df_pos", "df")).as("w_milli"))
+    // Uniform-class prior: one row, broadcast — the crossJoin carries a
+    // scalar, never data × data.
+    val prior = Tables.documents(spark, dir)
+      .agg(countDistinct("source").as("n_src"))
+      .select(expr(milli("1", "n_src")).as("prior_milli"))
     toks
       .join(broadcast(vocab), "tok")
       .groupBy("doc_id")
@@ -1533,7 +1544,10 @@ object LlmOps {
         // w_sum is already in milli units, so milli(w_sum, 1000·n) is
         // exactly round-half-up(w_sum / n): the milli-average weight.
         expr(milli("w_sum", "1000 * n_toks")).as("score_milli"))
-      .withColumn("is_pos", (col("score_milli") > 50).cast("int").cast("bigint"))
+      .crossJoin(broadcast(prior))
+      .withColumn("is_pos",
+        (col("score_milli") > col("prior_milli")).cast("int").cast("bigint"))
+      .drop("prior_milli")
   }
 
   // ---------------------------------------------------------------------

@@ -46,8 +46,12 @@ class TtlProbeSpec extends SparkTestBase {
       val scratch = tempDir(s"ttl_stage_$name")
       Seq((1L, 10L), (2L, 20L)).toDF("k", "v")
         .coalesce(1).write.mode("overwrite").parquet(scratch)
-      val part = Files.list(Paths.get(scratch)).toArray.map(_.toString)
-        .filter(p => p.endsWith(".parquet")).head
+      // Files.list holds an open directory handle until the stream is
+      // closed — close it before the copy below.
+      val listing = Files.list(Paths.get(scratch))
+      val part =
+        try listing.toArray.map(_.toString).filter(p => p.endsWith(".parquet")).head
+        finally listing.close()
       val dst = srcDir.resolve(s"$name.parquet")
       Files.copy(Paths.get(part), dst)
       Files.setLastModifiedTime(dst, java.nio.file.attribute.FileTime.fromMillis(mtime))
