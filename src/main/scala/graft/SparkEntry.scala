@@ -193,6 +193,7 @@ object SparkEntry {
     "t24_bpe_pairs"    -> LlmOps.t24BpePairs _,
     "t25_classifier"   -> LlmOps.t25Classifier _,
     "t26_bigram_lm"    -> LlmOps.t26BigramLm _,
+    "t27_bigram_topk"  -> ((s: SparkSession, d: String) => LlmOps.t27BigramTopk(s, d)),
   )
 
   private val simQueries: Map[String, Query] = Map(
@@ -219,6 +220,7 @@ object SparkEntry {
     "st10_stream_full_outer" -> Streaming.streamStreamFullOuter _,
     "st11_milestones"      -> Streaming.st11Milestones _,
     "st12_inactivity"      -> Streaming.st12Inactivity _,
+    "st13_ttl_state"       -> Streaming.st13TtlState _,
   )
 
   private val multimodalQueries: Map[String, Query] = Map(
@@ -1319,6 +1321,13 @@ object SparkEntry {
         "u AS (SELECT user_id, max(CAST(ts AS TIMESTAMP)) AS last_ts, count(*) AS n FROM events GROUP BY user_id) " +
         "SELECT user_id, epoch_ms(last_ts) AS last_ms, CAST(n AS BIGINT) AS n_events " +
         "FROM u, mx WHERE last_ts + INTERVAL 30 MINUTE < m - INTERVAL 10 MINUTE"),
+    // st13 twin: one Trigger.Once batch delivers every row of a key in a
+    // single invocation against fresh state, so the output is the plain
+    // per-user count with had_prior=false for all; the TTL/cross-run
+    // semantics are proven separately by TtlProbeSpec.
+    "st13_ttl_state" ->
+      ("SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, " +
+        "CAST(0 AS BOOLEAN) AS had_prior FROM events GROUP BY user_id"),
     // BM25 twin: identical fixed-point derivation (rational ln-free idf,
     // fifths-scaled k1/b, round-half-up at each step — // floors =
     // truncates, all operands non-negative).
@@ -1475,19 +1484,26 @@ object SparkEntry {
         "SELECT left_sym, right_sym, CAST(sum(freq) AS BIGINT) AS pair_count " +
         "FROM p GROUP BY 1, 2"),
     // Classifier twin: same df / df_pos vocabulary, same integer milli
-    // weights, same milli-average score and 50-milli prior cut.
+    // weights, same milli-average score; empty tokens filtered and the
+    // prior cut derived as milli(1, count(distinct source)) — both
+    // mirroring the Spark plan, so the oracle defines identical
+    // semantics on ANY corpus, not just the 20-source fixture.
     "t25_classifier" ->
-      ("WITH toks AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok FROM documents), " +
+      ("WITH toks AS (SELECT doc_id, source, tok FROM " +
+        "(SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok FROM documents) " +
+        "WHERE length(tok) >= 1), " +
         "v AS (SELECT tok, count(DISTINCT doc_id) AS df, " +
         "count(DISTINCT CASE WHEN source = 'src0' THEN doc_id END) AS df_pos FROM toks GROUP BY tok), " +
         "w AS (SELECT tok, CAST((2000 * CAST(df_pos AS BIGINT) + CAST(df AS BIGINT)) // " +
         "(2 * CAST(df AS BIGINT)) AS BIGINT) AS w_milli FROM v), " +
+        "prior AS (SELECT CAST((2000 * 1 + CAST(count(DISTINCT source) AS BIGINT)) // " +
+        "(2 * CAST(count(DISTINCT source) AS BIGINT)) AS BIGINT) AS prior_milli FROM documents), " +
         "s AS (SELECT doc_id, count(*) AS n_toks, CAST(sum(w_milli) AS BIGINT) AS w_sum " +
         "FROM toks JOIN w USING (tok) GROUP BY doc_id) " +
         "SELECT doc_id, n_toks, score_milli, " +
-        "CAST(CASE WHEN score_milli > 50 THEN 1 ELSE 0 END AS BIGINT) AS is_pos " +
+        "CAST(CASE WHEN score_milli > prior_milli THEN 1 ELSE 0 END AS BIGINT) AS is_pos " +
         "FROM (SELECT doc_id, n_toks, CAST((2000 * w_sum + 1000 * n_toks) // " +
-        "(2 * 1000 * n_toks) AS BIGINT) AS score_milli FROM s)"),
+        "(2 * 1000 * n_toks) AS BIGINT) AS score_milli FROM s), prior"),
     // Bigram-LM twin: context counts over bigram rows (so per-context
     // rates sum to 1000), integer conditional rates, milli-average score.
     "t26_bigram_lm" ->
@@ -1497,6 +1513,24 @@ object SparkEntry {
         "c AS (SELECT a, count(*) AS c_a FROM g GROUP BY a), " +
         "m AS (SELECT a, b, CAST((2000 * CAST(count(*) AS BIGINT) + CAST(c_a AS BIGINT)) // " +
         "(2 * CAST(c_a AS BIGINT)) AS BIGINT) AS p_milli FROM g JOIN c USING (a) GROUP BY a, b, c_a), " +
+        "s AS (SELECT doc_id, count(*) AS n_bigrams, CAST(sum(p_milli) AS BIGINT) AS p_sum " +
+        "FROM g JOIN m USING (a, b) GROUP BY doc_id) " +
+        "SELECT doc_id, n_bigrams, CAST((2000 * p_sum + 1000 * n_bigrams) // " +
+        "(2 * 1000 * n_bigrams) AS BIGINT) AS avg_p_milli FROM s"),
+    // Pruned-broadcast LM twin: identical model, ranked to top-5
+    // successors per context (count desc, successor asc tie-break —
+    // deterministic on both engines) before scoring; only covered
+    // bigrams count.
+    "t27_bigram_topk" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+        "g AS (SELECT doc_id, toks[i] AS a, toks[i + 1] AS b " +
+        "FROM t, unnest(range(1, len(toks))) AS u(i)), " +
+        "c AS (SELECT a, count(*) AS c_a FROM g GROUP BY a), " +
+        "r AS (SELECT a, b, count(*) AS c_ab, " +
+        "row_number() OVER (PARTITION BY a ORDER BY count(*) DESC, b ASC) AS rk " +
+        "FROM g GROUP BY a, b), " +
+        "m AS (SELECT r.a, r.b, CAST((2000 * CAST(c_ab AS BIGINT) + CAST(c_a AS BIGINT)) // " +
+        "(2 * CAST(c_a AS BIGINT)) AS BIGINT) AS p_milli FROM r JOIN c USING (a) WHERE rk <= 5), " +
         "s AS (SELECT doc_id, count(*) AS n_bigrams, CAST(sum(p_milli) AS BIGINT) AS p_sum " +
         "FROM g JOIN m USING (a, b) GROUP BY doc_id) " +
         "SELECT doc_id, n_bigrams, CAST((2000 * p_sum + 1000 * n_bigrams) // " +

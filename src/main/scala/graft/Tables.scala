@@ -21,17 +21,41 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects. The session is built with nanosAsLong=true ([[Sessions]] —
-    * config belongs at session construction, not as a loader side effect);
-    * here we truncate the long nanos to microsecond timestamps (integer
-    * `div`, not `/`: ns-since-epoch exceeds 2^53, so a double division
-    * would lose precision). DuckDB's TIMESTAMP cast truncates ns the same
-    * way, keeping the oracle aligned.
+  /** events.ts has drifted across fixture generations — TIMESTAMP(NANOS)
+    * in some, timestamp[us] in others — so the loader adapts to the footer
+    * schema instead of hard-coding one physical type (a source upstream of
+    * an ingest pipeline re-encodes at will; a loader that assumes one
+    * encoding is a production outage waiting to happen):
+    *
+    *  - LongType: the session reads TIMESTAMP(NANOS) as raw long nanos
+    *    (nanosAsLong=true in [[Sessions]] keeps the scan vectorized);
+    *    truncate to microsecond timestamps with integer `div`, not `/` —
+    *    ns-since-epoch exceeds 2^53, so double division loses precision.
+    *    DuckDB's TIMESTAMP cast truncates ns identically.
+    *  - TimestampNTZType: timestamp[us] with isAdjustedToUTC=false; cast
+    *    to session-local TimestampType (the session is pinned UTC, so the
+    *    cast is an identity relabel and the DuckDB naive-timestamp oracle
+    *    stays aligned).
+    *  - TimestampType: passthrough.
     */
   def events(spark: SparkSession, dir: String): DataFrame =
-    load(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeEventTs(load(spark, dir, "events"))
+
+  /** Shared by the batch loader above and [[graft.streaming.Streaming]]'s
+    * file-stream source (both read the same fixture and need the same
+    * adaptation — round-7 finding: the shim lived in two places and both
+    * hard-coded one physical type).
+    */
+  private[graft] def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => df
+      case other => throw new IllegalStateException(
+        s"events.ts: unsupported parquet type $other (expected nanos-as-long, timestamp_ntz, or timestamp)")
+    }
+  }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 
@@ -42,10 +66,26 @@ object Tables {
   /** Register every table as a temp view so plain spark.sql text works
     * against the corpus (the "switch to this library" path for SQL
     * users; views are metadata only — nothing is read until queried).
+    *
+    * Failures are isolated per table: a loader that cannot analyze one
+    * table (schema drift, missing file) must not take down views over the
+    * other nine — queries that never touch the broken table keep working,
+    * and only queries referencing it see the (re-thrown-at-use) error.
     */
-  def registerAll(spark: SparkSession, dir: String): Unit =
-    All.foreach { name =>
-      val df = if (name == "events") events(spark, dir) else load(spark, dir, name)
-      df.createOrReplaceTempView(name)
+  def registerAll(spark: SparkSession, dir: String): Unit = {
+    val failures = All.flatMap { name =>
+      try {
+        val df = if (name == "events") events(spark, dir) else load(spark, dir, name)
+        df.createOrReplaceTempView(name)
+        None
+      } catch {
+        case e: Exception =>
+          spark.catalog.dropTempView(name) // stale prior view would silently serve old data
+          Some(name -> e)
+      }
     }
+    failures.foreach { case (name, e) =>
+      System.err.println(s"graft.Tables.registerAll: view '$name' not registered: ${e.getMessage}")
+    }
+  }
 }

@@ -90,17 +90,27 @@ object Graph {
     */
   def qRecClosure(spark: SparkSession, dir: String): DataFrame = {
     Tables.registerAll(spark, dir)
+    // Materialize the bipartite purchase edges ONCE: a recursive CTE
+    // re-evaluates its inlined subqueries every iteration, so inlining
+    // the orders⋈lineitem build here would re-run that join per hop
+    // (round-6/7 finding). A persisted view makes each hop an
+    // InMemoryRelation probe instead; at 100 TB this is "build the edge
+    // table as a real table, recurse over it", which is how any
+    // production closure job is shaped anyway.
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+    val l = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey"))
+    val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_partkey"))
+    val edges = PersistScope.persisted(
+      pairs.select((col("o_custkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst"))
+        .union(pairs.select((col("l_partkey") * 2 + 1).as("src"), (col("o_custkey") * 2).as("dst"))))
+    edges.createOrReplaceTempView("rec_edges")
     spark.sql(
       """WITH RECURSIVE r(node, hop) AS (
         |  SELECT CAST(4 AS BIGINT) AS node, 0 AS hop
         |  UNION ALL
         |  SELECT e.dst, r.hop + 1 FROM r
-        |  JOIN (SELECT o_custkey * 2 AS src, l_partkey * 2 + 1 AS dst
-        |        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-        |        UNION ALL
-        |        SELECT l_partkey * 2 + 1 AS src, o_custkey * 2 AS dst
-        |        FROM orders JOIN lineitem ON o_orderkey = l_orderkey) e
-        |    ON e.src = r.node
+        |  JOIN rec_edges e ON e.src = r.node
         |  WHERE r.hop < 2)
         |SELECT node, CAST(min(hop) AS BIGINT) AS hops FROM r GROUP BY node""".stripMargin)
   }

@@ -1595,4 +1595,43 @@ object LlmOps {
       .select(col("doc_id"), col("n_bigrams"),
         expr(milli("p_sum", "1000 * n_bigrams")).as("avg_p_milli"))
   }
+
+  /** T27: the pruned-broadcast variant of [[t26BigramLm]] — the 100 TB
+    * scale path, coded and oracle-checked rather than only documented
+    * (round-6/7 carry-over). The full bigram model is vocab² worst case
+    * and can outgrow any broadcast threshold; a perplexity FILTER only
+    * needs the dominant continuations, so the model is pruned to the
+    * top-K successors per context (rank by count desc, successor asc —
+    * the tie-break makes the pruned set deterministic, which the
+    * hash-compare oracle requires) and BROADCAST back onto the bigram
+    * stream. Scoring then touches only covered bigrams: `n_bigrams`
+    * counts model hits, and documents with zero covered bigrams drop on
+    * both engines. The shuffle-join of t26 disappears — scoring is a
+    * map-side hash probe, and the only shuffles left are the two
+    * wordcount-shaped model aggregates. K bounds the broadcast at
+    * K·|vocab| rows regardless of corpus size.
+    */
+  def t27BigramTopk(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bi = PersistScope.persisted(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), expr(tokExpr).as("toks"))
+        .select(col("doc_id"), col("toks"), posexplode(col("toks")).as(Seq("pos", "a")))
+        .filter(col("pos") <= size(col("toks")) - 2)
+        .select(col("doc_id"), col("a"),
+          element_at(col("toks"), col("pos") + 2).as("b")))
+    val contexts = bi.groupBy("a").agg(count(lit(1)).as("c_a"))
+    val pruned = bi.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("a").orderBy(col("c_ab").desc, col("b").asc)))
+      .filter(col("rk") <= k)
+      .join(contexts, "a")
+      .select(col("a"), col("b"), expr(milli("c_ab", "c_a")).as("p_milli"))
+    bi
+      .join(broadcast(pruned), Seq("a", "b"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("p_milli").as("p_sum"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr(milli("p_sum", "1000 * n_bigrams")).as("avg_p_milli"))
+  }
 }

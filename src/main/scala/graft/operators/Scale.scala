@@ -311,7 +311,15 @@ object Scale {
     */
   def qCompact(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     val scratch = java.nio.file.Files.createTempDirectory("graft_compact")
-    scratch.toFile.deleteOnExit()
+    // deleteOnExit is a no-op on non-empty dirs; release the scratch copy
+    // recursively via the harness's post-query hook. The returned plan
+    // reads this dir, so deletion must wait for the action — which is
+    // exactly PersistScope's releaseAll contract.
+    graft.PersistScope.register { () =>
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(scratch).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
     val table = s"$scratch/orders"
     graft.Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_orderstatus"),

@@ -119,4 +119,48 @@ object Milestones {
       out
     }
   }
+
+  /** ST13's TTL window: per-user counters age out of the store after
+    * this long without the TTL being refreshed by an update — the
+    * "rolling activity counter" shape (rate limits, recency-bounded
+    * per-key caches) where the TTL, not the watermark, is the GC.
+    */
+  val TtlMs: Long = 60L * 60 * 1000
+
+  final case class TtlCount(user_id: Long, n_events: Long, had_prior: Boolean)
+
+  /** ST13's processor: state-TTL through transformWithState — the third
+    * leg of the new API after [[MilestoneProcessor]] (pure per-row
+    * state) and [[InactivityProcessor]] (event-time timers): a per-user
+    * event counter in a ValueState declared with a TTLConfig, so
+    * expiry is handled by the STORE (RocksDB drops the entry once
+    * [[TtlMs]] elapses past its last update), not by user code — no
+    * timer, no tombstone sweep, state resident ∝ RECENTLY-ACTIVE users.
+    * TTL requires TimeMode.ProcessingTime, and with processing time the
+    * operator always reports "needs another batch", so a run MUST use
+    * Trigger.Once, not AvailableNow (TtlProbeSpec's trap: AvailableNow
+    * looped 1868 empty epochs before a kill).
+    *
+    * Determinism contract: within one Trigger.Once batch every row of a
+    * key arrives in a single invocation with no prior state, so the
+    * output is exactly (user, batch count, had_prior=false) — plainly
+    * oracle-expressible. `had_prior` flips true only on a LATER run over
+    * the same checkpoint inside the TTL window — the cross-run behavior
+    * TtlProbeSpec proves (expiry between runs flips it back to false).
+    */
+  class TtlCountProcessor extends StatefulProcessor[Long, MEv, TtlCount] {
+    @transient private var cnt: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      cnt = getHandle.getValueState[Long]("cnt", Encoders.scalaLong,
+        TTLConfig(java.time.Duration.ofMillis(TtlMs)))
+
+    override def handleInputRows(key: Long, rows: Iterator[MEv],
+                                 tv: TimerValues): Iterator[TtlCount] = {
+      val prior = cnt.exists()
+      val n = (if (prior) cnt.get() else 0L) + rows.size
+      cnt.update(n)
+      Iterator.single(TtlCount(key, n, prior))
+    }
+  }
 }

@@ -54,7 +54,7 @@ object Streaming {
     d.toString
   }
 
-  /** File-stream over events with the nanos→micros conversion. The file
+  /** File-stream over events with the ts normalization. The file
     * source requires a DIRECTORY; the fixture is a single parquet file,
     * so stage a temp directory with a symlink to it (zero copy). In
     * production the source is already a directory of files landing over
@@ -75,10 +75,12 @@ object Streaming {
         d.toString
       }
     val rawSchema = spark.read.parquet(file.toString).schema
-    spark.readStream
-      .schema(rawSchema)
-      .parquet(streamDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // ts physical type drifts across fixture generations — adapt via the
+    // same footer-schema branch the batch loader uses (graft.Tables).
+    graft.Tables.normalizeEventTs(
+      spark.readStream
+        .schema(rawSchema)
+        .parquet(streamDir))
   }
 
   /** Stateful streaming creates one state store per shuffle partition;
@@ -154,13 +156,14 @@ object Streaming {
       .select(col("window.start").as("window_start"), col("event_type"), col("n_events"))
 
   private def runForeachBatch(spark: SparkSession, agged: DataFrame,
-                              mode: String = "complete")
+                              mode: String = "complete",
+                              trigger: Trigger = Trigger.AvailableNow())
                              (writeBatch: DataFrame => Unit): Unit =
     withStreamPartitions(spark, 8) {
       val q = agged.writeStream
         .outputMode(mode)
         .option("checkpointLocation", scratchDir("graft_ckpt"))
-        .trigger(Trigger.AvailableNow())
+        .trigger(trigger)
         .foreachBatch { (batch: DataFrame, _: Long) => writeBatch(batch) }
         .start()
       q.awaitTermination()
@@ -174,9 +177,10 @@ object Streaming {
     * driver bottleneck left at 100×). The explicit schema on the re-read
     * makes the zero-batch case return an empty frame instead of throwing.
     */
-  private def runAppendToParquet(spark: SparkSession, streamed: DataFrame): DataFrame = {
+  private def runAppendToParquet(spark: SparkSession, streamed: DataFrame,
+                                 trigger: Trigger = Trigger.AvailableNow()): DataFrame = {
     val outDir = scratchDir("graft_stream_out")
-    runForeachBatch(spark, streamed, "append") { batch =>
+    runForeachBatch(spark, streamed, "append", trigger) { batch =>
       batch.write.mode("append").parquet(outDir)
     }
     spark.read.schema(streamed.schema).parquet(outDir)
@@ -514,5 +518,22 @@ object Streaming {
         .transformWithState(new Milestones.InactivityProcessor,
           TimeMode.EventTime(), OutputMode.Append())
       runAppendToParquet(spark, out.toDF())
+    }
+
+  /** ST13: TTL-expiring per-user counters — see
+    * [[Milestones.TtlCountProcessor]] for the semantics and the
+    * Trigger.Once requirement (state TTL forces
+    * TimeMode.ProcessingTime, which never quiesces under AvailableNow).
+    */
+  def st13TtlState(spark: SparkSession, dir: String): DataFrame =
+    withRocksDb(spark) {
+      import spark.implicits._
+      val out = eventsStream(spark, dir)
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .as[Milestones.MEv]
+        .groupByKey(_.user_id)
+        .transformWithState(new Milestones.TtlCountProcessor,
+          TimeMode.ProcessingTime(), OutputMode.Append())
+      runAppendToParquet(spark, out.toDF(), Trigger.Once())
     }
 }

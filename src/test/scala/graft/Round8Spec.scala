@@ -58,10 +58,12 @@ class Round8Spec extends SparkTestBase {
     val scores = LlmOps.t25Classifier(spark, dir).collect()
       .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
     // src0 doc: (1000 + 500) / 2 = 750; src1 doc: (0 + 500) / 2 = 250.
+    // Two sources -> derived prior milli(1, 2) = 500: 750 > 500 fires
+    // is_pos, 250 does not.
     assert(scores(1L) === ((750L, 1L)))
     assert(scores(2L) === ((750L, 1L)))
-    assert(scores(3L) === ((250L, 1L)))
-    assert(scores(4L) === ((250L, 1L)))
+    assert(scores(3L) === ((250L, 0L)))
+    assert(scores(4L) === ((250L, 0L)))
   }
 
   test("t25 on the real corpus: scores stay in [0, 1000] and both classes appear") {
@@ -70,7 +72,7 @@ class Round8Spec extends SparkTestBase {
     rows.foreach(r => assert(r.getLong(2) >= 0L && r.getLong(2) <= 1000L))
     val pos = rows.count(_.getLong(3) == 1L)
     assert(pos > 0 && pos < rows.length,
-      "the 50-milli prior cut must split the corpus, not degenerate")
+      "the derived milli(1, n_src) prior cut must split the corpus, not degenerate")
   }
 
   test("t26 conditional rates: a deterministic successor scores 1000, a 50/50 one 500") {
