@@ -679,7 +679,10 @@ object SparkEntry {
       (s"WITH tokd AS ($duckTok), " +
         s"sh AS (SELECT doc_id, $duckShingles AS s FROM tokd WHERE len(tok) >= 3), " +
         s"sig AS (SELECT doc_id, list_transform(range(0, ${LlmOps.NumHashes}), h -> list_min(list_transform(s, x -> md5(h::VARCHAR || '|' || x)))) AS g FROM sh), " +
-        s"bands AS (SELECT doc_id, b, md5(array_to_string(g[b*${LlmOps.RowsPerBand}+1 : b*${LlmOps.RowsPerBand}+${LlmOps.RowsPerBand}], '|')) AS bkey FROM sig CROSS JOIN (VALUES (0),(1),(2),(3)) AS t(b)), " +
+        s"bands0 AS (SELECT doc_id, b, md5(array_to_string(g[b*${LlmOps.RowsPerBand}+1 : b*${LlmOps.RowsPerBand}+${LlmOps.RowsPerBand}], '|')) AS bkey FROM sig CROSS JOIN (VALUES (0),(1),(2),(3)) AS t(b)), " +
+        // Band-skew ceiling mirrored from capBandBuckets: over-cap
+        // buckets are degenerate clusters, not near-dup candidates.
+        s"bands AS (SELECT * FROM bands0 WHERE (b, bkey) IN (SELECT (b, bkey) FROM bands0 GROUP BY b, bkey HAVING count(*) <= ${LlmOps.LshBucketCap})), " +
         "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id) " +
         "SELECT doc_a, doc_b, (2000*i + u) // (2*u) AS jaccard_milli FROM (" +
         "SELECT doc_a, doc_b, len(list_intersect(sa.s, sb.s)) AS i, len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)) AS u " +
@@ -720,7 +723,8 @@ object SparkEntry {
         "CASE WHEN list_sum(list_transform(tok8, t -> " +
         "(((strpos('0123456789abcdef', substr(t, (b // 4) + 1, 1)) - 1 >> (b % 4)) & 1) * 2 - 1))) > 0 " +
         "THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS simhash FROM t8), " +
-        "bands AS (SELECT doc_id, b, (simhash >> (b * 16)) & 65535 AS bkey FROM s CROSS JOIN (VALUES (0),(1)) t(b)), " +
+        "bands0 AS (SELECT doc_id, b, (simhash >> (b * 16)) & 65535 AS bkey FROM s CROSS JOIN (VALUES (0),(1)) t(b)), " +
+        s"bands AS (SELECT * FROM bands0 WHERE (b, bkey) IN (SELECT (b, bkey) FROM bands0 GROUP BY b, bkey HAVING count(*) <= ${LlmOps.LshBucketCap})), " +
         "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id) " +
         "SELECT doc_a, doc_b, CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT) AS hamming " +
         "FROM cand JOIN s sa ON doc_a = sa.doc_id JOIN s sb ON doc_b = sb.doc_id " +
@@ -732,7 +736,8 @@ object SparkEntry {
       (s"WITH RECURSIVE tokd AS ($duckTok), " +
         s"sh AS (SELECT doc_id, $duckShingles AS s FROM tokd WHERE len(tok) >= 3), " +
         s"sig AS (SELECT doc_id, list_transform(range(0, ${LlmOps.NumHashes}), h -> list_min(list_transform(s, x -> md5(h::VARCHAR || '|' || x)))) AS g FROM sh), " +
-        s"bands AS (SELECT doc_id, b, md5(array_to_string(g[b*${LlmOps.RowsPerBand}+1 : b*${LlmOps.RowsPerBand}+${LlmOps.RowsPerBand}], '|')) AS bkey FROM sig CROSS JOIN (VALUES (0),(1),(2),(3)) AS t(b)), " +
+        s"bands0 AS (SELECT doc_id, b, md5(array_to_string(g[b*${LlmOps.RowsPerBand}+1 : b*${LlmOps.RowsPerBand}+${LlmOps.RowsPerBand}], '|')) AS bkey FROM sig CROSS JOIN (VALUES (0),(1),(2),(3)) AS t(b)), " +
+        s"bands AS (SELECT * FROM bands0 WHERE (b, bkey) IN (SELECT (b, bkey) FROM bands0 GROUP BY b, bkey HAVING count(*) <= ${LlmOps.LshBucketCap})), " +
         "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id), " +
         "jac AS (SELECT doc_a, doc_b, (2000*i + u) // (2*u) AS jaccard_milli FROM (" +
         "SELECT doc_a, doc_b, len(list_intersect(sa.s, sb.s)) AS i, len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)) AS u " +

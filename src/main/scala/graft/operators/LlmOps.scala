@@ -66,7 +66,7 @@ object LlmOps {
           element_at(col("toks"), col("pos") + 2),
           element_at(col("toks"), col("pos") + 3)).as("shingle"))
 
-  private def shingleRows(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def shingleRows(spark: SparkSession, dir: String): DataFrame =
     shingleRowsOf(Tables.documents(spark, dir))
   // NB: rows are NOT deduplicated here — min-hash over a multiset equals
   // min-hash over its set, so the signature path skips that shuffle;
@@ -79,6 +79,43 @@ object LlmOps {
   val NumHashes = 8
   val NumBands = 4
   val RowsPerBand = 2
+
+  /** Band-skew guard for the LSH families (d2 minhash, d6 simhash, and
+    * d7 through d2): a band bucket holding more than this many documents
+    * is dropped before the candidate self-join. A hot bucket — empty
+    * docs, boilerplate, a template cluster — generates |bucket|²/2
+    * candidate pairs in ONE shuffle partition; at 100 TB a single
+    * million-doc bucket is a 5·10¹¹-pair straggler that no AQE skew
+    * split can save (skew-join splits one SIDE's partition, but the
+    * blowup here is the join PRODUCT). Dropping is semantically honest
+    * for near-dup CANDIDATE generation: a bucket past the cap is not
+    * "similar pairs" but a degenerate equivalence class — the cheap
+    * relational fallback is exact dedup (d1/d10) or cluster-level
+    * handling, never pairwise. The DuckDB twins apply the same ceiling,
+    * so the contract is part of the oracle-checked semantics, and
+    * [[bandBucketStats]] exposes the dropped buckets for monitoring
+    * (no silent cap without a count — SURVEY.md §5 discipline).
+    */
+  val LshBucketCap = 100
+
+  /** Keep only band rows whose (band, bkey) bucket is within
+    * [[LshBucketCap]]. One extra aggregation co-partitioned with the
+    * join that follows — AQE reuses the exchange, so the guard costs a
+    * map-side-combined count, not a second shuffle of the band table.
+    */
+  private def capBandBuckets(bands: DataFrame): DataFrame =
+    bands.join(
+      bands.groupBy("band", "bkey").agg(count(lit(1)).as("__bsz"))
+        .filter(col("__bsz") <= LshBucketCap),
+      Seq("band", "bkey"))
+      .select(bands.columns.map(col): _*)
+
+  /** Per-bucket occupancy of a band table with the over-cap buckets
+    * flagged — the monitoring view for [[capBandBuckets]].
+    */
+  def bandBucketStats(bands: DataFrame): DataFrame =
+    bands.groupBy("band", "bkey").agg(count(lit(1)).as("n_docs"))
+      .withColumn("dropped", col("n_docs") > LshBucketCap)
 
   /** d4's boilerplate ceiling: drop shingles with document frequency
     * > n_docs / D4DfDropDiv before the shingle self-join (see
@@ -109,7 +146,7 @@ object LlmOps {
     * generator. Scale shape: rows ∝ shingles, one shuffle on doc_id,
     * partial aggregation map-side — unchanged at 100 TB.
     */
-  private def minhashBandsOf(shingles: DataFrame): DataFrame = {
+  private[graft] def minhashBandsOf(shingles: DataFrame): DataFrame = {
     val hashCols = (0 until NumHashes).map(k => expr(s"md5(concat('$k|', shingle))").as(s"h$k"))
     val minCols = (0 until NumHashes).map(k => min(col(s"h$k")).as(s"m$k"))
     val sig = shingles
@@ -222,7 +259,7 @@ object LlmOps {
     // once per query, not once per derived table (round-2 finding: the
     // dedup family's dominant shared cost).
     val shingles = PersistScope.persisted(shingleRows(spark, dir))
-    val bands = PersistScope.persisted(minhashBandsOf(shingles))
+    val bands = PersistScope.persisted(capBandBuckets(minhashBandsOf(shingles)))
     val bandsA = bands.toDF("doc_a", "band_a", "bkey_a")
     val bandsB = bands.toDF("doc_b", "band_b", "bkey_b")
     val candidates = bandsA
@@ -291,12 +328,12 @@ object LlmOps {
     val sig = PersistScope.persisted(d3Simhash(spark, dir))
     // Plain-array generator, not transform(sequence, lambda): interpreted
     // lambda generators stall whole-stage codegen (see minhashBandsOf).
-    val bands = sig.select(
+    val bands = capBandBuckets(sig.select(
       col("doc_id"),
       posexplode(array(
         expr("simhash & 65535"),
         expr("shiftright(simhash, 16) & 65535")))
-        .as(Seq("band", "bkey")))
+        .as(Seq("band", "bkey"))))
     val candidates = bands.toDF("doc_a", "band_a", "bkey_a")
       .join(bands.toDF("doc_b", "band_b", "bkey_b"),
         col("band_a") === col("band_b") && col("bkey_a") === col("bkey_b"))

@@ -87,6 +87,44 @@ class Round9Spec extends SparkTestBase {
     } finally Tables.registerAll(spark, Sf) // restore the shared-session views
   }
 
+  test("LSH band-skew guard: an over-cap boilerplate cluster yields zero pairs, not |cluster|^2") {
+    val dir = tempDir("lsh_skew")
+    // LshBucketCap+50 copies of one text: every copy lands in the SAME
+    // band buckets, so without the guard the candidate join emits
+    // ~11k pairs from this cluster alone. Two genuinely-similar docs
+    // (small edit) must still pair up — the guard only drops the
+    // degenerate bucket, not the mechanism.
+    val boiler = (1L to (LlmOps.LshBucketCap + 50L)).map(i =>
+      (i, "the quick brown fox jumps over the lazy dog again and again"))
+    val pair = Seq(
+      (9001L, "completely different unique text about spark partitions and shuffles here"),
+      (9002L, "completely different unique text about spark partitions and shuffles there"))
+    writeDocs(dir, boiler ++ pair)
+    val d2 = LlmOps.d2DedupMinhash(spark, dir).collect()
+    PersistScope.releaseAll()
+    assert(!d2.exists(r => r.getLong(0) <= 200L && r.getLong(1) <= 200L),
+      "no pair may come from the over-cap cluster")
+    assert(d2.exists(r => r.getLong(0) == 9001L && r.getLong(1) == 9002L),
+      "the guard must not suppress normal-bucket candidates")
+    val d6 = LlmOps.d6SimhashNeardup(spark, dir).collect()
+    PersistScope.releaseAll()
+    assert(!d6.exists(r => r.getLong(0) <= 200L && r.getLong(1) <= 200L))
+  }
+
+  test("bandBucketStats flags exactly the over-cap buckets") {
+    val dir = tempDir("lsh_stats")
+    writeDocs(dir, (1L to (LlmOps.LshBucketCap + 1L)).map(i =>
+      (i, "same text every time for all docs in this corpus right here")) :+
+      (500L, "a lone unique document that buckets alone"))
+    val stats = LlmOps.bandBucketStats(
+      LlmOps.minhashBandsOf(LlmOps.shingleRows(spark, dir))).collect()
+      .map(r => (r.getLong(2), r.getBoolean(3)))
+    val dropped = stats.filter(_._2)
+    assert(dropped.nonEmpty, "the hot bucket must be flagged")
+    assert(dropped.forall(_._1 == LlmOps.LshBucketCap + 1L))
+    assert(stats.filter(!_._2).forall(_._1 <= LlmOps.LshBucketCap))
+  }
+
   test("q_rec_closure returns the 2-hop neighborhood with min-hop dedup") {
     val out = Graph.qRecClosure(spark, Sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
