@@ -185,6 +185,21 @@ class ScaleSpec extends SparkTestBase {
       s"AQE did not mark the hot partition as skewed:\n${plan.take(2000)}")
   }
 
+  test("q_compact releases its scratch copy after the harness release hook") {
+    def compactDirs(): Set[String] = {
+      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+      tmp.listFiles().filter(_.getName.startsWith("graft_compact")).map(_.getName).toSet
+    }
+    val before = compactDirs()
+    for (_ <- 1 to 2) {
+      Scale.qCompact(spark, Sf).count()
+      PersistScope.releaseAll()
+    }
+    val leaked = compactDirs() -- before
+    assert(leaked.isEmpty,
+      s"q_compact left scratch dirs behind after releaseAll: $leaked")
+  }
+
   test("salted join returns exactly the plain join's rows") {
     val orders = Tables.orders(spark, Sf)
     val customer = Tables.customer(spark, Sf)
