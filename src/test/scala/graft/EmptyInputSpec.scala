@@ -170,6 +170,18 @@ class EmptyInputSpec extends SparkTestBase {
     assert(Tpch.q21(spark, emptyDir).count() === 0)
   }
 
+  test("round-8 operators survive empty inputs") {
+    // Pruned LM: zero bigrams → empty model → empty broadcast → no rows.
+    assert(LlmOps.t27BigramTopk(spark, emptyDir).count() === 0)
+    // TTL-state stream: an empty events file still forms one (empty)
+    // Trigger.Once batch; no key, no state, no output row.
+    assert(graft.streaming.Streaming.st13TtlState(spark, emptyDir).count() === 0)
+    // Recursive closure: the seed row exists even over an empty graph —
+    // the frontier dies at hop 1 and only (4, 0) survives.
+    val rc = graft.operators.Graph.qRecClosure(spark, emptyDir).collect()
+    assert(rc.length === 1 && rc.head.getLong(0) === 4L && rc.head.getLong(1) === 0L)
+  }
+
   test("document operators return empty on an empty corpus") {
     assert(LlmOps.d1DedupExact(spark, emptyDir).count() === 0)
     assert(LlmOps.d2DedupMinhash(spark, emptyDir).count() === 0)
