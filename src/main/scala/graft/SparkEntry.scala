@@ -165,6 +165,7 @@ object SparkEntry {
     "d6_simhash_neardup" -> LlmOps.d6SimhashNeardup _,
     "d9_prefix_join"   -> LlmOps.d9PrefixJoin _,
     "d10_norm_dedup"   -> LlmOps.d10NormDedup _,
+    "d11_band_stats"   -> LlmOps.d11BandStats _,
     "d7_dedup_resolve" -> LlmOps.d7DedupResolve _,
     "t1_text_stats"    -> LlmOps.t1TextStats _,
     "t2_lang_id"       -> LlmOps.t2LangId _,
@@ -675,6 +676,15 @@ object SparkEntry {
       ("SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_hash, " +
         "min(doc_id) AS canonical_doc_id, count(*) AS n_copies FROM documents " +
         "GROUP BY 1"),
+    // Band-skew monitor twin: identical banding pipeline to d2, reduced
+    // to per-bucket occupancy with the same LshBucketCap drop flag.
+    "d11_band_stats" ->
+      (s"WITH tokd AS ($duckTok), " +
+        s"sh AS (SELECT doc_id, $duckShingles AS s FROM tokd WHERE len(tok) >= 3), " +
+        s"sig AS (SELECT doc_id, list_transform(range(0, ${LlmOps.NumHashes}), h -> list_min(list_transform(s, x -> md5(h::VARCHAR || '|' || x)))) AS g FROM sh), " +
+        s"bands0 AS (SELECT doc_id, b, md5(array_to_string(g[b*${LlmOps.RowsPerBand}+1 : b*${LlmOps.RowsPerBand}+${LlmOps.RowsPerBand}], '|')) AS bkey FROM sig CROSS JOIN (VALUES (0),(1),(2),(3)) AS t(b)) " +
+        "SELECT b AS band, bkey, CAST(count(*) AS BIGINT) AS n_docs, " +
+        s"count(*) > ${LlmOps.LshBucketCap} AS dropped FROM bands0 GROUP BY b, bkey"),
     "d2_dedup_minhash" ->
       (s"WITH tokd AS ($duckTok), " +
         s"sh AS (SELECT doc_id, $duckShingles AS s FROM tokd WHERE len(tok) >= 3), " +

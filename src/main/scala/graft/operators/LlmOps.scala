@@ -117,6 +117,18 @@ object LlmOps {
     bands.groupBy("band", "bkey").agg(count(lit(1)).as("n_docs"))
       .withColumn("dropped", col("n_docs") > LshBucketCap)
 
+  /** D11: the band-skew monitor as a declared, oracle-checked query —
+    * minhash band-bucket occupancy over the corpus with the
+    * [[LshBucketCap]] drop flag. In production this runs alongside every
+    * LSH dedup job: the `dropped` rows are the degenerate clusters the
+    * candidate join refused to explode, and their occupancy histogram is
+    * the early-warning signal that a boilerplate source entered the
+    * corpus. Wordcount-shaped (one map-combined shuffle on the band
+    * key); output rows ∝ distinct buckets ≤ docs × NumBands.
+    */
+  def d11BandStats(spark: SparkSession, dir: String): DataFrame =
+    bandBucketStats(minhashBandsOf(shingleRows(spark, dir)))
+
   /** d4's boilerplate ceiling: drop shingles with document frequency
     * > n_docs / D4DfDropDiv before the shingle self-join (see
     * [[d4NgramJaccard]]). 5 ⇒ anything in over 20% of the corpus is
