@@ -19,8 +19,10 @@ object Tables {
   def customer(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "customer")
   def supplier(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "supplier")
   def part(spark: SparkSession, dir: String): DataFrame      = load(spark, dir, "part")
-  def orders(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "orders")
-  def lineitem(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame =
+    normalizeNtz(load(spark, dir, "orders"), "o_orderdate")
+  def lineitem(spark: SparkSession, dir: String): DataFrame =
+    normalizeNtz(load(spark, dir, "lineitem"), "l_shipdate")
   /** events.ts has drifted across fixture generations — TIMESTAMP(NANOS)
     * in some, timestamp[us] in others — so the loader adapts to the footer
     * schema instead of hard-coding one physical type (a source upstream of
@@ -54,6 +56,25 @@ object Tables {
       case TimestampType    => df
       case other => throw new IllegalStateException(
         s"events.ts: unsupported parquet type $other (expected nanos-as-long, timestamp_ntz, or timestamp)")
+    }
+  }
+
+  /** Same drift adaptation for the date-like columns whose current
+    * fixture encoding is timestamp[us] NTZ (o_orderdate, l_shipdate) —
+    * normalized to TIMESTAMP_NTZ so query output types are stable across
+    * fixture regenerations. All three branches agree on wall-clock time
+    * because the session is pinned UTC; only the NTZ branch fires today,
+    * the others are the insurance the r7 events outage showed is needed.
+    */
+  private[graft] def normalizeNtz(df: DataFrame, c: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema(c).dataType match {
+      case TimestampNTZType => df
+      case TimestampType    => df.withColumn(c, col(c).cast(TimestampNTZType))
+      case LongType         =>
+        df.withColumn(c, timestamp_micros(expr(s"$c div 1000")).cast(TimestampNTZType))
+      case other => throw new IllegalStateException(
+        s"$c: unsupported parquet type $other (expected nanos-as-long, timestamp_ntz, or timestamp)")
     }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")

@@ -29,5 +29,24 @@ class TablesSpec extends SparkTestBase {
     test(s"events.ts analyzes as TIMESTAMP from $dir") {
       assert(Tables.events(spark, dir).schema("ts").dataType === TimestampType)
     }
+    test(s"o_orderdate and l_shipdate analyze as TIMESTAMP_NTZ from $dir") {
+      import org.apache.spark.sql.types.TimestampNTZType
+      assert(Tables.orders(spark, dir).schema("o_orderdate").dataType === TimestampNTZType)
+      assert(Tables.lineitem(spark, dir).schema("l_shipdate").dataType === TimestampNTZType)
+    }
+  }
+
+  test("normalizeNtz adapts drifted encodings to identical wall-clock NTZ") {
+    import org.apache.spark.sql.types.TimestampNTZType
+    import spark.implicits._
+    val dir = tempDir("ntz_drift")
+    // Adjusted-UTC TimestampType fixture (one drift the driver could ship).
+    Seq((1L, java.sql.Timestamp.valueOf("2024-03-04 05:06:07")))
+      .toDF("k", "d").write.mode("overwrite").parquet(s"$dir/tz.parquet")
+    val adapted = Tables.normalizeNtz(spark.read.parquet(s"$dir/tz.parquet"), "d")
+    assert(adapted.schema("d").dataType === TimestampNTZType)
+    assert(adapted.select(org.apache.spark.sql.functions.date_format(
+      org.apache.spark.sql.functions.col("d"), "yyyy-MM-dd HH:mm:ss"))
+      .head.getString(0) === "2024-03-04 05:06:07")
   }
 }
