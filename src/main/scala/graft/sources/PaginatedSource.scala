@@ -4,6 +4,7 @@ import java.util
 
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
@@ -62,10 +63,16 @@ object PaginatedSource {
     * `GET /people/v2/lists?offset=...&per_page=...` here instead.
     */
   def fetchPage(page: Int, pageSize: Int, totalRows: Long): Seq[(Long, String, Long)] = {
+    fetches.incrementAndGet()
     val start = page.toLong * pageSize
     val end = math.min(start + pageSize, totalRows)
     (start until end).map(k => (k, s"list_$k", (7 * k + 3) % 100))
   }
+
+  /** Test observability: page fetches in this JVM (local-mode executors
+    * share it). The COUNT(*) pushdown contract is "zero fetches".
+    */
+  val fetches = new java.util.concurrent.atomic.AtomicLong(0)
 }
 
 private[sources] class PaginatedTable(pages: Int, pageSize: Int)
@@ -80,9 +87,10 @@ private[sources] class PaginatedTable(pages: Int, pageSize: Int)
 
 private[sources] class PaginatedScanBuilder(pages: Int, pageSize: Int)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters with SupportsPushDownAggregates {
   private var required: StructType = PaginatedSource.Schema
   private var pushed: Array[Filter] = Array.empty
+  private var countPushed = false
   // Row-index bounds implied by pushed list_id comparisons (inclusive).
   private var loRow: Long = 0L
   private var hiRow: Long = pages.toLong * pageSize - 1
@@ -124,8 +132,55 @@ private[sources] class PaginatedScanBuilder(pages: Int, pageSize: Int)
   }
   override def pushedFilters(): Array[Filter] = pushed
 
+  /** COUNT(*) pushdown — the REST analog: a paginated collection's
+    * `total_count` metadata field answers an ungrouped count with ZERO
+    * page fetches (one metadata round-trip instead of pages × rows of
+    * transfer — the difference between instant and hours against a
+    * million-page collection). Pushdown is refused whenever any filter
+    * was pushed: page-range pruning is page-GRANULAR with row-level
+    * residuals re-applied by Spark, so the source cannot answer a
+    * filtered count exactly — correctness over cleverness.
+    */
+  private def countStarOnly(agg: Aggregation): Boolean =
+    agg.groupByExpressions.isEmpty && pushed.isEmpty &&
+      agg.aggregateExpressions.length == 1 &&
+      agg.aggregateExpressions.head.isInstanceOf[CountStar]
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    countStarOnly(agg)
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    countPushed = countStarOnly(agg)
+    countPushed
+  }
+
   override def build(): Scan =
-    new PaginatedScan(pages, pageSize, required, loRow, hiRow)
+    if (countPushed) new CountOnlyScan(pages.toLong * pageSize)
+    else new PaginatedScan(pages, pageSize, required, loRow, hiRow)
+}
+
+/** The one-row answer to a pushed COUNT(*): a single partition carrying
+  * the collection's total_count — no page is ever fetched.
+  */
+private[sources] class CountOnlyScan(total: Long) extends Scan with Batch {
+  override def readSchema(): StructType =
+    StructType(Seq(StructField("COUNT(*)", LongType, nullable = false)))
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(PagePartition(0, 0, total))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+        val total = partition.asInstanceOf[PagePartition].totalRows
+        new PartitionReader[InternalRow] {
+          private var emitted = false
+          override def next(): Boolean = !emitted && { emitted = true; true }
+          override def get(): InternalRow = InternalRow(total)
+          override def close(): Unit = ()
+        }
+      }
+    }
+  override def description(): String = s"PushedAggregates: [COUNT(*)] total=$total"
 }
 
 private[sources] class PaginatedScan(pages: Int, pageSize: Int,

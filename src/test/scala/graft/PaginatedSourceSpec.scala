@@ -51,4 +51,25 @@ class PaginatedSourceSpec extends SparkTestBase {
     assert(scan.contains("n_members") && !scan.contains("list_name"),
       s"pruned scan should read only n_members; got: $scan")
   }
+
+  test("COUNT(*) pushes to the source: total_count answers with ZERO page fetches") {
+    // A million-page collection: the unfiltered count must come from the
+    // pagination metadata, not from 100M fetched rows.
+    val big = read(pages = 1000000, pageSize = 100)
+    graft.sources.PaginatedSource.fetches.set(0)
+    assert(big.count() === 100000000L)
+    assert(graft.sources.PaginatedSource.fetches.get() === 0L,
+      "an unfiltered count must not fetch any page")
+    // A filtered count CANNOT be answered by metadata (pruning is
+    // page-granular with residuals): pushdown must refuse, rows must
+    // still be exact, and pages are actually fetched.
+    val small = read(pages = 10, pageSize = 25)
+    graft.sources.PaginatedSource.fetches.set(0)
+    assert(small.filter(col("list_id") < 50L).count() === 50L)
+    assert(graft.sources.PaginatedSource.fetches.get() > 0L)
+    // Grouped counts are not the metadata shape either: correct via scan.
+    val grouped = small.groupBy((col("n_members") % 2).as("parity")).count()
+      .as[(Long, Long)].collect().toMap
+    assert(grouped.values.sum === 250L)
+  }
 }
