@@ -657,8 +657,12 @@ object SparkEntry {
       s"sig AS (SELECT doc_id, list_transform(range(0, ${LlmOps.NumHashes}), h -> list_min(list_transform(s, x -> md5(h::VARCHAR || '|' || x)))) AS g FROM sh), " +
       s"bands AS (SELECT sig.doc_id, d.source, b, md5(array_to_string(g[b*${LlmOps.RowsPerBand}+1 : b*${LlmOps.RowsPerBand}+${LlmOps.RowsPerBand}], '|')) AS bkey " +
       "FROM sig JOIN documents d ON sig.doc_id = d.doc_id CROSS JOIN (VALUES (0),(1),(2),(3)) AS t(b)), " +
-      "cand AS (SELECT DISTINCT n.doc_id AS new_doc, c.doc_id AS existing_doc FROM bands n JOIN bands c " +
-      "ON n.b = c.b AND n.bkey = c.bkey AND n.source = 'src0' AND c.source != 'src0') " +
+      // Corpus-side skew cap mirrored from capBandBuckets (batch side
+      // uncapped, matching the Spark plan).
+      "corp AS (SELECT * FROM bands WHERE source != 'src0'), " +
+      s"corpk AS (SELECT * FROM corp WHERE (b, bkey) IN (SELECT (b, bkey) FROM corp GROUP BY b, bkey HAVING count(*) <= ${LlmOps.LshBucketCap})), " +
+      "cand AS (SELECT DISTINCT n.doc_id AS new_doc, c.doc_id AS existing_doc FROM bands n JOIN corpk c " +
+      "ON n.b = c.b AND n.bkey = c.bkey AND n.source = 'src0') " +
       "SELECT new_doc, existing_doc, (2000*i + u) // (2*u) AS jaccard_milli FROM (" +
       "SELECT new_doc, existing_doc, len(list_intersect(sa.s, sb.s)) AS i, len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)) AS u " +
       "FROM cand JOIN sh sa ON cand.new_doc = sa.doc_id JOIN sh sb ON cand.existing_doc = sb.doc_id)"

@@ -437,7 +437,12 @@ object LlmOps {
     val bands = PersistScope.persisted(minhashBandsOf(shingles).join(src, "doc_id"))
     val newBands = bands.filter(col("source") === "src0")
       .select(col("doc_id").as("new_doc"), col("band").as("band_n"), col("bkey").as("bkey_n"))
-    val corpusBands = bands.filter(col("source") =!= "src0")
+    // Corpus-side band-skew cap (same contract as d2/d6): a hot CORPUS
+    // bucket multiplies against every batch row that lands in it, so the
+    // guard lives on the corpus side — the batch side is small by
+    // definition and is never capped.
+    val corpusBands = capBandBuckets(
+      bands.filter(col("source") =!= "src0").select(col("doc_id"), col("band"), col("bkey")))
       .select(col("doc_id").as("existing_doc"), col("band"), col("bkey"))
     val candidates = newBands
       .join(corpusBands, col("band_n") === col("band") && col("bkey_n") === col("bkey"))
@@ -478,7 +483,11 @@ object LlmOps {
                        excludeSource: String = "src0", numBuckets: Int = 8): Unit = {
     val corpusDocs = Tables.documents(spark, dir).filter(col("source") =!= excludeSource)
     val shingles = shingleRowsOf(corpusDocs).persist()
-    Scale.writeBucketed(minhashBandsOf(shingles), s"${prefix}_bands", "bkey", numBuckets)
+    // Cap applied at INDEX BUILD time: over-cap corpus buckets never
+    // enter the stored band table, so every future ingest inherits the
+    // skew guard for free (and the cap is amortized like the index).
+    Scale.writeBucketed(capBandBuckets(minhashBandsOf(shingles)),
+      s"${prefix}_bands", "bkey", numBuckets)
     Scale.writeBucketed(docShinglesOf(shingles, "doc_id", "sset"), s"${prefix}_shingles", "doc_id", numBuckets)
     shingles.unpersist()
   }

@@ -111,6 +111,28 @@ class Round9Spec extends SparkTestBase {
     assert(!d6.exists(r => r.getLong(0) <= 200L && r.getLong(1) <= 200L))
   }
 
+  test("d5 corpus-side cap: a hot corpus bucket stops multiplying the batch") {
+    val dir = tempDir("d5_skew")
+    // Corpus (src1): LshBucketCap+50 boilerplate copies. Batch (src0):
+    // one doc with the same text (lands in the hot bucket — must emit
+    // nothing) and one pairing with a single-copy corpus doc (must
+    // survive: the guard caps only the hot bucket).
+    val boiler = "the quick brown fox jumps over the lazy dog again and again"
+    val rows =
+      (1L to (LlmOps.LshBucketCap + 50L)).map(i => (i, boiler, "en", "src1", 10L)) ++ Seq(
+        (8000L, "completely different unique text about spark partitions and shuffles", "en", "src1", 10L),
+        (9000L, boiler, "en", "src0", 10L),
+        (9001L, "completely different unique text about spark partitions and shuffles", "en", "src0", 10L))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val d5 = LlmOps.d5DedupIncremental(spark, dir).collect()
+    PersistScope.releaseAll()
+    assert(!d5.exists(_.getLong(0) == 9000L),
+      "the batch doc landing in the over-cap corpus bucket must emit nothing")
+    assert(d5.exists(r => r.getLong(0) == 9001L && r.getLong(1) == 8000L),
+      "normal-bucket ingest matches must survive the guard")
+  }
+
   test("bandBucketStats flags exactly the over-cap buckets") {
     val dir = tempDir("lsh_stats")
     writeDocs(dir, (1L to (LlmOps.LshBucketCap + 1L)).map(i =>
