@@ -56,6 +56,17 @@ object Sessions {
       // local-harness sizing, like shuffle.partitions above — a cluster
       // deployment sizes advisory bytes to its executor memory instead.
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2m")
+      // State-store maintenance (snapshot upload / old-version cleanup)
+      // is a background tick meant for long-running streams; in this
+      // harness every streaming query finishes in seconds, so the
+      // default 60 s tick fires either inside a LATER query's timed
+      // window or while the session tears down — the latter observed
+      // once as a JVM SIGSEGV in RocksDB's statistics
+      // (getTickerCountLocked) racing provider close at the end of a
+      // full Verify run. Pushing the interval past any harness run's
+      // lifetime removes the race; a production deployment keeps the
+      // default, because there maintenance has real work to do.
+      .config("spark.sql.streaming.stateStore.maintenanceInterval", "1h")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
