@@ -99,9 +99,13 @@ object LlmOps {
   val LshBucketCap = 100
 
   /** Keep only band rows whose (band, bkey) bucket is within
-    * [[LshBucketCap]]. One extra aggregation co-partitioned with the
-    * join that follows — AQE reuses the exchange, so the guard costs a
-    * map-side-combined count, not a second shuffle of the band table.
+    * [[LshBucketCap]]. Plan-verified (sf0.01 explain): the bucket-size
+    * aggregate map-combines to ≤ |distinct buckets| rows, its under-cap
+    * survivors BROADCAST back onto the band table, and the guard join is
+    * a BroadcastHashJoin — the band table is never re-shuffled for the
+    * guard. At a scale where the bucket list outgrows the broadcast
+    * threshold, both sides hash-partition on the same (band, bkey) key,
+    * so the fallback is a co-partitioned shuffle join, not a blowup.
     */
   private def capBandBuckets(bands: DataFrame): DataFrame =
     bands.join(
