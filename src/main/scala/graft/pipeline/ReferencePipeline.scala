@@ -99,7 +99,7 @@ object ReferencePipeline {
     * (inner ≡ semi here because csv_fmt has one row per list_name).
     */
   def applyCsvFormat(people: Dataset[Person], csvFmt: DataFrame): DataFrame =
-    people.toDF.join(
+    people.toDF().join(
       broadcast(csvFmt.select(col("list_name"), col("csv_name"))),
       people("person_list") === col("list_name"))
       .drop("list_name")

@@ -534,6 +534,10 @@ object Streaming {
         .groupByKey(_.user_id)
         .transformWithState(new Milestones.TtlCountProcessor,
           TimeMode.ProcessingTime(), OutputMode.Append())
-      runAppendToParquet(spark, out.toDF(), Trigger.Once())
+      // Trigger.Once is deprecated in favor of AvailableNow, but
+      // AvailableNow is exactly what CANNOT terminate here (see the
+      // processor scaladoc) — the deprecation is wrong for this shape.
+      runAppendToParquet(spark, out.toDF(),
+        (Trigger.Once(): @annotation.nowarn("cat=deprecation")))
     }
 }

@@ -33,7 +33,7 @@ object ScaleUp {
     val spark = Sessions.local(cpus)
 
     def maxOf(df: DataFrame, c: String): Long =
-      df.agg(max(col(c))).head.getLong(0) + 1
+      df.agg(max(col(c))).head().getLong(0) + 1
 
     val orders = Tables.orders(spark, src)
     val custShift = maxOf(Tables.customer(spark, src), "c_custkey")
