@@ -36,8 +36,16 @@ object Bench {
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     // Optional subset filter (dev iteration / the sf1 sweep); the driver
     // never sets it, so the per-round gate always times the full catalog.
+    // LOUD when active (advisor finding): a leaked env var must never let
+    // a partial sweep pass as a full one — marked on stderr AND in the
+    // emitted JSON (n_queries below also shrinks, which graders compare).
     val only: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    only.foreach { s =>
+      System.err.println(s"[bench] WARNING: SPARK_GRAFT_ONLY active — timing " +
+        s"${SparkEntry.queries.keySet.count(s.contains)} of ${SparkEntry.queries.size} queries; " +
+        "this is NOT a full-catalog sweep")
+    }
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>
@@ -100,7 +108,9 @@ object Bench {
       val tail =
         if (counts || topK < times.size)
           s""","n_queries":${times.size},"n_errors":${errors.size}""" else ""
-      s"""{"metric":"total","value":${sec(total, 2)},"unit":"sec","queries":$qs${errsJson(maxMsg)}$tail,"sf":"$sfDir"}"""
+      val subset = if (only.isDefined)
+        s""","subset":true,"n_catalog":${SparkEntry.queries.size}""" else ""
+      s"""{"metric":"total","value":${sec(total, 2)},"unit":"sec","queries":$qs${errsJson(maxMsg)}$tail$subset,"sf":"$sfDir"}"""
     }
     // Round-5 verdict: at 107 queries the single-line budget forced the
     // graded fallback and 25 sub-second queries became invisible to
@@ -123,7 +133,9 @@ object Bench {
 "value": ${sec(total, 3)},
 "unit": "sec",
 "n_queries": ${times.size},
-"n_errors": ${errors.size},
+"n_errors": ${errors.size},${if (only.isDefined) s"""
+"subset": true,
+"n_catalog": ${SparkEntry.queries.size},""" else ""}
 "sf": ${q(sfDir)},
 "queries": $qs,
 "errors": $es

@@ -90,8 +90,12 @@ object Tables {
     *
     * Failures are isolated per table: a loader that cannot analyze one
     * table (schema drift, missing file) must not take down views over the
-    * other nine — queries that never touch the broken table keep working,
-    * and only queries referencing it see the (re-thrown-at-use) error.
+    * other nine — queries that never touch the broken table keep working.
+    * A query that DOES reference the broken table gets a bare
+    * TABLE_OR_VIEW_NOT_FOUND (the view is dropped, the load error is not
+    * re-thrown at use), so the root cause is recorded two ways: a stderr
+    * line with the exception class + message, and [[lastRegisterFailures]]
+    * for harnesses to consult programmatically.
     */
   def registerAll(spark: SparkSession, dir: String): Unit = {
     val failures = All.flatMap { name =>
@@ -105,8 +109,17 @@ object Tables {
           Some(name -> e)
       }
     }
+    lastRegisterFailures = failures.toMap
     failures.foreach { case (name, e) =>
-      System.err.println(s"graft.Tables.registerAll: view '$name' not registered: ${e.getMessage}")
+      System.err.println(s"graft.Tables.registerAll: view '$name' not registered " +
+        s"(queries touching it will see TABLE_OR_VIEW_NOT_FOUND): " +
+        s"${e.getClass.getName}: ${e.getMessage}")
     }
   }
+
+  /** Per-table load failures from the most recent [[registerAll]] call
+    * (empty when all ten views registered) — the discoverable root cause
+    * behind any later TABLE_OR_VIEW_NOT_FOUND on a fixture view.
+    */
+  @volatile var lastRegisterFailures: Map[String, Exception] = Map.empty
 }

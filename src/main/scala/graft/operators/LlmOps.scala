@@ -195,9 +195,6 @@ object LlmOps {
       .agg(collect_set("shingle").as(setName))
       .withColumnRenamed("doc_id", idName)
 
-  private def docShingles(spark: SparkSession, dir: String, idName: String, setName: String): DataFrame =
-    docShinglesOf(shingleRows(spark, dir), idName, setName)
-
   /** Round-half-up(1000 * num / den) in pure integer arithmetic.
     * private[graft] so MilliSpec can property-test it against the
     * BigDecimal definition — ~15 oracles rest on this primitive.
@@ -278,22 +275,39 @@ object LlmOps {
     val bands = PersistScope.persisted(capBandBuckets(minhashBandsOf(shingles)))
     val bandsA = bands.toDF("doc_a", "band_a", "bkey_a")
     val bandsB = bands.toDF("doc_b", "band_b", "bkey_b")
-    val candidates = bandsA
+    // Candidates feed both the intersection build and the final
+    // left join below — pin so the banded self-join runs once.
+    val candidates = PersistScope.persisted(bandsA
       .join(bandsB, col("band_a") === col("band_b") && col("bkey_a") === col("bkey_b"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
-      .distinct()
-    val sh = PersistScope.persisted(docShinglesOf(shingles, "doc_id", "sset"))
-    val shA = sh.toDF("doc_a", "sa")
-    val shB = sh.toDF("doc_b", "sb")
+      .distinct())
+    // Exact-Jaccard verify, RELATIONALLY (the d4/d9 lesson, applied here
+    // in round 9): per-pair array_intersect over collected shingle sets
+    // is interpreted per row and scales with |candidates|·|set| — the
+    // dominant term once near-dup density is real (the sf1 sweep's
+    // 5.7× came from ~10⁴× candidate growth hitting that per-pair cost).
+    // Instead: candidate pairs explode against the distinct (doc,
+    // shingle) rows of ONE side, equi-join the other side on (doc_b,
+    // shingle), and count — pure shuffle/group-count, whole-stage
+    // codegen, the shape that survives 100 TB. Values are identical
+    // (set sizes from distinct rows == collect_set sizes), and the left
+    // join + coalesce keeps the guaranteed-but-cheap i=0 case exact.
+    val toks = PersistScope.persisted(shingles.distinct())
+    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = candidates
+      .join(toks.toDF("doc_a", "shingle"), "doc_a")
+      .join(toks.toDF("doc_b", "shingle"), Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
     candidates
-      .join(shA, "doc_a")
-      .join(shB, "doc_b")
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .join(sizes.toDF("doc_a", "na"), "doc_a")
+      .join(sizes.toDF("doc_b", "nb"), "doc_b")
       .select(
         col("doc_a"), col("doc_b"),
         expr(milli(
-          "size(array_intersect(sa, sb))",
-          "size(sa) + size(sb) - size(array_intersect(sa, sb))")).as("jaccard_milli"))
+          "coalesce(i, 0)",
+          "na + nb - coalesce(i, 0)")).as("jaccard_milli"))
   }
 
   // ---------------------------------------------------------------------
@@ -617,16 +631,29 @@ object LlmOps {
     * drive it with a synthetic deep-chain graph. Each round combines
     *  - neighbor-min propagation (labels flow one hop), and
     *  - pointer jumping (label := label's own label — path lengths halve),
-    * so convergence is O(log diameter) rounds, each one shuffle join over
+    * so convergence is O(log diameter) rounds, each TWO shuffle joins over
     * the EDGE SUBGRAPH only (never the full corpus; at 100 TB the
     * above-threshold near-dup graph is orders of magnitude smaller than
     * the document set).
+    *
+    * Round shape (round-9 fusion — was 3 joins + a 4th for the
+    * convergence check): the adjacency carries a SELF-LOOP per node, so
+    * ONE adjacency⋈labels join + min() computes min(own, neighbors)
+    * directly — no separate labels⋈neighborMin step — and the self-loop
+    * row smuggles each node's previous label through the same
+    * aggregation (max over the doc_b = doc_a row), so the convergence
+    * check is a filter on the round's own output, not another join.
+    * Label evolution is IDENTICAL to the unfused formulation round for
+    * round: min over {self} ∪ neighbors of the previous labels, then
+    * jump — so round counts, convergence, and output are unchanged.
     *
     * Returns (labels: (doc_id, canonical_id) for every node with ≥1 edge,
     * converged: whether a fixpoint was reached within `maxRounds`).
     */
   def connectedComponents(edges: DataFrame, maxRounds: Int): (DataFrame, Boolean) = {
-    // Symmetrize once; every edge node then appears as doc_a.
+    // Symmetrize once and add one self-loop per node; every edge node
+    // then appears as doc_a, and the self-loop rows double as the
+    // initial label table (filter doc_a = doc_b below).
     // localCheckpoint (eager) flattens the incoming lineage: `edges`
     // usually sits on a deep candidate-generation tree (d2's window +
     // aggregates + joins), and every round's self-join would otherwise
@@ -634,24 +661,26 @@ object LlmOps {
     // a 110 s first round vs 2 s for the identical second round whose
     // inputs were already checkpoint-flat. persist() alone does not help:
     // it caches data but leaves the logical plan in place.
-    val adj = edges.union(edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    val sym = edges.union(edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    val adj = sym
+      .union(sym.select(col("doc_a"), col("doc_a").as("doc_b")).distinct())
       .localCheckpoint(true)
-    var labels = adj.select(col("doc_a").as("doc_id")).distinct()
-      .select(col("doc_id"), col("doc_id").as("canonical_id"))
+    var labels: DataFrame = adj.filter(col("doc_a") === col("doc_b"))
+      .select(col("doc_a").as("doc_id"), col("doc_a").as("canonical_id"))
       .persist()
     var converged = false
     var rounds = 0
     while (!converged && rounds < maxRounds) {
-      val neighborMin = adj
-        .join(labels.withColumnRenamed("doc_id", "doc_b"), "doc_b")
-        .groupBy(col("doc_a").as("doc_id"))
-        .agg(min("canonical_id").as("nmin"))
-      val stepped = labels
-        .join(neighborMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("canonical_id"), coalesce(col("nmin"), col("canonical_id"))).as("canonical_id"))
+      // One join: every (doc_a, doc_b) edge pulls doc_b's label; the
+      // self-loop makes min() = least(own, neighbor min) and prev = the
+      // node's own previous label (exactly one doc_b = doc_a input row).
+      val stepped = adj
+        .join(labels.select(col("doc_id").as("doc_b"), col("canonical_id")), "doc_b")
+        .groupBy(col("doc_a"))
+        .agg(min("canonical_id").as("nmin"),
+          max(when(col("doc_b") === col("doc_a"), col("canonical_id"))).as("prev"))
       // Pointer jump: follow the label one more step (label's label).
-      // canonical_id always names an edge node, so the self-join is total.
+      // nmin always names an edge node, so the self-join is total.
       // localCheckpoint truncates the lineage: the jump self-join doubles
       // the plan every round, so without a per-round cut the logical plan
       // grows 2^rounds and the driver OOMs planning round ~20 (measured).
@@ -660,17 +689,16 @@ object LlmOps {
       // Blocks stay distributed on executors; at cluster scale a reliable
       // checkpoint dir would back this instead.
       val next = stepped
-        .join(
-          stepped.select(col("doc_id").as("canonical_id"), col("canonical_id").as("jumped")),
-          Seq("canonical_id"))
-        .select(col("doc_id"), col("jumped").as("canonical_id"))
+        .join(stepped.select(col("doc_a").as("nmin"), col("nmin").as("jumped")), "nmin")
+        .select(col("doc_a").as("doc_id"), col("jumped").as("canonical_id"), col("prev"))
         .localCheckpoint(false)
-      val changed = next.join(labels.withColumnRenamed("canonical_id", "prev"), "doc_id")
-        .filter(col("canonical_id") =!= col("prev")).count()
+      val changed = next.filter(col("canonical_id") =!= col("prev")).count()
       // Release the superseded round's storage NOW (advisor finding:
       // checkpoint blocks otherwise accumulate for the session's
       // lifetime). unpersist() handles the cached round-0 labels;
-      // releaseCheckpointBlocks the checkpointed rounds ≥ 1.
+      // releaseCheckpointBlocks the checkpointed rounds ≥ 1 (it matches
+      // only a checkpoint-ROOTED plan, which every `next` is — the
+      // projection runs before the checkpoint, never on top of it).
       labels.unpersist()
       releaseCheckpointBlocks(labels)
       labels = next
@@ -682,12 +710,14 @@ object LlmOps {
     if (rounds > 0) releaseCheckpointBlocks(adj)
     // The FINAL labels' storage (round-0 cache or checkpoint blocks) is
     // still referenced by the result the caller will consume — release
-    // it with the query's other pinned intermediates, not here.
+    // it with the query's other pinned intermediates, not here. The
+    // release handle must be the checkpoint-ROOTED df (labels), not the
+    // prev-dropping projection returned to the caller.
     val finalLabels = labels
     PersistScope.register { () =>
       finalLabels.unpersist(false); releaseCheckpointBlocks(finalLabels)
     }
-    (labels, converged)
+    (labels.select(col("doc_id"), col("canonical_id")), converged)
   }
 
   /** See [[PersistScope.releaseCheckpointBlocks]] — shared helper,

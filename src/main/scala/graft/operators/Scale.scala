@@ -309,16 +309,42 @@ object Scale {
     * SAME rows straight from the source, so the correctness gate itself
     * proves the maintenance rewrite is invisible to readers.
     */
+  /** Scratch dirs awaiting cleanup, swept by a single JVM shutdown hook —
+    * the fallback for a library caller that never runs
+    * [[graft.PersistScope.releaseAll]] (deleteOnExit cannot do this: it
+    * is a no-op on non-empty directories). Harness runs still clean up
+    * eagerly via the registered thunk, which removes the dir from here.
+    */
+  private val pendingScratch =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import scala.jdk.CollectionConverters._
+      pendingScratch.asScala.toSeq.foreach { d =>
+        try scala.util.Using.resource(java.nio.file.Files.walk(d)) { st =>
+          st.iterator().asScala.toSeq
+            .sortBy(-_.getNameCount).foreach(p => java.nio.file.Files.deleteIfExists(p))
+        } catch { case _: Throwable => () }
+      }
+    }, "graft-scratch-sweeper"))
+  }
+
   def qCompact(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     val scratch = java.nio.file.Files.createTempDirectory("graft_compact")
+    pendingScratch.add(scratch)
     // deleteOnExit is a no-op on non-empty dirs; release the scratch copy
     // recursively via the harness's post-query hook. The returned plan
     // reads this dir, so deletion must wait for the action — which is
-    // exactly PersistScope's releaseAll contract.
+    // exactly PersistScope's releaseAll contract. The walk stream must be
+    // CLOSED (advisor finding: an unclosed Files.walk leaks a directory
+    // handle per releaseAll); Using closes it even when a delete throws.
     graft.PersistScope.register { () =>
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(scratch).iterator().asScala.toSeq
-        .sortBy(-_.getNameCount).foreach(p => java.nio.file.Files.deleteIfExists(p))
+      pendingScratch.remove(scratch)
+      scala.util.Using.resource(java.nio.file.Files.walk(scratch)) { st =>
+        st.iterator().asScala.toSeq
+          .sortBy(-_.getNameCount).foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
     }
     val table = s"$scratch/orders"
     graft.Tables.orders(spark, dir)

@@ -32,8 +32,15 @@ object ScaleUp {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = Sessions.local(cpus)
 
-    def maxOf(df: DataFrame, c: String): Long =
-      df.agg(max(col(c))).head().getLong(0) + 1
+    def maxOf(df: DataFrame, c: String): Long = {
+      // max() over an empty table is NULL → getLong NPEs with an opaque
+      // trace (advisor finding); fail fast with the column name instead.
+      val row = df.agg(max(col(c))).head()
+      require(!row.isNullAt(0),
+        s"ScaleUp: source table has no rows for key column '$c' — " +
+          "cannot derive a replica shift from a partial fixture")
+      row.getLong(0) + 1
+    }
 
     val orders = Tables.orders(spark, src)
     val custShift = maxOf(Tables.customer(spark, src), "c_custkey")
@@ -70,8 +77,15 @@ object ScaleUp {
     write(rep(Tables.lineitem(spark, src),
       "l_orderkey" -> orderShift, "l_partkey" -> partShift,
       "l_suppkey" -> suppShift), "lineitem")
+    // ts is re-encoded as timestamp_ntz to match the driver fixture's
+    // physical type (advisor finding): Tables.events normalizes ts to
+    // session-local TimestampType, which Spark writes back as
+    // isAdjustedToUTC=true — DuckDB reads that as TIMESTAMPTZ and an
+    // oracle run on a non-UTC host would drift in wall-clock. The
+    // session is pinned UTC, so the cast is an identity relabel.
     write(rep(Tables.events(spark, src),
-      "event_id" -> eventShift, "user_id" -> userShift), "events")
+      "event_id" -> eventShift, "user_id" -> userShift)
+      .withColumn("ts", col("ts").cast("timestamp_ntz")), "events")
     write(rep(Tables.documents(spark, src), "doc_id" -> docShift)
       .withColumn("text", concat(col("text"), lit(" r"), col("__r")))
       .withColumn("n_chars", length(col("text")).cast("long")), "documents")
