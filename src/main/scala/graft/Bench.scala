@@ -39,11 +39,24 @@ object Bench {
     // LOUD when active (advisor finding): a leaked env var must never let
     // a partial sweep pass as a full one — marked on stderr AND in the
     // emitted JSON (n_queries below also shrinks, which graders compare).
+    // Tokens are trimmed and empties dropped (advisor finding: a typo'd
+    // `SPARK_GRAFT_ONLY=""` used to split to Set("") — every query
+    // filtered out, bench exits 0 having timed nothing). A filter that
+    // matches ZERO catalog queries is now a hard error, not a silent
+    // empty sweep.
     val only: Option[Set[String]] =
-      sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+      sys.env.get("SPARK_GRAFT_ONLY")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+        .filter(_.nonEmpty)
     only.foreach { s =>
+      val matched = SparkEntry.queries.keySet.count(s.contains)
+      if (matched == 0) {
+        System.err.println(s"[bench] ERROR: SPARK_GRAFT_ONLY matches no catalog " +
+          s"query (requested: ${s.toSeq.sorted.mkString(",")})")
+        sys.exit(2)
+      }
       System.err.println(s"[bench] WARNING: SPARK_GRAFT_ONLY active — timing " +
-        s"${SparkEntry.queries.keySet.count(s.contains)} of ${SparkEntry.queries.size} queries; " +
+        s"$matched of ${SparkEntry.queries.size} queries; " +
         "this is NOT a full-catalog sweep")
     }
     SparkEntry.queries.toSeq.sortBy(_._1)

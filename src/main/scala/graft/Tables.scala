@@ -120,6 +120,15 @@ object Tables {
   /** Per-table load failures from the most recent [[registerAll]] call
     * (empty when all ten views registered) — the discoverable root cause
     * behind any later TABLE_OR_VIEW_NOT_FOUND on a fixture view.
+    *
+    * PROCESS-GLOBAL, last-writer-wins (advisor finding): concurrent
+    * [[registerAll]] calls — two sessions, or one session over two dirs —
+    * clobber each other here, so a harness reading this after its own
+    * call may see another run's failure map. All in-repo harnesses
+    * (Verify/Bench/TimeQuery/ScaleDiag) are single-session and call
+    * registerAll once before reading, which is the supported use; a
+    * multi-session caller should treat this as best-effort diagnostics
+    * only (temp views themselves are per-session and unaffected).
     */
   @volatile var lastRegisterFailures: Map[String, Exception] = Map.empty
 }

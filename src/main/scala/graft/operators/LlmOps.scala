@@ -112,7 +112,7 @@ object LlmOps {
       bands.groupBy("band", "bkey").agg(count(lit(1)).as("__bsz"))
         .filter(col("__bsz") <= LshBucketCap),
       Seq("band", "bkey"))
-      .select(bands.columns.map(col): _*)
+      .select(bands.columns.toIndexedSeq.map(col): _*)
 
   /** Per-bucket occupancy of a band table with the over-cap buckets
     * flagged — the monitoring view for [[capBandBuckets]].
@@ -356,20 +356,7 @@ object LlmOps {
     */
   def d6SimhashNeardup(spark: SparkSession, dir: String): DataFrame = {
     val sig = PersistScope.persisted(d3Simhash(spark, dir))
-    // Plain-array generator, not transform(sequence, lambda): interpreted
-    // lambda generators stall whole-stage codegen (see minhashBandsOf).
-    val bands = capBandBuckets(sig.select(
-      col("doc_id"),
-      posexplode(array(
-        expr("simhash & 65535"),
-        expr("shiftright(simhash, 16) & 65535")))
-        .as(Seq("band", "bkey"))))
-    val candidates = bands.toDF("doc_a", "band_a", "bkey_a")
-      .join(bands.toDF("doc_b", "band_b", "bkey_b"),
-        col("band_a") === col("band_b") && col("bkey_a") === col("bkey_b"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b")
-      .distinct()
+    val candidates = d6Candidates(d6Bands(sig))
     candidates
       .join(sig.toDF("doc_a", "sha"), "doc_a")
       .join(sig.toDF("doc_b", "shb"), "doc_b")
@@ -377,6 +364,33 @@ object LlmOps {
         expr("cast(bit_count(sha ^ shb) as bigint)").as("hamming"))
       .filter(col("hamming") <= SimhashMaxHamming)
   }
+
+  /** [[d6SimhashNeardup]]'s band table: the signature's two 16-bit halves
+    * keyed by half index, skew-capped. `private[graft]` stage builder
+    * shared with tools/ScaleDiag (advisor finding: the diagnostic used to
+    * hand-copy these expressions and could silently de-sync from the
+    * query it attributes). Plain-array generator, not
+    * transform(sequence, lambda): interpreted lambda generators stall
+    * whole-stage codegen (see minhashBandsOf).
+    */
+  private[graft] def d6Bands(sig: DataFrame): DataFrame =
+    capBandBuckets(sig.select(
+      col("doc_id"),
+      posexplode(array(
+        expr("simhash & 65535"),
+        expr("shiftright(simhash, 16) & 65535")))
+        .as(Seq("band", "bkey"))))
+
+  /** [[d6SimhashNeardup]]'s banded candidate self-join (distinct unordered
+    * doc pairs agreeing on a whole 16-bit half) — shared with ScaleDiag.
+    */
+  private[graft] def d6Candidates(bands: DataFrame): DataFrame =
+    bands.toDF("doc_a", "band_a", "bkey_a")
+      .join(bands.toDF("doc_b", "band_b", "bkey_b"),
+        col("band_a") === col("band_b") && col("bkey_a") === col("bkey_b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
 
   // ---------------------------------------------------------------------
   // D4: n-gram Jaccard near-dup pairs within a blocking key.
@@ -1363,45 +1377,78 @@ object LlmOps {
     * no per-pair array ops), and every join is an equi-join on shingle
     * or doc id.
     */
-  def d9PrefixJoin(spark: SparkSession, dir: String): DataFrame = {
-    // Distinct (doc, shingle) rows feed the df ranking, the prefix cut,
-    // both intersection sides, and the size lookups — one scan, pinned.
-    val toks = PersistScope.persisted(shingleRows(spark, dir).distinct())
+  /** [[d9PrefixJoin]]'s prefix table: distinct (doc, shingle) rows ranked
+    * rarest-first, cut to the prefix the lemma requires; rn and s ride
+    * along for the positional filter. `private[graft]` stage builder
+    * shared with tools/ScaleDiag (advisor finding: the diagnostic used to
+    * hand-copy these expressions and could silently de-sync from the
+    * query it attributes).
+    */
+  private[graft] def d9Prefix(toks: DataFrame): DataFrame = {
     val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("s"))
     val dfs = toks.groupBy("shingle").agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("df"), col("shingle"))
-    // Both sides of the candidate self-join read prefix — persist so
-    // the df join + per-doc window sort + prefix cut run once, not per
-    // join side (reviewer finding; the qTriangles oriented-edge lesson).
-    // rn and s ride along for the positional filter below.
-    val prefix = PersistScope.persisted(toks.join(dfs, "shingle")
+    toks.join(dfs, "shingle")
       .withColumn("rn", row_number().over(w))
       .join(sizes, "doc_id")
       .filter(col("rn") <= col("s") -
         expr(s"($PrefixJaccardNum * s + ${PrefixJaccardDen - 1}) div $PrefixJaccardDen") + 1)
-      .select(col("doc_id"), col("shingle"), col("rn"), col("s")))
-    // PPJoin's LENGTH and POSITIONAL filters run BEFORE the
-    // intersection join. Length: J ≤ min/max, so min·5 < max·4 can
-    // never qualify. Positional: every shared shingle sorts at-or-after
-    // the FIRST shared prefix shingle w in BOTH documents (anything
-    // earlier in the global order would itself be a shared prefix
-    // shingle), so overlap ≤ 1 + min(|A|−rn_A(w), |B|−rn_B(w)); the
-    // per-token bound is maximal exactly at w (both rn minimal there),
-    // so max-over-matches computes the valid bound inside the same
-    // aggregation that dedups candidate pairs — no extra pass.
-    // Qualification needs overlap·(t_den+t_num) ≥ t_num·(|A|+|B|).
-    // Measured sf0.1: 118,826 prefix candidates → 43,543 after length
-    // → 12,784 after position (89% of the intersection work gone).
-    val cand = prefix.toDF("doc_a", "shingle", "rn_a", "sa")
+      .select(col("doc_id"), col("shingle"), col("rn"), col("s"))
+  }
+
+  /** [[d9PrefixJoin]]'s raw prefix-sharing pairs (before grouping and the
+    * length/positional filters) — shared with ScaleDiag.
+    */
+  private[graft] def d9PairsRaw(prefix: DataFrame): DataFrame =
+    prefix.toDF("doc_a", "shingle", "rn_a", "sa")
       .join(prefix.toDF("doc_b", "shingle", "rn_b", "sb"), Seq("shingle"))
       .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b", "sa", "sb")
+
+  /** Candidate pairs deduped with the positional upper bound computed in
+    * the same aggregation — shared with ScaleDiag.
+    */
+  private[graft] def d9Grouped(raw: DataFrame): DataFrame =
+    raw.groupBy("doc_a", "doc_b", "sa", "sb")
       .agg(max(least(col("sa") - col("rn_a"), col("sb") - col("rn_b")) + 1).as("ub"))
-      .filter(least(col("sa"), col("sb")) * PrefixJaccardDen >=
-        greatest(col("sa"), col("sb")) * PrefixJaccardNum)
-      .filter(col("ub") * (PrefixJaccardNum + PrefixJaccardDen) >=
-        lit(PrefixJaccardNum) * (col("sa") + col("sb")))
+
+  /** PPJoin length filter: J ≤ min/max, so min·den < max·num can never
+    * qualify — shared with ScaleDiag.
+    */
+  private[graft] def d9LengthFilter(grouped: DataFrame): DataFrame =
+    grouped.filter(least(col("sa"), col("sb")) * PrefixJaccardDen >=
+      greatest(col("sa"), col("sb")) * PrefixJaccardNum)
+
+  /** PPJoin positional filter: qualification needs
+    * overlap·(t_den+t_num) ≥ t_num·(|A|+|B|) — shared with ScaleDiag.
+    */
+  private[graft] def d9PositionFilter(grouped: DataFrame): DataFrame =
+    grouped.filter(col("ub") * (PrefixJaccardNum + PrefixJaccardDen) >=
+      lit(PrefixJaccardNum) * (col("sa") + col("sb")))
+
+  def d9PrefixJoin(spark: SparkSession, dir: String): DataFrame = {
+    // Distinct (doc, shingle) rows feed the df ranking, the prefix cut,
+    // both intersection sides, and the size lookups — one scan, pinned.
+    val toks = PersistScope.persisted(shingleRows(spark, dir).distinct())
+    // Both sides of the candidate self-join read prefix — persist so
+    // the df join + per-doc window sort + prefix cut run once, not per
+    // join side (reviewer finding; the qTriangles oriented-edge lesson).
+    val prefix = PersistScope.persisted(d9Prefix(toks))
+    // PPJoin's LENGTH and POSITIONAL filters run BEFORE the
+    // intersection join. Positional: every shared shingle sorts
+    // at-or-after the FIRST shared prefix shingle w in BOTH documents
+    // (anything earlier in the global order would itself be a shared
+    // prefix shingle), so overlap ≤ 1 + min(|A|−rn_A(w), |B|−rn_B(w));
+    // the per-token bound is maximal exactly at w (both rn minimal
+    // there), so max-over-matches computes the valid bound inside the
+    // same aggregation that dedups candidate pairs — no extra pass.
+    // Measured sf0.1: 118,826 prefix candidates → 43,543 after length
+    // → 12,784 after position (89% of the intersection work gone).
+    // At sf1 (ScaleUp ×10, r10 ScaleDiag): 13.4M raw prefix pairs →
+    // 11.0M grouped → 4.3M after length → 1.24M after position — the
+    // ~100× candidate growth is the corpus's replica-clique structure
+    // (every doc gains ~10 near-dup replicas), not a plan regression.
+    val cand = d9PositionFilter(d9LengthFilter(d9Grouped(d9PairsRaw(prefix))))
     val inter = cand
       .join(toks.toDF("doc_a", "shingle"), "doc_a")
       .join(toks.toDF("doc_b", "shingle"), Seq("doc_b", "shingle"))

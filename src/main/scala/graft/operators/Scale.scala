@@ -331,7 +331,6 @@ object Scale {
 
   def qCompact(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     val scratch = java.nio.file.Files.createTempDirectory("graft_compact")
-    pendingScratch.add(scratch)
     // deleteOnExit is a no-op on non-empty dirs; release the scratch copy
     // recursively via the harness's post-query hook. The returned plan
     // reads this dir, so deletion must wait for the action — which is
@@ -353,6 +352,12 @@ object Scale {
       .repartition(64)
       .write.mode(SaveMode.Overwrite).parquet(table)
     compactFiles(spark, table, targetBytes = 8L << 20)
+    // Enrolled in the shutdown sweeper only AFTER both writes complete
+    // (advisor finding): enrolling before the parquet write let the
+    // shutdown hook race an in-flight qCompact write and turn a clean
+    // JVM exit into task-write errors. A crash mid-write now leaks the
+    // temp dir instead — the safe side of that trade.
+    pendingScratch.add(scratch)
     spark.read.parquet(table)
   }
 }

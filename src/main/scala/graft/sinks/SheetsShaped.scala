@@ -95,7 +95,7 @@ object SheetsShaped {
     val src = spark.read.option("header", true)
       .csv(s"$baseUri/$srcTab.csv")
     val sliced = src
-      .select(src.columns.take(MaxCols).map(org.apache.spark.sql.functions.col): _*)
+      .select(src.columns.take(MaxCols).toIndexedSeq.map(org.apache.spark.sql.functions.col): _*)
       .offset(1)
       .limit(MaxRows)
     upload(sliced, baseUri, destTab)

@@ -122,6 +122,26 @@ object Streaming {
     result
   }
 
+  /** Setup-cost probe for tools/ScaleDiag (VERDICT r9 item 7 — the
+    * streaming family's per-query wall-clock conflates engine spin-up
+    * with actual processing): a minimal pass-through stream over the
+    * SAME events source, trigger, shuffle-partition override, and fresh
+    * checkpoint dir as every st query, but a trivial projection and a
+    * count-only foreachBatch sink. Its wall-clock is the per-query FIXED
+    * cost (micro-batch engine start, checkpoint/WAL creation, source
+    * file listing, one batch cycle, graceful stop), so a query's true
+    * processing cost ≈ full − this — the number a scale projection
+    * should use, since a production cluster pays setup once per JOB, not
+    * once per query. Returns the row count so the source read cannot be
+    * optimized away.
+    */
+  private[graft] def stSetupProbe(spark: SparkSession, dir: String): Long = {
+    val n = new java.util.concurrent.atomic.AtomicLong(0L)
+    runForeachBatch(spark, eventsStream(spark, dir).select("event_id"),
+      mode = "append") { batch => n.addAndGet(batch.count()) }
+    n.get()
+  }
+
   /** The production sink path: foreachBatch gives each micro-batch to
     * the full batch writer API (partitioned parquet here — any batch
     * sink works: JDBC, object store, multi-sink fan-out). With complete

@@ -25,7 +25,8 @@ object ScaleDiag {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     val which: Set[String] =
-      args.headOption.map(_.split(',').toSet).getOrElse(Set("d2", "d6", "d9", "d7", "tri", "t27"))
+      args.headOption.map(_.split(',').toSet)
+        .getOrElse(Set("d2", "d6", "d9", "d7", "tri", "t27", "st"))
     println(s"DIAG dir=$dir")
     spark.read.parquet(s"$dir/documents.parquet").count() // warm session
 
@@ -58,39 +59,48 @@ object ScaleDiag {
     }
 
     if (which("d6")) {
-      n("d6.sig", time("d6.sig(d3_simhash)")(LlmOps.d3Simhash(spark, dir).count()))
+      val sig = PersistScope.persisted(LlmOps.d3Simhash(spark, dir))
+      n("d6.sig", time("d6.sig(d3_simhash)")(sig.count()))
+      val bands = PersistScope.persisted(LlmOps.d6Bands(sig))
+      n("d6.band_rows", time("d6.band_rows")(bands.count()))
+      // Half-band occupancy (VERDICT r9 item 3): how dense the 16-bit
+      // half buckets get on the near-dup corpus, and whether the
+      // LshBucketCap guard engaged (capBandBuckets runs inside d6Bands,
+      // so `dropped` here means would-have-dropped occupancy measured on
+      // the PRE-cap table).
+      val occ = LlmOps.bandBucketStats(
+        sig.select(col("doc_id"),
+          posexplode(array(expr("simhash & 65535"),
+            expr("shiftright(simhash, 16) & 65535"))).as(Seq("band", "bkey")))).persist()
+      val st = occ.agg(
+        count(lit(1)).as("buckets"),
+        max("n_docs").as("max_occ"),
+        coalesce(count(when(col("dropped"), 1)), lit(0L)).as("overcap"),
+        coalesce(sum(when(col("dropped"), col("n_docs"))), lit(0L)).as("docs_overcap")).head()
+      println(s"DIAG d6.buckets=${st.getLong(0)} max_occ=${st.getLong(1)} " +
+        s"overcap=${st.getLong(2)} docs_in_overcap=${st.getLong(3)}")
+      n("d6.cand_distinct", time("d6.cand_distinct")(LlmOps.d6Candidates(bands).count()))
+      occ.unpersist()
       reset()
       n("d6.out", time("d6.full")(LlmOps.d6SimhashNeardup(spark, dir).count()))
       reset()
     }
 
     if (which("d9")) {
+      // Stage builders come from LlmOps itself (advisor finding: this
+      // block used to hand-copy the prefix/filter expressions and could
+      // silently de-sync from the query it attributes).
       val toks = PersistScope.persisted(LlmOps.shingleRows(spark, dir).distinct())
       n("d9.toks_distinct", time("d9.toks_distinct")(toks.count()))
-      val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("s"))
-      val dfs = toks.groupBy("shingle").agg(count(lit(1)).as("df"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("doc_id").orderBy(col("df"), col("shingle"))
-      val prefix = PersistScope.persisted(toks.join(dfs, "shingle")
-        .withColumn("rn", row_number().over(w))
-        .join(sizes, "doc_id")
-        .filter(col("rn") <= col("s") -
-          expr(s"(${LlmOps.PrefixJaccardNum} * s + ${LlmOps.PrefixJaccardDen - 1}) div ${LlmOps.PrefixJaccardDen}") + 1)
-        .select(col("doc_id"), col("shingle"), col("rn"), col("s")))
+      val prefix = PersistScope.persisted(LlmOps.d9Prefix(toks))
       n("d9.prefix_rows", time("d9.prefix_rows")(prefix.count()))
-      val raw = prefix.toDF("doc_a", "shingle", "rn_a", "sa")
-        .join(prefix.toDF("doc_b", "shingle", "rn_b", "sb"), Seq("shingle"))
-        .filter(col("doc_a") < col("doc_b"))
+      val raw = LlmOps.d9PairsRaw(prefix)
       n("d9.prefix_pairs_raw", time("d9.prefix_pairs_raw")(raw.count()))
-      val grouped = raw.groupBy("doc_a", "doc_b", "sa", "sb")
-        .agg(max(least(col("sa") - col("rn_a"), col("sb") - col("rn_b")) + 1).as("ub"))
+      val grouped = LlmOps.d9Grouped(raw)
       n("d9.cand_grouped", time("d9.cand_grouped")(grouped.count()))
-      val lenOk = grouped.filter(least(col("sa"), col("sb")) * LlmOps.PrefixJaccardDen >=
-        greatest(col("sa"), col("sb")) * LlmOps.PrefixJaccardNum)
+      val lenOk = LlmOps.d9LengthFilter(grouped)
       n("d9.cand_len", time("d9.cand_len")(lenOk.count()))
-      n("d9.cand_pos", time("d9.cand_pos")(
-        lenOk.filter(col("ub") * (LlmOps.PrefixJaccardNum + LlmOps.PrefixJaccardDen) >=
-          lit(LlmOps.PrefixJaccardNum) * (col("sa") + col("sb"))).count()))
+      n("d9.cand_pos", time("d9.cand_pos")(LlmOps.d9PositionFilter(lenOk).count()))
       reset()
       n("d9.out", time("d9.full")(LlmOps.d9PrefixJoin(spark, dir).count()))
       reset()
@@ -119,6 +129,23 @@ object ScaleDiag {
       reset()
       time("tri.unindexed")(Graph.qTriangles(spark, dir).count())
       reset()
+    }
+
+    if (which("st")) {
+      // Setup-vs-processing split (VERDICT r9 item 7): the probe is a
+      // pass-through stream paying every per-query fixed cost (engine
+      // spin-up, fresh checkpoint, source listing, one batch cycle) and
+      // none of the stateful work; processing ≈ rep − probe median.
+      (1 to 3).foreach { i =>
+        time(s"st.setup_probe.rep$i")(
+          graft.streaming.Streaming.stSetupProbe(spark, dir))
+        reset()
+      }
+      Seq("st1_tumbling_window", "st4_stream_join", "st7_stream_left_join",
+        "st10_stream_full_outer").foreach { q =>
+        val fn = SparkEntry.queries(q)
+        (1 to 2).foreach { i => time(s"$q.rep$i")(fn(spark, dir).count()); reset() }
+      }
     }
 
     if (which("t27")) {

@@ -11,6 +11,13 @@ import graft.{PersistScope, Sessions, SparkEntry}
   */
 object TimeQuery {
   def main(args: Array[String]): Unit = {
+    // `--list` prints the catalog names (one per line) and exits — lets
+    // tools/sweep_quiet.sh chunk the catalog across fresh JVMs without
+    // hardcoding the query list anywhere outside SparkEntry.
+    if (args.headOption.contains("--list")) {
+      SparkEntry.queries.keys.toSeq.sorted.foreach(println)
+      return
+    }
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     require(reps >= 1, s"SPARK_GRAFT_REPS must be >= 1, got $reps")
