@@ -175,8 +175,21 @@ object Graph {
     * per query. At 100 TB the edge index is the graph — every triangle /
     * wedge / motif query starts from it.
     */
+  /** Default bucket count = the session's parallelism (r10 finding): a
+    * bucketed table's scan parallelism IS its bucket count, and the wedge
+    * self-join — the query's dominant O(m^1.5) work — runs on exactly
+    * that many tasks. The original 8 choked the sf1 wedge join to 8 of
+    * 32 cores and the "index" LOST to the unindexed 32-way shuffle plan
+    * (20.6 s probe vs 14.1 s; with cores-matched buckets the probe wins).
+    * A cluster build sizes this to the fleet's target parallelism, in
+    * the hundreds — the same rule, bigger number.
+    */
+  def defaultEdgeBuckets(spark: SparkSession): Int =
+    spark.sparkContext.defaultParallelism
+
   def buildEdgeIndex(spark: SparkSession, dir: String, prefix: String,
-                     numBuckets: Int = 8): Unit = {
+                     numBuckets: Int = -1): Unit = {
+    val buckets = if (numBuckets > 0) numBuckets else defaultEdgeBuckets(spark)
     val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey"))
     val e0 = PersistScope.persisted(
       li.as("a").join(li.as("b"), Seq("l_orderkey"))
@@ -191,7 +204,7 @@ object Graph {
       .filter(col("d_u") < col("d_v") ||
         (col("d_u") === col("d_v") && col("u") < col("v")))
       .select(col("u").as("src"), col("v").as("dst"), col("d_v").as("d_dst"))
-    Scale.writeBucketed(o, s"${prefix}_edges", "src", numBuckets)
+    Scale.writeBucketed(o, s"${prefix}_edges", "src", buckets)
     PersistScope.releaseAll()
   }
 

@@ -512,15 +512,21 @@ object LlmOps {
     * sized to executors × cores.
     */
   def buildCorpusIndex(spark: SparkSession, dir: String, prefix: String,
-                       excludeSource: String = "src0", numBuckets: Int = 8): Unit = {
+                       excludeSource: String = "src0", numBuckets: Int = -1): Unit = {
+    // Bucket count = scan AND probe-join parallelism for every future
+    // ingest (the Graph.defaultEdgeBuckets rule — 8 choked the triangle
+    // index's wedge join to a quarter of the machine); default to the
+    // session's parallelism, sized to executors × cores on a cluster.
+    val buckets =
+      if (numBuckets > 0) numBuckets else spark.sparkContext.defaultParallelism
     val corpusDocs = Tables.documents(spark, dir).filter(col("source") =!= excludeSource)
     val shingles = shingleRowsOf(corpusDocs).persist()
     // Cap applied at INDEX BUILD time: over-cap corpus buckets never
     // enter the stored band table, so every future ingest inherits the
     // skew guard for free (and the cap is amortized like the index).
     Scale.writeBucketed(capBandBuckets(minhashBandsOf(shingles)),
-      s"${prefix}_bands", "bkey", numBuckets)
-    Scale.writeBucketed(docShinglesOf(shingles, "doc_id", "sset"), s"${prefix}_shingles", "doc_id", numBuckets)
+      s"${prefix}_bands", "bkey", buckets)
+    Scale.writeBucketed(docShinglesOf(shingles, "doc_id", "sset"), s"${prefix}_shingles", "doc_id", buckets)
     shingles.unpersist()
   }
 

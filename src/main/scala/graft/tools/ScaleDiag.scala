@@ -43,8 +43,13 @@ object ScaleDiag {
         coalesce(sum("n_docs"), lit(0L)).as("docs"),
         coalesce(max("n_docs"), lit(0L)).as("mx")).head()
       println(s"DIAG d2.overcap_buckets=${over.getLong(0)} docs_in_overcap=${over.getLong(1)} max_bucket=${over.getLong(2)}")
+      // Explicit column order before the positional toDF rename (r10
+      // finding: the post-join order is (band, bkey, doc_id), so renaming
+      // positionally made doc_a = band and this probe counted 0
+      // candidates — round-9's d2 candidate numbers were invalid).
       val kept = bands.join(
         occ.filter(!col("dropped")).select("band", "bkey"), Seq("band", "bkey"))
+        .select("doc_id", "band", "bkey")
       val cand = kept.toDF("doc_a", "band_a", "bkey_a")
         .join(kept.toDF("doc_b", "band_b", "bkey_b"),
           col("band_a") === col("band_b") && col("bkey_a") === col("bkey_b"))

@@ -61,13 +61,22 @@ object ScaleUp {
       }
     }
 
-    def write(df: DataFrame, name: String): Unit =
-      df.drop("__r").write.mode(SaveMode.Overwrite)
+    // Output file count (r10 finding): the fixture tables are single
+    // parquet files with one row group, so every map-heavy stage
+    // (tokenize, minhash md5s, simhash bit-math) ran on ONE core until
+    // its first exchange — a file-layout artifact, not an engine
+    // property; at 100 TB a scan has thousands of row groups and map
+    // parallelism is free. Writing the scaled corpus as ~32 files per
+    // fact table restores the realistic layout. Dims stay single-file.
+    val outFiles = sys.env.getOrElse("SPARK_GRAFT_OUT_FILES", "32").toInt
+
+    def write(df: DataFrame, name: String, files: Int = outFiles): Unit =
+      df.drop("__r").repartition(files).write.mode(SaveMode.Overwrite)
         .parquet(s"$out/$name.parquet")
 
     // Dims: copied unscaled.
-    write(Tables.region(spark, src), "region")
-    write(Tables.nation(spark, src), "nation")
+    write(Tables.region(spark, src), "region", files = 1)
+    write(Tables.nation(spark, src), "nation", files = 1)
 
     write(rep(Tables.customer(spark, src), "c_custkey" -> custShift), "customer")
     write(rep(Tables.supplier(spark, src), "s_suppkey" -> suppShift), "supplier")
@@ -86,9 +95,16 @@ object ScaleUp {
     write(rep(Tables.events(spark, src),
       "event_id" -> eventShift, "user_id" -> userShift)
       .withColumn("ts", col("ts").cast("timestamp_ntz")), "events")
-    write(rep(Tables.documents(spark, src), "doc_id" -> docShift)
-      .withColumn("text", concat(col("text"), lit(" r"), col("__r")))
-      .withColumn("n_chars", length(col("text")).cast("long")), "documents")
+    // replicas == 1 is a pure RE-LAYOUT (multi-file copy of the source,
+    // byte-identical rows) for apples-to-apples base-scale sweeps; the
+    // near-dup suffix only makes sense when there are real replicas.
+    val docs = rep(Tables.documents(spark, src), "doc_id" -> docShift)
+    write(
+      if (replicas == 1) docs
+      else docs
+        .withColumn("text", concat(col("text"), lit(" r"), col("__r")))
+        .withColumn("n_chars", length(col("text")).cast("long")),
+      "documents")
     write(rep(Tables.embeddings(spark, src), "vec_id" -> vecShift), "embeddings")
 
     println(s"[scaleup] wrote ${replicas}x $src -> $out")
