@@ -32,8 +32,21 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Xms=Xmx (r10 finding, measured with tools/RepDiag): G1 uncommits heap
+// pages after Full GC / concurrent-cycle cleanup, and the next query's
+// Tungsten allocations re-fault them under 32-thread contention —
+// ~150 µs/fault kernel storms that turned 3.5 s bench reps into 25 s
+// ones with IDENTICAL user CPU (the source of every historical
+// "in-sweep aging" anomaly: q_global_rownum 2× in r9, d4 25.8 s in r7;
+// the between-query System.gc() meant to stabilize timings was the
+// uncommit TRIGGER). Pinning the heap forbids uncommit; first-touch
+// faults are then paid once, absorbed by Bench's untimed warm-up.
+// (No AlwaysPreTouch here: pre-zeroing a ~90 GiB harness heap costs
+// ~150 s of startup; tools/run.sh uses it for dev sweeps where the
+// heap is 32g and the cost is ~5 s.)
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

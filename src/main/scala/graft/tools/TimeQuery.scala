@@ -24,6 +24,12 @@ object TimeQuery {
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     val names = args.headOption.map(_.split(',').toSeq)
       .getOrElse(SparkEntry.queries.keys.toSeq.sorted)
+    val tally: Option[RepDiag.StageTally] =
+      if (sys.env.contains("SPARK_GRAFT_DIAG")) {
+        val t = new RepDiag.StageTally
+        spark.sparkContext.addSparkListener(t)
+        Some(t)
+      } else None
     names.foreach { name =>
       val fn = SparkEntry.queries.getOrElse(name,
         sys.error(s"unknown query: $name"))
@@ -32,10 +38,24 @@ object TimeQuery {
       // Release pinned working sets OUTSIDE the timed window — Bench
       // releases in an untimed finally too, so medians stay comparable
       // to BENCH_DETAIL neighbors for persist-heavy queries.
-      val times = (0 to reps).map { _ =>
+      val times = (0 to reps).map { i =>
+        val s0 = RepDiag.snapshot()
         val t0 = System.nanoTime()
         val n = fn(spark, dir).count()
         val elapsed = (System.nanoTime() - t0) / 1e9
+        // Per-rep attribution for spike hunting (SPARK_GRAFT_DIAG=1):
+        // a slow rep with cpu ~ wall*threads is real work (plan/spill);
+        // low cpu + high host steal is hypervisor contention; low cpu +
+        // high iowait is disk stalls; high gc is heap pressure. stderr so
+        // the TIME stdout protocol the sweep scripts parse is untouched.
+        if (i > 0 && sys.env.contains("SPARK_GRAFT_DIAG"))
+          System.err.println(RepDiag.line(name, i, elapsed, s0))
+        // Listener events land async; give the bus a beat before draining
+        // so a rep's stages aren't attributed to its successor.
+        tally.foreach { t =>
+          Thread.sleep(200)
+          t.drain(6).foreach(l => System.err.println(s"STAGE $name rep=$i $l"))
+        }
         PersistScope.releaseAll()
         (elapsed, n)
       }.tail // first rep is the untimed warm-up

@@ -11,7 +11,15 @@ if [ "$#" -eq 0 ]; then
 fi
 MAIN="$1"; shift
 REPO="${GRAFT_REPO:-/root/repo}"
-exec java -Xmx"${GRAFT_XMX:-96g}" -XX:+IgnoreUnrecognizedVMOptions \
+# Xms=Xmx + AlwaysPreTouch: G1 uncommits heap pages after Full GC /
+# concurrent-cycle cleanup; the next query's Tungsten allocations then
+# re-fault them under 32-thread contention -- measured (r10 RepDiag) as
+# 150us/fault kernel storms that turned 3.5 s reps into 25 s ones with
+# IDENTICAL user CPU. Pinning the heap and pre-faulting it at JVM start
+# moves that cost out of every timed window. GRAFT_JAVA_OPTS appends
+# extra flags (diag GC logs, experiment toggles).
+exec java -Xms"${GRAFT_XMX:-96g}" -Xmx"${GRAFT_XMX:-96g}" -XX:+AlwaysPreTouch \
+  ${GRAFT_JAVA_OPTS:-} -XX:+IgnoreUnrecognizedVMOptions \
   --add-opens=java.base/java.lang=ALL-UNNAMED \
   --add-opens=java.base/java.lang.invoke=ALL-UNNAMED \
   --add-opens=java.base/java.lang.reflect=ALL-UNNAMED \
