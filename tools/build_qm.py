@@ -1,0 +1,42 @@
+#!/usr/bin/env python3
+"""Assemble QUIET_MEDIANS.json (full-catalog sf0.1 warm medians) from
+sweep logs. Dev/driver-side only.
+
+Usage: tools/build_qm.py <outJson> <whatText> <log> [...more logs]
+
+Later logs override earlier ones per query (re-measurement protocol:
+chunked sweep first, then single-query fresh-JVM re-runs for any query
+whose chunked reps were noisy).
+"""
+import json
+import re
+import sys
+
+LINE = re.compile(r"^TIME (\S+)\s+median=\s*([0-9.]+) s .*rows=(\d+)")
+
+
+def main():
+    out_json, what = sys.argv[1], sys.argv[2]
+    meds = {}
+    for path in sys.argv[3:]:
+        for line in open(path):
+            m = LINE.match(line.strip())
+            if m:
+                meds[m.group(1)] = float(m.group(2))
+    report = {
+        "what": what,
+        "sf": "/root/testdata/sf0.1",
+        "cpus": 32,
+        "n_queries": len(meds),
+        "total_of_medians_sec": round(sum(meds.values()), 1),
+        "medians_sec": {k: meds[k] for k in sorted(meds)},
+    }
+    with open(out_json, "w") as f:
+        json.dump(report, f, indent=1)
+        f.write("\n")
+    print(f"wrote {out_json}: {len(meds)} queries, "
+          f"sum {report['total_of_medians_sec']} s")
+
+
+if __name__ == "__main__":
+    main()
