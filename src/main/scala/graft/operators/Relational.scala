@@ -731,25 +731,37 @@ object Relational {
     * reference): for each error event, the latest NON-error event of the
     * same user at or before it (the "what happened right before the
     * failure" query). Composed from existing operators (preference (a)
-    * in the builder contract): range-condition equi-join +
-    * max(struct(ts, id)) argmax — no per-group sort, map-side
-    * combinable, deterministic via the (ts, event_id) total order. At
-    * 100 TB the equi-key (user) carries the shuffle; the range
-    * predicate prunes within partitions.
+    * in the builder contract) as a PREFIX SCAN: union both event kinds
+    * into one per-user stream, sort once by (ts, is_err, event_id), and
+    * carry the last non-error row forward with `last(..., ignoreNulls)`
+    * over a running frame — ONE exchange + one sort, linear in rows.
+    *
+    * The first composition here (inequality equi-join + argmax) was
+    * KILLED by measurement: it materializes every (error, earlier
+    * event) pair per user before aggregating, so its intermediate grows
+    * with errors×prior-events per user — 0.57 s → 9.1 s (15.9× at 10×
+    * rows) in the r10 sf1 sweep, vs 4.1× for this form and the native
+    * merge. Tie order matches the oracle: non-errors sort BEFORE an
+    * error at the same ts (at-or-before includes equal ts), and
+    * event_id breaks ts ties so "last" = max (ts, event_id).
     */
   def qAsofJoin(spark: SparkSession, dir: String): DataFrame = {
-    val errors = Tables.events(spark, dir)
-      .filter(col("event_type") === "error")
-      .select(col("event_id").as("error_id"), col("user_id"), col("ts").as("error_ts"))
-    val others = Tables.events(spark, dir)
-      .filter(col("event_type") =!= "error")
-      .select(col("user_id").as("u2"), col("ts"), col("event_id"), col("event_type"))
-    errors
-      .join(others, col("user_id") === col("u2") && col("ts") <= col("error_ts"))
-      .groupBy("error_id", "user_id", "error_ts")
-      .agg(max(struct(col("ts"), col("event_id"), col("event_type"))).as("prev"))
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        (col("event_type") === "error").as("is_err"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("is_err"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev
+      .withColumn("prev",
+        last(when(!col("is_err"),
+            struct(col("ts"), col("event_id"), col("event_type"))),
+          ignoreNulls = true).over(w))
+      // Inner-join semantics: errors with no prior non-error are dropped,
+      // exactly as the oracle's JOIN does.
+      .filter(col("is_err") && col("prev").isNotNull)
       .select(
-        col("error_id"), col("user_id"), col("error_ts"),
+        col("event_id").as("error_id"), col("user_id"), col("ts").as("error_ts"),
         col("prev.ts").as("prev_ts"),
         col("prev.event_id").as("prev_event_id"),
         col("prev.event_type").as("prev_event_type"))
@@ -937,8 +949,11 @@ object Relational {
   /** The as-of join again, through the NATIVE whole-operator path
     * ([[graft.plans.AsOfJoin]] → AsOfJoinExec): one co-partitioning
     * exchange per side, a sort, and an O(n+m) merge scan per partition —
-    * versus [[qAsofJoin]]'s inequality join + argmax, which materializes
-    * every (error, earlier event) pair per user before aggregating.
+    * versus [[qAsofJoin]]'s union + running-window prefix scan, which
+    * pays one wider sort over the unioned stream and carries the
+    * last-seen struct through every row. Both are linear (the r10 sf1
+    * sweep measured ~4× at 10× rows for each); the merge keeps the
+    * smaller constant and never widens the probe rows.
     * Same oracle as q_asof_join: the two formulations must agree row
     * for row (no (user_id, ts) ties exist in the corpus, so the
     * merge's last-wins and argmax's struct-max tie-breaks coincide).

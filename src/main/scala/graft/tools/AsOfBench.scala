@@ -3,8 +3,9 @@ package graft.tools
 import graft.Sessions
 import graft.operators.Relational
 
-/** Scratch comparison: composed as-of (inequality join + argmax) vs the
-  * native AsOfJoinExec merge scan, same corpus, alternating reps.
+/** Scratch comparison: composed as-of (union + running-window prefix
+  * scan) vs the native AsOfJoinExec merge scan, same corpus,
+  * alternating reps.
   */
 object AsOfBench {
   def main(args: Array[String]): Unit = {

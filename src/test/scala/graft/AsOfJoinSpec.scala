@@ -103,6 +103,33 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(composed.exceptAll(native).count() === 0)
   }
 
+  test("composed prefix scan: ties at the error's own ts resolve like the argmax") {
+    // The corpus has no (user_id, ts) ties, so the corpus-parity test
+    // above cannot exercise the rewrite's tie ordering. Lock it here:
+    // at-or-before INCLUDES a non-error at the error's exact ts, two
+    // non-errors at the same ts resolve to the max event_id, an earlier
+    // ERROR is never a prev candidate, and an error with no prior
+    // non-error is dropped (inner-join semantics).
+    val dir = tempDir("asof_ties")
+    Seq(
+      (1L, 10L, 100L, "click"),
+      (2L, 10L, 100L, "error"),  // same-ts click is eligible -> prev = 1
+      (3L, 20L, 50L, "view"),
+      (4L, 20L, 50L, "click"),   // same-ts pair -> max event_id wins
+      (5L, 20L, 60L, "error"),   // -> prev = 4
+      (6L, 20L, 40L, "error"),   // only error 7 precedes... nothing: dropped
+      (7L, 30L, 10L, "error"),   // non-error exists only LATER: dropped
+      (8L, 30L, 20L, "scroll")
+    ).toDF("event_id", "user_id", "ts_s", "event_type")
+      .select(col("event_id"), col("user_id"),
+        timestamp_seconds(col("ts_s")).as("ts"), col("event_type"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.operators.Relational.qAsofJoin(spark, dir)
+      .select(col("error_id"), col("prev_event_id"), col("prev_event_type"))
+      .as[(Long, Long, String)].collect().toSet
+    assert(got === Set((2L, 1L, "click"), (5L, 4L, "click")))
+  }
+
   test("plans as AsOfJoinExec over co-partitioned sorted children") {
     val l = (0L until 100L).map(i => (i % 5, i)).toDF("k", "t")
     val r = (0L until 50L).map(i => (i % 5, i * 2, i)).toDF("rk", "rt", "v")
