@@ -2,11 +2,15 @@
 """Merge two sweep_quiet.sh logs (baseline scale + scaled corpus) into a
 ratio report JSON. Dev tool, driver-side python only.
 
-Usage: tools/merge_sweep.py <baseLog> <scaledLog> <outJson> [flagRatio]
+Usage: tools/merge_sweep.py <baseLog> <scaledLog> <outJson> [flagRatio] [notesJson]
 
 Parses `TIME <name> median= <sec> s ... rows=<n>` lines emitted by
 graft.tools.TimeQuery; ratio = scaled/base per query; queries with ratio
-above flagRatio (default 4.0) land in the "flagged" list.
+above flagRatio (default 4.0) land in the "flagged" list. Logs may
+concatenate several sweep runs — a later TIME line for the same query
+overrides an earlier one (re-measurement protocol). notesJson maps query
+name -> attribution string, attached to that query's entry; every flagged
+query without a note is reported so no >flag ratio ships unexplained.
 """
 import json
 import re
@@ -29,6 +33,7 @@ def parse(path):
 def main():
     base_log, scaled_log, out_json = sys.argv[1], sys.argv[2], sys.argv[3]
     flag = float(sys.argv[4]) if len(sys.argv) > 4 else 4.0
+    notes = json.load(open(sys.argv[5])) if len(sys.argv) > 5 else {}
     base, scaled = parse(base_log), parse(scaled_log)
     queries = {}
     for name in sorted(set(base) | set(scaled)):
@@ -42,10 +47,16 @@ def main():
             entry["ratio"] = round(s[0] / b[0], 2)
             if b[1] > 0:
                 entry["rows_ratio"] = round(s[1] / b[1], 2)
+        if name in notes:
+            entry["note"] = notes[name]
         queries[name] = entry
     flagged = sorted(
         (n for n, e in queries.items() if e.get("ratio", 0) > flag),
         key=lambda n: -queries[n]["ratio"])
+    unexplained = [n for n in flagged if "note" not in queries[n]]
+    if unexplained:
+        print(f"WARNING: flagged without attribution note: "
+              f"{', '.join(unexplained)}", file=sys.stderr)
     report = {
         "what": ("per-query warm medians (tools/sweep_quiet.sh: TimeQuery, "
                  "fresh JVM per chunk), ratio = scaled/base wall-clock"),
