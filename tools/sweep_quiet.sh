@@ -22,10 +22,15 @@ else
   LIST=$(echo "$NAMES" | tr ',' '\n')
 fi
 : > "$OUT"
+# Per-rep DIAG lines (cpu/gc/steal/iowait attribution) go to a sidecar:
+# the r10 sf1 sweep recorded one chunk whose tail read 2-18x inflated
+# (p7_rename_lookup 3.9 s vs 0.2 s fresh) and, with stderr discarded,
+# nothing could say whether that was GC, steal, or real work. Keeping
+# the attribution makes any future outlier reading self-explaining.
 echo "$LIST" | xargs -n "$CHUNK" | while read -r group; do
   csv=$(echo "$group" | tr ' ' ',')
   echo "CHUNK $csv" >> "$OUT"
-  SPARK_GRAFT_SF_DIR="$DIR" tools/run.sh graft.tools.TimeQuery "$csv" \
-    >> "$OUT" 2>/dev/null || echo "CHUNKFAIL $csv" >> "$OUT"
+  SPARK_GRAFT_SF_DIR="$DIR" SPARK_GRAFT_DIAG=1 tools/run.sh graft.tools.TimeQuery "$csv" \
+    >> "$OUT" 2>> "$OUT.diag" || echo "CHUNKFAIL $csv" >> "$OUT"
 done
 echo "SWEEPDONE $DIR" >> "$OUT"
