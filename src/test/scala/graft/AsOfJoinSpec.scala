@@ -130,6 +130,18 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(got === Set((2L, 1L, "click"), (5L, 4L, "click")))
   }
 
+  test("composed prefix scan plans as ONE exchange + window, never a join") {
+    // The r10 rewrite's scale contract: linear prefix scan, not pair
+    // materialization. Lock the plan so a regression back to any join
+    // form (15.9x at 10x rows in the r10 sf1 sweep) fails loudly.
+    val plan = graft.operators.Relational.qAsofJoin(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), s"expected a Window node:\n$plan")
+    assert(!plan.contains("Join"), s"expected NO join operator:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges === 1, s"expected 1 exchange, got $exchanges:\n$plan")
+  }
+
   test("plans as AsOfJoinExec over co-partitioned sorted children") {
     val l = (0L until 100L).map(i => (i % 5, i)).toDF("k", "t")
     val r = (0L until 50L).map(i => (i % 5, i * 2, i)).toDF("rk", "rt", "v")
