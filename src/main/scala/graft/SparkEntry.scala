@@ -104,7 +104,9 @@ object SparkEntry {
     "q_flagship"           -> Relational.flagship _,
     "q_snapshot_diff"      -> Delta.qSnapshotDiff _,
     "q_scd2_merge"         -> Delta.qScd2Merge _,
+    "q_table_checksum"     -> Delta.qTableChecksum _,
     "q_compact"            -> Scale.qCompact _,
+    "q_incremental_rollup" -> Scale.qIncrementalRollup _,
     "q_fuzzy_match"        -> Relational.qFuzzyMatch _,
     "q_fuzzy_match_name"   -> Relational.qFuzzyMatchName _,
     "f14_regex"            -> Relational.f14Regex _,
@@ -167,6 +169,7 @@ object SparkEntry {
     "d10_norm_dedup"   -> LlmOps.d10NormDedup _,
     "d11_band_stats"   -> LlmOps.d11BandStats _,
     "d7_dedup_resolve" -> LlmOps.d7DedupResolve _,
+    "d12_quality_resolve" -> LlmOps.d12QualityResolve _,
     "t1_text_stats"    -> LlmOps.t1TextStats _,
     "t2_lang_id"       -> LlmOps.t2LangId _,
     "t3_quality_score" -> LlmOps.t3QualityScore _,
@@ -461,6 +464,24 @@ object SparkEntry {
     "q_compact" ->
       ("SELECT o_orderkey, o_orderstatus, " +
         "CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders"),
+    // Checksum twin: the same prefix-free token encoding → md5 → 60-bit
+    // integer (first 15 hex chars, big-endian nibbles), folded with the
+    // same commutative aggregates. The gate itself demonstrates the
+    // point: two engines, two row orders, one fingerprint.
+    "q_table_checksum" ->
+      (s"WITH h AS (SELECT md5(${Seq("doc_id", "text", "lang", "source", "n_chars")
+        .map(c => s"(CASE WHEN $c IS NULL THEN 'N' ELSE length($c::VARCHAR)::VARCHAR || ':' || $c::VARCHAR END)")
+        .mkString(" || ")}) AS h FROM documents), " +
+        "s AS (SELECT CAST(list_sum(list_transform(range(0, 15), i -> " +
+        "(strpos('0123456789abcdef', substr(h, i + 1, 1)) - 1)::BIGINT * (1::BIGINT << (4 * (14 - i))))) AS BIGINT) AS sig FROM h) " +
+        "SELECT count(*) AS n_rows, CAST(bit_xor(sig) AS BIGINT) AS xor_sig, " +
+        "CAST(sum(sig % 1000003) AS BIGINT) AS sum_sig FROM s"),
+    // Incremental-rollup twin: the flat full-history GROUP BY — the gate
+    // proves maintained-rollup + tail recompute ≡ recompute-everything.
+    "q_incremental_rollup" ->
+      ("SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n_events, " +
+        "CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS total_value_milli " +
+        "FROM events GROUP BY 1, 2"),
     // SCD2-MERGE twin: the MERGE expansion stated as one FULL JOIN and
     // four UNION ALL branches (unchanged-open / closed / reopened /
     // inserted). Null-safe value compare (IS NOT DISTINCT FROM) matches
@@ -670,6 +691,23 @@ object SparkEntry {
   private def duckOcc(p: String): String =
     s"(length(text) - length(replace(text, '$p', ''))) // ${p.length}"
 
+  // Connected-components prefix shared by d7 and d12: recursive transitive
+  // closure over the symmetrized near-dup edges (UNION dedups, so cycles
+  // terminate); `reach(a, b)` = b reachable from a, canonical = min(b).
+  private lazy val duckCcCte =
+    s"WITH RECURSIVE tokd AS ($duckTok), " +
+      s"sh AS (SELECT doc_id, $duckShingles AS s FROM tokd WHERE len(tok) >= 3), " +
+      s"sig AS (SELECT doc_id, list_transform(range(0, ${LlmOps.NumHashes}), h -> list_min(list_transform(s, x -> md5(h::VARCHAR || '|' || x)))) AS g FROM sh), " +
+      s"bands0 AS (SELECT doc_id, b, md5(array_to_string(g[b*${LlmOps.RowsPerBand}+1 : b*${LlmOps.RowsPerBand}+${LlmOps.RowsPerBand}], '|')) AS bkey FROM sig CROSS JOIN (VALUES (0),(1),(2),(3)) AS t(b)), " +
+      s"bands AS (SELECT * FROM bands0 WHERE (b, bkey) IN (SELECT (b, bkey) FROM bands0 GROUP BY b, bkey HAVING count(*) <= ${LlmOps.LshBucketCap})), " +
+      "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id), " +
+      "jac AS (SELECT doc_a, doc_b, (2000*i + u) // (2*u) AS jaccard_milli FROM (" +
+      "SELECT doc_a, doc_b, len(list_intersect(sa.s, sb.s)) AS i, len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)) AS u " +
+      "FROM cand JOIN sh sa ON cand.doc_a = sa.doc_id JOIN sh sb ON cand.doc_b = sb.doc_id)), " +
+      s"edges AS (SELECT doc_a, doc_b FROM jac WHERE jaccard_milli >= ${LlmOps.ResolveThreshold} " +
+      s"UNION ALL SELECT doc_b, doc_a FROM jac WHERE jaccard_milli >= ${LlmOps.ResolveThreshold}), " +
+      "reach(a, b) AS (SELECT doc_id, doc_id FROM documents UNION SELECT r.a, e.doc_b FROM reach r JOIN edges e ON r.b = e.doc_a)"
+
   private val llmOracle: Map[String, String] = Map(
     "d1_dedup_exact" ->
       "SELECT md5(text) AS text_hash, min(doc_id) AS canonical_doc_id, count(*) AS n_copies FROM documents GROUP BY md5(text)",
@@ -743,23 +781,23 @@ object SparkEntry {
         "SELECT doc_a, doc_b, CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT) AS hamming " +
         "FROM cand JOIN s sa ON doc_a = sa.doc_id JOIN s sb ON doc_b = sb.doc_id " +
         s"WHERE bit_count(xor(sa.simhash, sb.simhash)) <= ${LlmOps.SimhashMaxHamming}"),
-    // Connected-components twin: recursive transitive closure over the
-    // symmetrized near-dup edges (UNION dedups, so cycles terminate),
-    // canonical = min reachable id.
+    // Connected-components twin: see duckCcCte.
     "d7_dedup_resolve" ->
-      (s"WITH RECURSIVE tokd AS ($duckTok), " +
-        s"sh AS (SELECT doc_id, $duckShingles AS s FROM tokd WHERE len(tok) >= 3), " +
-        s"sig AS (SELECT doc_id, list_transform(range(0, ${LlmOps.NumHashes}), h -> list_min(list_transform(s, x -> md5(h::VARCHAR || '|' || x)))) AS g FROM sh), " +
-        s"bands0 AS (SELECT doc_id, b, md5(array_to_string(g[b*${LlmOps.RowsPerBand}+1 : b*${LlmOps.RowsPerBand}+${LlmOps.RowsPerBand}], '|')) AS bkey FROM sig CROSS JOIN (VALUES (0),(1),(2),(3)) AS t(b)), " +
-        s"bands AS (SELECT * FROM bands0 WHERE (b, bkey) IN (SELECT (b, bkey) FROM bands0 GROUP BY b, bkey HAVING count(*) <= ${LlmOps.LshBucketCap})), " +
-        "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id), " +
-        "jac AS (SELECT doc_a, doc_b, (2000*i + u) // (2*u) AS jaccard_milli FROM (" +
-        "SELECT doc_a, doc_b, len(list_intersect(sa.s, sb.s)) AS i, len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)) AS u " +
-        "FROM cand JOIN sh sa ON cand.doc_a = sa.doc_id JOIN sh sb ON cand.doc_b = sb.doc_id)), " +
-        s"edges AS (SELECT doc_a, doc_b FROM jac WHERE jaccard_milli >= ${LlmOps.ResolveThreshold} " +
-        s"UNION ALL SELECT doc_b, doc_a FROM jac WHERE jaccard_milli >= ${LlmOps.ResolveThreshold}), " +
-        "reach(a, b) AS (SELECT doc_id, doc_id FROM documents UNION SELECT r.a, e.doc_b FROM reach r JOIN edges e ON r.b = e.doc_a) " +
-        "SELECT a AS doc_id, min(b) AS canonical_id FROM reach GROUP BY a"),
+      (duckCcCte + " SELECT a AS doc_id, min(b) AS canonical_id FROM reach GROUP BY a"),
+    // d12 = d7's components + t3's quality, survivor = max quality with a
+    // min-doc_id tie-break (window-max + min, not arg_max, so ties are
+    // deterministic in both engines).
+    "d12_quality_resolve" ->
+      (duckCcCte + ", cc AS (SELECT a AS doc_id, min(b) AS canonical_id FROM reach GROUP BY a), " +
+        "c AS (SELECT doc_id, len(tok)::BIGINT AS n, len(list_distinct(tok))::BIGINT AS u, " +
+        "len(list_filter(tok, t -> t IN ('the', 'a')))::BIGINT AS stop FROM tokd), " +
+        "q AS (SELECT doc_id, (400*(n - stop)) // n + least(3*n, 300) + (300*u) // n AS quality_milli FROM c), " +
+        "j AS (SELECT cc.doc_id, cc.canonical_id, q.quality_milli FROM cc JOIN q USING (doc_id)), " +
+        "w AS (SELECT canonical_id, min(doc_id) AS keep_id FROM (" +
+        "SELECT doc_id, canonical_id, quality_milli, max(quality_milli) OVER (PARTITION BY canonical_id) AS mq FROM j) " +
+        "WHERE quality_milli = mq GROUP BY canonical_id) " +
+        "SELECT j.doc_id, j.canonical_id, w.keep_id, CAST(j.doc_id = w.keep_id AS BIGINT) AS is_kept " +
+        "FROM j JOIN w USING (canonical_id)"),
     "t1_text_stats" ->
       (s"WITH tokd AS ($duckTok) " +
         "SELECT doc_id, len(tok)::BIGINT AS n_tokens, len(list_distinct(tok))::BIGINT AS n_uniq_tokens, " +

@@ -150,4 +150,47 @@ object Delta {
       .withColumn("version", lit(1L))
     scd2Apply(dim, next, Seq("o_orderkey"), Seq("status", "cents"), MergeT1)
   }
+
+  /** Order-independent whole-table integrity checksum — how two copies of
+    * a 100 TB table (pre/post replication, pre/post engine migration, two
+    * snapshot generations) are compared WITHOUT sorting or joining them:
+    * reduce each row to an integer signature and fold with commutative
+    * aggregates, so the result is invariant under row order, partitioning
+    * and file layout, and the whole computation is one map-side-combinable
+    * aggregation to a single row (no shuffle of data, only of per-partition
+    * partials).
+    *
+    * Per row: the same prefix-free null-safe token encoding as
+    * [[snapshotDiff]] (so (NULL,"x") ≠ ("x",NULL) and ("a","1b") ≠
+    * ("a1","b")) → md5 → first 15 hex chars as a 60-bit integer. Folds:
+    * count, XOR (catches any single-row difference), and a modular sum
+    * (catches differences XOR cancels, e.g. the same row flipped in two
+    * pairs). Both folds commute, so partial aggregates merge exactly on
+    * any tree of combiners; the modular reduction keeps the sum far from
+    * 63-bit overflow at any realistic row count (2^60 rows × 10^6 < 2^63).
+    */
+  def tableChecksum(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val tokens = cols.map { c =>
+      val s = col(c).cast("string")
+      when(col(c).isNull, lit("N"))
+        .otherwise(concat(length(s).cast("string"), lit(":"), s))
+    }
+    df.select(md5(concat_ws("", tokens: _*)).as("h"))
+      .select(expr("cast(conv(substring(h, 1, 15), 16, 10) as bigint)").as("sig"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        expr("bit_xor(sig)").as("xor_sig"),
+        sum(col("sig") % lit(1000003L)).as("sum_sig"))
+  }
+
+  /** The checksum fixture query: fingerprint the documents corpus over all
+    * five columns. Integer/string columns only — the token encoding casts
+    * through strings, and int/string casts render identically in every
+    * engine (doubles would not; price-like columns go through the repo's
+    * integer-cents convention first).
+    */
+  def qTableChecksum(spark: SparkSession, dir: String): DataFrame =
+    tableChecksum(
+      Tables.documents(spark, dir),
+      Seq("doc_id", "text", "lang", "source", "n_chars"))
 }

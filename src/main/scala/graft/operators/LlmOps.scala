@@ -746,6 +746,46 @@ object LlmOps {
   private def releaseCheckpointBlocks(df: DataFrame): Unit =
     PersistScope.releaseCheckpointBlocks(df)
 
+  /** D12: quality-aware dedup resolution — the step production curation
+    * actually runs after [[d7DedupResolve]] groups near-dups: elect the
+    * SURVIVOR of each group by content quality ([[t3QualityScore]]'s
+    * integer score), not by minimum id. Min-id election (d7's
+    * `canonical_id`) is the right GROUP key — stable, order-free — but
+    * the kept COPY should be the best one: near-dup groups routinely mix
+    * a clean original with truncated or boilerplate-padded mirrors, and
+    * keeping whichever id sorts first throws away quality signal the
+    * pipeline already computed.
+    *
+    * Output: one row per document — (doc_id, canonical_id, keep_id,
+    * is_kept). `keep_id` = the group member with maximum `quality_milli`
+    * (ties → minimum doc_id, so election stays deterministic under any
+    * row order); `is_kept` = 1 on exactly one row per group.
+    *
+    * Scale shape: labels (one narrow row per doc, from the CC loop that
+    * only ever touches the edge subgraph) ⋈ per-doc quality (map-only) on
+    * doc_id, ONE groupBy(canonical_id) struct-max — max(struct(quality,
+    * -doc_id)) is a single map-side-combinable aggregate, no window sort
+    * over groups — then one join back on canonical_id. At 100 TB this
+    * adds two key-shuffles of (id, id, int) rows to d7; nothing touches
+    * document text.
+    */
+  def d12QualityResolve(spark: SparkSession, dir: String): DataFrame = {
+    // Both the election and the join-back consume the labels; persist so
+    // the d2 candidate pipeline + CC loop behind them runs once.
+    val labeled = PersistScope.persisted(
+      d7DedupResolve(spark, dir)
+        .join(t3QualityScore(spark, dir).select(col("doc_id"), col("quality_milli")),
+          "doc_id"))
+    val winners = labeled
+      .groupBy("canonical_id")
+      .agg(max(struct(col("quality_milli"), (-col("doc_id")).as("neg_doc"))).as("best"))
+      .select(col("canonical_id"), (-col("best.neg_doc")).as("keep_id"))
+    labeled
+      .join(winners, "canonical_id")
+      .select(col("doc_id"), col("canonical_id"), col("keep_id"),
+        (col("doc_id") === col("keep_id")).cast("bigint").as("is_kept"))
+  }
+
   // ---------------------------------------------------------------------
   // T1: per-document text statistics.
   // ---------------------------------------------------------------------

@@ -329,14 +329,19 @@ object Scale {
     }, "graft-scratch-sweeper"))
   }
 
-  def qCompact(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
-    val scratch = java.nio.file.Files.createTempDirectory("graft_compact")
-    // deleteOnExit is a no-op on non-empty dirs; release the scratch copy
-    // recursively via the harness's post-query hook. The returned plan
-    // reads this dir, so deletion must wait for the action — which is
-    // exactly PersistScope's releaseAll contract. The walk stream must be
-    // CLOSED (advisor finding: an unclosed Files.walk leaks a directory
-    // handle per releaseAll); Using closes it even when a delete throws.
+  /** Create a scratch dir whose recursive deletion is registered with
+    * [[graft.PersistScope]] (the harness's post-query hook; the returned
+    * plan reads the dir, so deletion must wait for the action — exactly
+    * PersistScope's releaseAll contract. deleteOnExit is a no-op on
+    * non-empty dirs). The walk stream must be CLOSED (advisor finding: an
+    * unclosed Files.walk leaks a directory handle per releaseAll); Using
+    * closes it even when a delete throws. Callers must [[enrollScratch]]
+    * AFTER their writes complete — enrolling before lets the shutdown
+    * hook race an in-flight write (advisor finding); a crash mid-write
+    * now leaks the temp dir instead, the safe side of that trade.
+    */
+  private def scratchDir(prefix: String): java.nio.file.Path = {
+    val scratch = java.nio.file.Files.createTempDirectory(prefix)
     graft.PersistScope.register { () =>
       import scala.jdk.CollectionConverters._
       pendingScratch.remove(scratch)
@@ -345,6 +350,14 @@ object Scale {
           .sortBy(-_.getNameCount).foreach(p => java.nio.file.Files.deleteIfExists(p))
       }
     }
+    scratch
+  }
+
+  private def enrollScratch(scratch: java.nio.file.Path): Unit =
+    pendingScratch.add(scratch)
+
+  def qCompact(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val scratch = scratchDir("graft_compact")
     val table = s"$scratch/orders"
     graft.Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_orderstatus"),
@@ -352,12 +365,74 @@ object Scale {
       .repartition(64)
       .write.mode(SaveMode.Overwrite).parquet(table)
     compactFiles(spark, table, targetBytes = 8L << 20)
-    // Enrolled in the shutdown sweeper only AFTER both writes complete
-    // (advisor finding): enrolling before the parquet write let the
-    // shutdown hook race an in-flight qCompact write and turn a clean
-    // JVM exit into task-write errors. A crash mid-write now leaks the
-    // temp dir instead — the safe side of that trade.
-    pendingScratch.add(scratch)
+    enrollScratch(scratch)
     spark.read.parquet(table)
+  }
+
+  /** `q_incremental_rollup`: incremental aggregate maintenance — THE
+    * daily-pipeline pattern at 100 TB: never re-aggregate the full
+    * history; keep a materialized rollup of closed days and merge it with
+    * a recomputation of only the open tail. Three scale properties this
+    * query pins:
+    *
+    *  1. The historical scan reads the ROLLUP (rows ∝ days × event
+    *     types), not the event history (rows ∝ events) — at scale that is
+    *     the difference between megabytes and the whole lake.
+    *  2. The delta recompute filters `day >= cutoff` BEFORE aggregation;
+    *     on a date-partitioned events table that predicate is partition
+    *     pruning, so the tail job's input is ∝ the tail, not the history.
+    *  3. The merge re-aggregates PARTIAL aggregates (sum of counts, sum
+    *     of sums) — only algebraic aggregates survive this pattern, which
+    *     is why the rollup stores count + sum and derives averages at
+    *     read time rather than storing them.
+    *
+    * The oracle twin is the flat full-history GROUP BY: the gate proves
+    * maintained-rollup + tail ≡ recompute-everything, which is the
+    * invariant an incremental production pipeline must hold.
+    */
+  def qIncrementalRollup(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables.events(spark, dir)
+      .select(
+        to_date(col("ts")).as("day"),
+        col("event_type"),
+        expr("cast(round(value * 1000) as bigint)").as("value_milli"))
+    // Deterministic split: the last 3 calendar days are the "open tail"
+    // being re-ingested; everything before is served from the rollup.
+    // The cutoff is COLLECTED (one driver action on a one-row aggregate —
+    // the same bounded-driver-work budget as d7's convergence counts) and
+    // inlined as a literal: a literal date predicate reaches the scan as
+    // a static pushed filter / partition-pruning predicate, where the
+    // in-plan broadcast-join form would not prune anything.
+    val cutoffDay = ev.agg(date_sub(max(col("day")), 2).as("cutoff_day"))
+      .first().getDate(0)
+    val scratch = scratchDir("graft_rollup")
+    val table = s"$scratch/daily_rollup"
+    // Materialize the closed-days rollup partitioned BY DAY: the layout a
+    // maintained table needs so the next increment can overwrite only the
+    // partitions it touches (Sinks.overwritePartitions' contract).
+    ev.filter(col("day") < lit(cutoffDay))
+      .groupBy("day", "event_type")
+      .agg(count(lit(1)).as("n_events"), sum("value_milli").as("total_value_milli"))
+      .write.mode(SaveMode.Overwrite).partitionBy("day").parquet(table)
+    enrollScratch(scratch)
+    // The explicit schema makes the read well-defined even when every day
+    // falls inside the tail window (tiny fixtures): zero data files is
+    // then an empty relation, not an infer-schema error — and it pins the
+    // partition column to DATE rather than trusting directory-name
+    // inference.
+    val rollupSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_events", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("total_value_milli", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("day", org.apache.spark.sql.types.DateType)))
+    val maintained = spark.read.schema(rollupSchema).parquet(table)
+    val delta = ev.filter(col("day") >= lit(cutoffDay))
+      .groupBy("day", "event_type")
+      .agg(count(lit(1)).as("n_events"), sum("value_milli").as("total_value_milli"))
+    maintained.unionByName(delta)
+      .groupBy("day", "event_type")
+      .agg(
+        sum("n_events").as("n_events"),
+        sum("total_value_milli").as("total_value_milli"))
   }
 }

@@ -43,9 +43,13 @@ object RepDiag {
     * same stages + same task counts + fatter runTime = slower identical
     * tasks (JIT/alloc); extra task count on one stage = AQE skew-split or
     * retry; extra STAGES = the physical plan itself flipped between reps. */
+  // Top-level (not nested in StageTally): a nested case class's generated
+  // equals/canEqual carry an outer-instance test scalac cannot check at
+  // run time and warns about.
+  final case class S(name: String, tasks: Int, runMs: Long,
+                     memSpill: Long, diskSpill: Long, peakExecMem: Long)
+
   final class StageTally extends org.apache.spark.scheduler.SparkListener {
-    final case class S(name: String, tasks: Int, runMs: Long,
-                       memSpill: Long, diskSpill: Long, peakExecMem: Long)
     private val stages = new java.util.concurrent.ConcurrentHashMap[Int, S]()
     override def onStageCompleted(
         sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {

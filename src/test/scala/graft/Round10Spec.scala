@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Delta, LlmOps, Scale}
+
+/** Round-10 additions: quality-aware dedup resolution (d12), the
+  * order-independent table checksum, and incremental rollup maintenance.
+  */
+class Round10Spec extends SparkTestBase {
+
+  // -------------------------------------------------------------------
+  // d12: quality-aware survivor election.
+  // -------------------------------------------------------------------
+
+  test("d12 elects the highest-quality group member, not the minimum id") {
+    import spark.implicits._
+    val dir = tempDir("d12")
+    // One near-dup pair: doc 20 = doc 10's 12 words plus one extra unique
+    // word (shingle Jaccard 10/11 ≈ 909‰ ≥ ResolveThreshold). t3 quality
+    // grows with token count below the 100-token cap, so the LONGER doc
+    // (20) must win the election while the GROUP key stays min-id (10).
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    val docs = Seq(
+      (10L, base),
+      (20L, base + " mike"),
+      (30L, "november oscar papa quebec romeo sierra tango uniform victor whiskey xray yankee"))
+      .map { case (id, text) => (id, text, "en", "src0", text.length.toLong) }
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+
+    val out = LlmOps.d12QualityResolve(spark, dir)
+      .select("doc_id", "canonical_id", "keep_id", "is_kept")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(out === Set(
+      (10L, 10L, 20L, 0L),   // grouped under min-id 10, survivor is 20
+      (20L, 10L, 20L, 1L),
+      (30L, 30L, 30L, 1L)))  // singleton keeps itself
+  }
+
+  test("d12 breaks quality ties toward the minimum doc_id") {
+    import spark.implicits._
+    val dir = tempDir("d12_tie")
+    // Identical texts → identical quality; the survivor must then be the
+    // smaller id, deterministically.
+    val text = "one two three four five six seven eight nine ten eleven twelve"
+    Seq((7L, text), (3L, text))
+      .map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = LlmOps.d12QualityResolve(spark, dir)
+      .select("doc_id", "keep_id", "is_kept")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out === Set((3L, 3L, 1L), (7L, 3L, 0L)))
+  }
+
+  test("d12 emits exactly one survivor per group on the fixture corpus") {
+    val perGroup = LlmOps.d12QualityResolve(spark, Sf)
+      .groupBy("canonical_id")
+      .agg(sum("is_kept").as("n_kept"))
+      .filter(col("n_kept") =!= 1L)
+    assert(perGroup.isEmpty, "every component must elect exactly one survivor")
+  }
+
+  // -------------------------------------------------------------------
+  // Table checksum.
+  // -------------------------------------------------------------------
+
+  test("checksum is invariant under row order and partitioning") {
+    import spark.implicits._
+    val df = (1 to 500).map(i => (i.toLong, s"v$i", if (i % 7 == 0) null else s"w$i"))
+      .toDF("id", "a", "b")
+    val cols = Seq("id", "a", "b")
+    val direct = Delta.tableChecksum(df, cols).collect()(0)
+    val shuffled = Delta.tableChecksum(
+      df.repartition(13, col("a")).sortWithinPartitions(desc("id")), cols).collect()(0)
+    assert(direct === shuffled)
+  }
+
+  test("checksum detects a single changed row and null-vs-value swaps") {
+    import spark.implicits._
+    val base = (1 to 100).map(i => (i.toLong, s"v$i")).toDF("id", "a")
+    val oneOff = (1 to 100).map(i => (i.toLong, if (i == 42) "vX" else s"v$i")).toDF("id", "a")
+    val cols = Seq("id", "a")
+    val h0 = Delta.tableChecksum(base, cols).collect()(0)
+    val h1 = Delta.tableChecksum(oneOff, cols).collect()(0)
+    assert(h0.getLong(0) === h1.getLong(0))   // same row count
+    assert(h0.getLong(1) !== h1.getLong(1))   // xor catches the flip
+    // Prefix-free token encoding: (NULL,"x") and ("x",NULL) must not
+    // collide (the concat-naive encoding would).
+    val nx = Delta.tableChecksum(Seq((null: String, "x")).toDF("a", "b"), Seq("a", "b")).collect()(0)
+    val xn = Delta.tableChecksum(Seq(("x", null: String)).toDF("a", "b"), Seq("a", "b")).collect()(0)
+    assert(nx.getLong(1) !== xn.getLong(1))
+  }
+
+  // -------------------------------------------------------------------
+  // Incremental rollup maintenance.
+  // -------------------------------------------------------------------
+
+  test("maintained rollup + tail recompute equals the flat full recompute") {
+    val merged = Scale.qIncrementalRollup(spark, Sf)
+    val flat = Tables.events(spark, Sf)
+      .select(to_date(col("ts")).as("day"), col("event_type"),
+        expr("cast(round(value * 1000) as bigint)").as("value_milli"))
+      .groupBy("day", "event_type")
+      .agg(count(lit(1)).as("n_events"), sum("value_milli").as("total_value_milli"))
+    assert(merged.exceptAll(flat).isEmpty && flat.exceptAll(merged).isEmpty)
+    // Both sides of the cutoff must actually contribute: the fixture
+    // spans more than the 3-day tail, so the materialized rollup is
+    // non-empty and the tail recompute is non-empty.
+    assert(merged.count() > 0)
+  }
+}
