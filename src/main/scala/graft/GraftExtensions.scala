@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineMilli, DotDouble, RollingHashes, RollingMinHash}
+import graft.functions.{CosineMilli, DotDouble, RollingHashes, RollingMinHash, SortedIntersectCount}
 import graft.plans.{AsOfJoinStrategy, RangeJoinRewrite}
 
 /** SparkSessionExtensions entry point
@@ -56,6 +56,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("dot_double"),
       new ExpressionInfo(classOf[DotDouble].getName, "dot_double"),
       (children: Seq[Expression]) => DotDouble(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("sorted_intersect_count"),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
+      (children: Seq[Expression]) => SortedIntersectCount(children.head, children(1))))
     ext.injectFunction((
       FunctionIdentifier("rolling_min_hash"),
       new ExpressionInfo(classOf[RollingMinHash].getName, "rolling_min_hash"),

@@ -155,6 +155,7 @@ object SparkEntry {
     "q_tpch_q22"           -> Tpch.q22 _,
     "q_triangles"          -> Graph.qTriangles _,
     "q_triangles_idx"      -> Graph.qTrianglesIndexed _,
+    "q_triangles_adj"      -> Graph.qTrianglesAdj _,
   )
 
   private val llmQueries: Map[String, Query] = Map(
@@ -1498,6 +1499,26 @@ object SparkEntry {
     // Indexed-triangle twin: IDENTICAL SQL to q_triangles — the index
     // changes where the work happens, never the answer.
     "q_triangles_idx" ->
+      ("WITH e0 AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v " +
+        "FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey " +
+        "WHERE a.l_partkey < b.l_partkey), " +
+        "e AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0), " +
+        "deg AS (SELECT u AS node, count(*) AS d FROM e GROUP BY u), " +
+        "o AS (SELECT e.u AS src, e.v AS dst, dv.d AS d_dst FROM e " +
+        "JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v " +
+        "WHERE du.d < dv.d OR (du.d = dv.d AND e.u < e.v)) " +
+        "SELECT (SELECT count(*) FROM deg) AS n_nodes, " +
+        "(SELECT count(*) FROM e0) AS n_edges, " +
+        "count(*) AS n_triangles " +
+        "FROM o o1 " +
+        "JOIN o o2 ON o1.src = o2.src " +
+        "AND (o1.d_dst < o2.d_dst OR (o1.d_dst = o2.d_dst AND o1.dst < o2.dst)) " +
+        "JOIN o o3 ON o3.src = o1.dst AND o3.dst = o2.dst"),
+    // Adjacency-intersection triangle twin: IDENTICAL SQL again — the
+    // edge-iterator form changes the physical shape (merge-counted
+    // sorted adjacency arrays instead of a wedge-row join), never the
+    // count.
+    "q_triangles_adj" ->
       ("WITH e0 AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v " +
         "FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey " +
         "WHERE a.l_partkey < b.l_partkey), " +

@@ -249,4 +249,64 @@ object Graph {
       .crossJoin(broadcast(o.agg(count(lit(1)).as("n_edges"))))
       .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
   }
+
+  /** [[qTriangles]] by EDGE ITERATOR over sorted adjacency lists — same
+    * graph, same orientation, same answer (IDENTICAL oracle), different
+    * physical shape: instead of materializing the O(m^1.5) wedge stream
+    * as ROWS and closing it with a third join (41M shuffled wedge rows at
+    * sf0.1), build each vertex's sorted out-neighbor array once
+    * (`sort_array(collect_list)` — out-degree is O(√m) after
+    * orientation), attach the two endpoint arrays to every oriented edge
+    * (two equi-joins, O(m) rows), and count
+    * `|N⁺(u) ∩ N⁺(v)|` per edge with the native codegen'd two-pointer
+    * merge [[graft.functions.SortedIntersectCount]]. Each triangle
+    * {a,b,c} (oriented a→b, a→c, b→c) is counted exactly once, at edge
+    * (a,b) — the only edge whose BOTH endpoints point at the third
+    * vertex.
+    *
+    * Scale shape: the intersection work is the same O(Σ_edges
+    * (d⁺(u)+d⁺(v))) = O(m^1.5) bound as the wedge join, but it runs as
+    * arithmetic inside one whole-stage-codegen'd map + partial-agg stage
+    * — the shuffle volume drops from O(m^1.5) wedge ROWS (hashed,
+    * buffered, probed by the closing join) to O(m) edge rows carrying
+    * packed long arrays, and the third join disappears entirely. The
+    * per-edge result folds into a map-side-combined SUM, so the final
+    * exchange is one row per partition. Measured at sf0.1: 6.8 s (wedge
+    * join) → ~2 s. The adjacency build is one groupBy on the oriented
+    * edges; at 100 TB it is a bucketed table by `src` (the
+    * [[buildEdgeIndex]] pattern) and both attach joins co-locate on the
+    * stored layout.
+    */
+  def qTrianglesAdj(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey"))
+    val e0 = PersistScope.persisted(
+      li.as("a").join(li.as("b"), Seq("l_orderkey"))
+        .filter(col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        .distinct())
+    val e = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+    val deg = PersistScope.persisted(
+      e.groupBy(col("u").as("node")).agg(count(lit(1)).as("d")))
+    val o = e.join(deg.select(col("node").as("u"), col("d").as("d_u")), "u")
+      .join(deg.select(col("node").as("v"), col("d").as("d_v")), "v")
+      .filter(col("d_u") < col("d_v") ||
+        (col("d_u") === col("d_v") && col("u") < col("v")))
+      .select(col("u").as("src"), col("v").as("dst"))
+    // Oriented out-neighbor lists, sorted for the merge-count contract
+    // (edges are distinct by construction, so so are the elements).
+    // Persisted: read twice (once per attach join).
+    val adj = PersistScope.persisted(
+      o.groupBy(col("src").as("node"))
+        .agg(sort_array(collect_list(col("dst"))).as("nbrs")))
+    val perEdge = o
+      .join(adj.select(col("node").as("src"), col("nbrs").as("nbrs_u")), "src")
+      // Inner join: an edge whose dst has no out-edges closes no
+      // triangle — dropping it and contributing 0 are the same thing.
+      .join(adj.select(col("node").as("dst"), col("nbrs").as("nbrs_v")), "dst")
+      .select(expr("sorted_intersect_count(nbrs_u, nbrs_v)").as("t"))
+    perEdge.agg(coalesce(sum(col("t")), lit(0L)).as("n_triangles"))
+      .crossJoin(broadcast(deg.agg(count(lit(1)).as("n_nodes"))))
+      .crossJoin(broadcast(e0.agg(count(lit(1)).as("n_edges"))))
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
+  }
 }

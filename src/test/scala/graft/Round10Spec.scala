@@ -110,4 +110,56 @@ class Round10Spec extends SparkTestBase {
     // non-empty and the tail recompute is non-empty.
     assert(merged.count() > 0)
   }
+
+  // -------------------------------------------------------------------
+  // Adjacency-intersection triangle counting.
+  // -------------------------------------------------------------------
+
+  test("sorted_intersect_count merges like size(array_intersect) on sorted sets") {
+    import spark.implicits._
+    // Hand cases: disjoint, identical, interleaved, empty, asymmetric.
+    val hand = Seq(
+      (Seq(1L, 3L, 5L), Seq(2L, 4L, 6L), 0L),
+      (Seq(1L, 2L, 3L), Seq(1L, 2L, 3L), 3L),
+      (Seq(1L, 4L, 7L, 9L), Seq(4L, 5L, 9L), 2L),
+      (Seq.empty[Long], Seq(1L, 2L), 0L),
+      (Seq(5L), Seq(1L, 2L, 3L, 4L, 5L), 1L))
+    hand.foreach { case (a, b, want) =>
+      val got = Seq((a, b)).toDF("a", "b")
+        .selectExpr("sorted_intersect_count(a, b) AS c").as[Long].head()
+      assert(got === want, s"merge($a, $b)")
+    }
+    // Randomized cross-check against the built-in on sorted distinct
+    // arrays (seeded: spec determinism).
+    val rnd = new scala.util.Random(42)
+    val rows = (1 to 200).map { _ =>
+      def arr() = Seq.fill(rnd.nextInt(20))(rnd.nextInt(30).toLong).distinct.sorted
+      (arr(), arr())
+    }
+    val bad = rows.toDF("a", "b")
+      .selectExpr("sorted_intersect_count(a, b) AS got",
+        "cast(size(array_intersect(a, b)) AS BIGINT) AS want")
+      .filter(col("got") =!= col("want"))
+    assert(bad.isEmpty, "merge-count disagrees with array_intersect")
+  }
+
+  test("q_triangles_adj matches the wedge-join count on the fixture graph") {
+    import graft.operators.Graph
+    val adj = Graph.qTrianglesAdj(spark, Sf).collect()(0)
+    val wedge = Graph.qTriangles(spark, Sf).collect()(0)
+    assert(adj === wedge)
+    assert(adj.getLong(2) > 0, "fixture co-purchase graph must contain triangles")
+  }
+
+  test("native sorted_intersect_count stays inside whole-stage codegen") {
+    import graft.operators.Graph
+    val df = Graph.qTrianglesAdj(spark, Sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val line = p.linesIterator.find(l =>
+      l.contains("sorted_intersect_count") && l.contains("Project"))
+    assert(line.isDefined, s"no sorted_intersect_count projection in plan:\n$p")
+    assert(line.get.contains("*("),
+      s"sorted_intersect_count projection not codegen'd: ${line.get}")
+  }
 }
