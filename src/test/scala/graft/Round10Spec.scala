@@ -151,6 +151,35 @@ class Round10Spec extends SparkTestBase {
     assert(adj.getLong(2) > 0, "fixture co-purchase graph must contain triangles")
   }
 
+  // An adaptive plan's toString prints Final AND Initial sections;
+  // plan-shape counts must scope to the final one.
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+
+  test("checksum plan is one map-combined fold to a single row") {
+    val df = Delta.qTableChecksum(spark, Sf)
+    df.collect()
+    val p = finalPlan(df)
+    // The only exchange allowed is the final SinglePartition gather of
+    // per-partition partials — a hashpartitioning exchange would mean
+    // the fold shuffles row-level data, which must never happen for a
+    // commutative fingerprint over a 100 TB table.
+    assert("Exchange".r.findAllIn(p).length === 1, s"extra exchange:\n$p")
+    assert(p.contains("Exchange SinglePartition"), s"wrong exchange kind:\n$p")
+    assert(p.contains("partial_"), s"no map-side partial aggregation:\n$p")
+  }
+
+  test("incremental rollup's returned plan reads events once (tail only)") {
+    val df = Scale.qIncrementalRollup(spark, Sf)
+    df.collect()
+    val p = finalPlan(df)
+    // Two parquet scans: the materialized closed-days rollup and the
+    // events TAIL delta. A third scan would mean the merge re-reads the
+    // event history the rollup exists to avoid.
+    assert("Scan parquet".r.findAllIn(p).length === 2,
+      s"expected rollup + tail scans only:\n$p")
+  }
+
   test("native sorted_intersect_count stays inside whole-stage codegen") {
     import graft.operators.Graph
     val df = Graph.qTrianglesAdj(spark, Sf)
