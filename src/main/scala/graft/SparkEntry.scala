@@ -692,6 +692,28 @@ object SparkEntry {
   private def duckOcc(p: String): String =
     s"(length(text) - length(replace(text, '$p', ''))) // ${p.length}"
 
+  // One triangle oracle, three physical forms: q_triangles (wedge join),
+  // q_triangles_idx (bucketed index), q_triangles_adj (adjacency
+  // merge-count) all bind THIS string, so a correction here reaches all
+  // three twins at once (reviewer finding: the text used to be pasted
+  // per query and could silently diverge).
+  private lazy val duckTriangleSql: String =
+    "WITH e0 AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v " +
+      "FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey " +
+      "WHERE a.l_partkey < b.l_partkey), " +
+      "e AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0), " +
+      "deg AS (SELECT u AS node, count(*) AS d FROM e GROUP BY u), " +
+      "o AS (SELECT e.u AS src, e.v AS dst, dv.d AS d_dst FROM e " +
+      "JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v " +
+      "WHERE du.d < dv.d OR (du.d = dv.d AND e.u < e.v)) " +
+      "SELECT (SELECT count(*) FROM deg) AS n_nodes, " +
+      "(SELECT count(*) FROM e0) AS n_edges, " +
+      "count(*) AS n_triangles " +
+      "FROM o o1 " +
+      "JOIN o o2 ON o1.src = o2.src " +
+      "AND (o1.d_dst < o2.d_dst OR (o1.d_dst = o2.d_dst AND o1.dst < o2.dst)) " +
+      "JOIN o o3 ON o3.src = o1.dst AND o3.dst = o2.dst"
+
   // Connected-components prefix shared by d7 and d12: recursive transitive
   // closure over the symmetrized near-dup edges (UNION dedups, so cycles
   // terminate); `reach(a, b)` = b reachable from a, canonical = min(b).
@@ -792,7 +814,11 @@ object SparkEntry {
       (duckCcCte + ", cc AS (SELECT a AS doc_id, min(b) AS canonical_id FROM reach GROUP BY a), " +
         "c AS (SELECT doc_id, len(tok)::BIGINT AS n, len(list_distinct(tok))::BIGINT AS u, " +
         "len(list_filter(tok, t -> t IN ('the', 'a')))::BIGINT AS stop FROM tokd), " +
-        "q AS (SELECT doc_id, (400*(n - stop)) // n + least(3*n, 300) + (300*u) // n AS quality_milli FROM c), " +
+        // COALESCE(-1) mirrors the Spark side's null-quality pin (see
+        // LlmOps.d12QualityResolve): without it a NULL-text doc's group
+        // vanishes here (window-max ignores NULLs, `quality = mq` then
+        // filters the whole group) while the engine keeps the row.
+        "q AS (SELECT doc_id, coalesce((400*(n - stop)) // n + least(3*n, 300) + (300*u) // n, -1) AS quality_milli FROM c), " +
         "j AS (SELECT cc.doc_id, cc.canonical_id, q.quality_milli FROM cc JOIN q USING (doc_id)), " +
         "w AS (SELECT canonical_id, min(doc_id) AS keep_id FROM (" +
         "SELECT doc_id, canonical_id, quality_milli, max(quality_milli) OVER (PARTITION BY canonical_id) AS mq FROM j) " +
@@ -1480,60 +1506,15 @@ object SparkEntry {
         "FROM t JOIN bounds ON t.o_orderstatus = bounds.o_orderstatus"),
     // Triangle twin: verbatim — the degree-oriented wedge join is plain
     // ANSI SQL; DuckDB counts the same once-per-triangle orientation.
-    "q_triangles" ->
-      ("WITH e0 AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v " +
-        "FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey " +
-        "WHERE a.l_partkey < b.l_partkey), " +
-        "e AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0), " +
-        "deg AS (SELECT u AS node, count(*) AS d FROM e GROUP BY u), " +
-        "o AS (SELECT e.u AS src, e.v AS dst, dv.d AS d_dst FROM e " +
-        "JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v " +
-        "WHERE du.d < dv.d OR (du.d = dv.d AND e.u < e.v)) " +
-        "SELECT (SELECT count(*) FROM deg) AS n_nodes, " +
-        "(SELECT count(*) FROM e0) AS n_edges, " +
-        "count(*) AS n_triangles " +
-        "FROM o o1 " +
-        "JOIN o o2 ON o1.src = o2.src " +
-        "AND (o1.d_dst < o2.d_dst OR (o1.d_dst = o2.d_dst AND o1.dst < o2.dst)) " +
-        "JOIN o o3 ON o3.src = o1.dst AND o3.dst = o2.dst"),
+    "q_triangles" -> duckTriangleSql,
     // Indexed-triangle twin: IDENTICAL SQL to q_triangles — the index
     // changes where the work happens, never the answer.
-    "q_triangles_idx" ->
-      ("WITH e0 AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v " +
-        "FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey " +
-        "WHERE a.l_partkey < b.l_partkey), " +
-        "e AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0), " +
-        "deg AS (SELECT u AS node, count(*) AS d FROM e GROUP BY u), " +
-        "o AS (SELECT e.u AS src, e.v AS dst, dv.d AS d_dst FROM e " +
-        "JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v " +
-        "WHERE du.d < dv.d OR (du.d = dv.d AND e.u < e.v)) " +
-        "SELECT (SELECT count(*) FROM deg) AS n_nodes, " +
-        "(SELECT count(*) FROM e0) AS n_edges, " +
-        "count(*) AS n_triangles " +
-        "FROM o o1 " +
-        "JOIN o o2 ON o1.src = o2.src " +
-        "AND (o1.d_dst < o2.d_dst OR (o1.d_dst = o2.d_dst AND o1.dst < o2.dst)) " +
-        "JOIN o o3 ON o3.src = o1.dst AND o3.dst = o2.dst"),
+    "q_triangles_idx" -> duckTriangleSql,
     // Adjacency-intersection triangle twin: IDENTICAL SQL again — the
     // edge-iterator form changes the physical shape (merge-counted
     // sorted adjacency arrays instead of a wedge-row join), never the
     // count.
-    "q_triangles_adj" ->
-      ("WITH e0 AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v " +
-        "FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey " +
-        "WHERE a.l_partkey < b.l_partkey), " +
-        "e AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0), " +
-        "deg AS (SELECT u AS node, count(*) AS d FROM e GROUP BY u), " +
-        "o AS (SELECT e.u AS src, e.v AS dst, dv.d AS d_dst FROM e " +
-        "JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v " +
-        "WHERE du.d < dv.d OR (du.d = dv.d AND e.u < e.v)) " +
-        "SELECT (SELECT count(*) FROM deg) AS n_nodes, " +
-        "(SELECT count(*) FROM e0) AS n_edges, " +
-        "count(*) AS n_triangles " +
-        "FROM o o1 " +
-        "JOIN o o2 ON o1.src = o2.src " +
-        "AND (o1.d_dst < o2.d_dst OR (o1.d_dst = o2.d_dst AND o1.dst < o2.dst)) " +
-        "JOIN o o3 ON o3.src = o1.dst AND o3.dst = o2.dst"),
+    "q_triangles_adj" -> duckTriangleSql,
     // t23 twin: same bigram construction as t20's; the head set is the
     // df-threshold filter, rare = total − frequent by subtraction.
     "t23_rare_bigrams" ->

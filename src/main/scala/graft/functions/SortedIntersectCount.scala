@@ -18,12 +18,18 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * work with no per-row allocation and fuses into the surrounding codegen
   * stage.
   *
-  * Contract: both inputs must be sorted ascending with distinct elements
-  * (as produced by `sort_array(collect_set(..))` / a sorted distinct
-  * aggregation); the merge silently undercounts on unsorted input, so
-  * callers own that invariant. NULL input → NULL; a NULL ELEMENT → NULL
-  * (same discipline as [[CosineMilli]]) — sorted arrays from collect_*
-  * never contain nulls, so the branch exists for SQL-text callers only.
+  * Contract: both inputs must be sorted ascending with distinct non-null
+  * elements (as produced by `sort_array(collect_set(..))` / a sorted
+  * distinct aggregation); the merge silently undercounts on unsorted
+  * input, so callers own that invariant. NULL input → NULL. A NULL
+  * element returns NULL only if the merge VISITS it before one array is
+  * exhausted (reviewer finding: `(array(1), array(2, NULL))` → 0,
+  * `(array(1), array(NULL, 2))` → NULL) — the null check is a cheap
+  * guard against garbage answers on contract-violating SQL-text input,
+  * not a validation pass; arrays containing nulls are outside the
+  * contract, and an upfront scan to normalize them would put an O(n)
+  * penalty on every row of the triangle hot path to serve inputs the
+  * operator never produces.
   */
 case class SortedIntersectCount(left: Expression, right: Expression)
     extends BinaryExpression {

@@ -166,8 +166,14 @@ object Delta {
     * count, XOR (catches any single-row difference), and a modular sum
     * (catches differences XOR cancels, e.g. the same row flipped in two
     * pairs). Both folds commute, so partial aggregates merge exactly on
-    * any tree of combiners; the modular reduction keeps the sum far from
-    * 63-bit overflow at any realistic row count (2^60 rows × 10^6 < 2^63).
+    * any tree of combiners. Overflow budget (reviewer finding — the
+    * original claim here was off by 2^17): each term is < 1000003 ≈ 2^20,
+    * so the signed-64 sum is exact up to 2^63 / 1000003 ≈ 9.2×10^12 rows
+    * — ~90× headroom over a 100 TB table of 1 KB rows (~10^11). Beyond
+    * that, Spark's non-ANSI sum wraps while DuckDB's HUGEINT→BIGINT cast
+    * errors, so the gate would diverge rather than agree-by-accident;
+    * shrink the modulus (or fold per-partition) before fingerprinting
+    * tables past ~10^12 rows.
     */
   def tableChecksum(df: DataFrame, cols: Seq[String]): DataFrame = {
     val tokens = cols.map { c =>

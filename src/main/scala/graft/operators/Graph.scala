@@ -144,8 +144,36 @@ object Graph {
     * lines-per-order², single-digit here), never global. Each triangle
     * {a,b,c} is counted exactly once: at its (degree, id)-minimal vertex.
     */
-  def qTriangles(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared pair-build + degree + orientation prefix for the three
+    * triangle forms and the edge-index build (reviewer finding: this
+    * pipeline used to exist as three verbatim copies, so an edge-build
+    * fix had to land in three places). Returns (e0, deg, o): distinct
+    * undirected edges, per-node degrees, and the (degree, id)-oriented
+    * edge stream carrying d_dst. e0 and deg come back persisted (each
+    * is read by several consumers in every caller); o's caching is the
+    * caller's choice — the wedge join reads it three times (persist),
+    * the index build and adjacency fold read it once or twice (don't).
+    */
+  private def orientedEdges(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey"))
+    val e0 = PersistScope.persisted(
+      li.as("a").join(li.as("b"), Seq("l_orderkey"))
+        .filter(col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        .distinct())
+    val e = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+    val deg = PersistScope.persisted(
+      e.groupBy(col("u").as("node")).agg(count(lit(1)).as("d")))
+    val o = e.join(deg.select(col("node").as("u"), col("d").as("d_u")), "u")
+      .join(deg.select(col("node").as("v"), col("d").as("d_v")), "v")
+      .filter(col("d_u") < col("d_v") ||
+        (col("d_u") === col("d_v") && col("u") < col("v")))
+      .select(col("u").as("src"), col("v").as("dst"), col("d_v").as("d_dst"))
+    (e0, deg, o)
+  }
+
+  def qTriangles(spark: SparkSession, dir: String): DataFrame = {
     // The edge and oriented-edge tables are each read several times
     // downstream; pin them so the lineitem self-join runs ONCE (the
     // SQL-text formulation re-inlined the CTE chain per reference —
@@ -153,23 +181,8 @@ object Graph {
     // where this plan runs in ~8 s; the closing join is hinted
     // shuffle_hash because sort-merge would SORT the 41M-wedge stream,
     // measured 25 s vs 8.5 s).
-    val e0 = PersistScope.persisted(
-      li.as("a").join(li.as("b"), Seq("l_orderkey"))
-        .filter(col("a.l_partkey") < col("b.l_partkey"))
-        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
-        .distinct())
-    val e = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
-    // deg is read twice building o plus once for n_nodes — persist so
-    // the degree aggregate over the edge union runs once (the qPagerank
-    // pattern).
-    val deg = PersistScope.persisted(
-      e.groupBy(col("u").as("node")).agg(count(lit(1)).as("d")))
-    val o = PersistScope.persisted(
-      e.join(deg.select(col("node").as("u"), col("d").as("d_u")), "u")
-        .join(deg.select(col("node").as("v"), col("d").as("d_v")), "v")
-        .filter(col("d_u") < col("d_v") ||
-          (col("d_u") === col("d_v") && col("u") < col("v")))
-        .select(col("u").as("src"), col("v").as("dst"), col("d_v").as("d_dst")))
+    val (e0, deg, o0) = orientedEdges(spark, dir)
+    val o = PersistScope.persisted(o0)
     val wedgeClosed = o.as("o1")
       .join(o.as("o2"), col("o1.src") === col("o2.src") &&
         (col("o1.d_dst") < col("o2.d_dst") ||
@@ -204,20 +217,7 @@ object Graph {
   def buildEdgeIndex(spark: SparkSession, dir: String, prefix: String,
                      numBuckets: Int = -1): Unit = {
     val buckets = if (numBuckets > 0) numBuckets else defaultEdgeBuckets(spark)
-    val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey"))
-    val e0 = PersistScope.persisted(
-      li.as("a").join(li.as("b"), Seq("l_orderkey"))
-        .filter(col("a.l_partkey") < col("b.l_partkey"))
-        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
-        .distinct())
-    val e = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
-    val deg = PersistScope.persisted(
-      e.groupBy(col("u").as("node")).agg(count(lit(1)).as("d")))
-    val o = e.join(deg.select(col("node").as("u"), col("d").as("d_u")), "u")
-      .join(deg.select(col("node").as("v"), col("d").as("d_v")), "v")
-      .filter(col("d_u") < col("d_v") ||
-        (col("d_u") === col("d_v") && col("u") < col("v")))
-      .select(col("u").as("src"), col("v").as("dst"), col("d_v").as("d_dst"))
+    val (_, _, o) = orientedEdges(spark, dir)
     Scale.writeBucketed(o, s"${prefix}_edges", "src", buckets)
     PersistScope.releaseAll()
   }
@@ -278,20 +278,7 @@ object Graph {
     * stored layout.
     */
   def qTrianglesAdj(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey"))
-    val e0 = PersistScope.persisted(
-      li.as("a").join(li.as("b"), Seq("l_orderkey"))
-        .filter(col("a.l_partkey") < col("b.l_partkey"))
-        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
-        .distinct())
-    val e = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
-    val deg = PersistScope.persisted(
-      e.groupBy(col("u").as("node")).agg(count(lit(1)).as("d")))
-    val o = e.join(deg.select(col("node").as("u"), col("d").as("d_u")), "u")
-      .join(deg.select(col("node").as("v"), col("d").as("d_v")), "v")
-      .filter(col("d_u") < col("d_v") ||
-        (col("d_u") === col("d_v") && col("u") < col("v")))
-      .select(col("u").as("src"), col("v").as("dst"))
+    val (e0, deg, o) = orientedEdges(spark, dir)
     // Oriented out-neighbor lists, sorted for the merge-count contract
     // (edges are distinct by construction, so so are the elements).
     // Persisted: read twice (once per attach join).

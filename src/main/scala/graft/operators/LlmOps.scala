@@ -772,9 +772,18 @@ object LlmOps {
   def d12QualityResolve(spark: SparkSession, dir: String): DataFrame = {
     // Both the election and the join-back consume the labels; persist so
     // the d2 candidate pipeline + CC loop behind them runs once.
+    // NULL quality (NULL/empty text) is pinned to -1 BEFORE the election:
+    // every real score is >= 0, so a null-text doc can never beat a real
+    // one, and a singleton null-text group still elects itself. Without
+    // the pin the two engines diverge on such a doc (reviewer finding):
+    // Spark's struct-max treats the null field as smallest and keeps the
+    // row, while the oracle's window-max ignores NULLs and its
+    // `quality = mq` filter drops the whole group.
     val labeled = PersistScope.persisted(
       d7DedupResolve(spark, dir)
-        .join(t3QualityScore(spark, dir).select(col("doc_id"), col("quality_milli")),
+        .join(t3QualityScore(spark, dir)
+          .select(col("doc_id"),
+            coalesce(col("quality_milli"), lit(-1L)).as("quality_milli")),
           "doc_id"))
     val winners = labeled
       .groupBy("canonical_id")

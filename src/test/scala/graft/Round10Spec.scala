@@ -54,6 +54,25 @@ class Round10Spec extends SparkTestBase {
     assert(out === Set((3L, 3L, 1L), (7L, 3L, 0L)))
   }
 
+  test("d12 keeps a null-text document as its own singleton survivor") {
+    import spark.implicits._
+    val dir = tempDir("d12_null")
+    // Null text → null t3 quality. The election pins that to -1 (below
+    // every real score) so the doc still elects itself in its singleton
+    // group instead of diverging between engines (the oracle's
+    // window-max ignores NULLs and would drop the group entirely).
+    Seq((1L, "alpha bravo charlie delta echo foxtrot golf hotel"),
+        (2L, null: String))
+      .map { case (id, t) =>
+        (id, t, "en", "src0", Option(t).map(_.length.toLong).getOrElse(0L)) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = LlmOps.d12QualityResolve(spark, dir)
+      .select("doc_id", "canonical_id", "keep_id", "is_kept")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(out === Set((1L, 1L, 1L, 1L), (2L, 2L, 2L, 1L)))
+  }
+
   test("d12 emits exactly one survivor per group on the fixture corpus") {
     val perGroup = LlmOps.d12QualityResolve(spark, Sf)
       .groupBy("canonical_id")
@@ -105,10 +124,18 @@ class Round10Spec extends SparkTestBase {
       .groupBy("day", "event_type")
       .agg(count(lit(1)).as("n_events"), sum("value_milli").as("total_value_milli"))
     assert(merged.exceptAll(flat).isEmpty && flat.exceptAll(merged).isEmpty)
-    // Both sides of the cutoff must actually contribute: the fixture
-    // spans more than the 3-day tail, so the materialized rollup is
-    // non-empty and the tail recompute is non-empty.
-    assert(merged.count() > 0)
+    // Both sides of the cutoff must actually contribute, and that has to
+    // be CHECKED, not assumed (reviewer finding: merged.count() > 0 stays
+    // green even when the fixture shrinks to <= 3 days and the
+    // materialized-rollup path runs on zero rows — the equivalence then
+    // passes vacuously as tail-only ≡ flat). The fixture must span more
+    // days than the 3-day open tail for the partial-aggregate merge to
+    // actually be exercised.
+    val nDays = Tables.events(spark, Sf)
+      .select(to_date(col("ts")).as("day")).distinct().count()
+    assert(nDays > 3,
+      s"events fixture spans only $nDays day(s); the rollup side is empty " +
+        "and this test no longer proves the increment == recompute merge")
   }
 
   // -------------------------------------------------------------------
