@@ -8,8 +8,25 @@ package graft
   * fabricated seconds entry, and the process exits nonzero. A warm-up
   * query runs first (untimed) so the first timed query doesn't absorb
   * session/codegen startup (~4 s in round 1's numbers).
+  *
+  * Noise protocol (VERDICT r10 #1: the one-rep full-catalog pass shipped
+  * a 6.9× phantom — st4 graded at 18.2 s vs a 2.66 s quiet median —
+  * because a single cold reading soaks up whatever the host happens to
+  * be doing): every query whose first rep exceeds [[Bench.RepThreshold]]
+  * runs TWO more reps and reports the median of three, the same
+  * warm-median estimator tools/sweep_quiet.sh records in
+  * QUIET_MEDIANS.json (PersistScope released between reps, page cache
+  * warm — deliberately identical so graded entries are comparable to
+  * quiet medians 1:1). Sub-threshold queries keep their single reading:
+  * 0.2 s is under 3× the smallest quiet median in the catalog (0.068 s),
+  * so an accepted one-rep value can never be a >3× outlier, and skipping
+  * their extra reps keeps the full catalog from tripling its wall time.
+  * Per-query rep detail lands in the BENCH_DETAIL sidecar.
   */
 object Bench {
+
+  /** First-rep seconds above which a query is re-measured (median of 3). */
+  val RepThreshold = 0.2
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -59,13 +76,27 @@ object Bench {
         s"$matched of ${SparkEntry.queries.size} queries; " +
         "this is NOT a full-catalog sweep")
     }
+    val repsDetail = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>
-      val t0 = System.nanoTime()
       try {
-        fn(spark, sfDir).count()
-        times(name) = (System.nanoTime() - t0) / 1e9
+        // One rep = run + count; the PersistScope release is OUTSIDE the
+        // timed window (the TimeQuery protocol, so medians here remain
+        // comparable to QUIET_MEDIANS entries for persist-heavy queries).
+        def rep(): Double = {
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).count()
+          val elapsed = (System.nanoTime() - t0) / 1e9
+          PersistScope.releaseAll()
+          elapsed
+        }
+        val r1 = rep()
+        val rs = if (r1 <= RepThreshold) Seq(r1) else Seq(r1, rep(), rep())
+        repsDetail(name) = rs
+        // A median is recorded only once ALL reps succeeded — a query
+        // that fails on rep 2 reports an error, never a partial timing.
+        times(name) = rs.sorted.apply(rs.size / 2)
       } catch { case e: Throwable =>
         errors(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
       } finally {
@@ -141,16 +172,21 @@ object Bench {
     val detailJson = {
       val qs = times.map { case (k, v) => s"  ${q(k)}: ${sec(v, 3)}" }.mkString("{\n", ",\n", "\n}")
       val es = errors.map { case (k, v) => s"  ${q(k)}: ${q(v)}" }.mkString("{\n", ",\n", "\n}")
+      val rd = repsDetail.map { case (k, vs) =>
+        s"  ${q(k)}: ${vs.map(sec(_, 3)).mkString("[", ",", "]")}" }
+        .mkString("{\n", ",\n", "\n}")
       s"""{
 "metric": "total",
 "value": ${sec(total, 3)},
 "unit": "sec",
+"protocol": "median-of-3 for queries with first rep > ${RepThreshold}s; single rep below (see Bench.scala scaladoc)",
 "n_queries": ${times.size},
 "n_errors": ${errors.size},${if (only.isDefined) s"""
 "subset": true,
 "n_catalog": ${SparkEntry.queries.size},""" else ""}
 "sf": ${q(sfDir)},
 "queries": $qs,
+"reps": $rd,
 "errors": $es
 }"""
     }

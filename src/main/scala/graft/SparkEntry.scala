@@ -156,6 +156,7 @@ object SparkEntry {
     "q_triangles"          -> Graph.qTriangles _,
     "q_triangles_idx"      -> Graph.qTrianglesIndexed _,
     "q_triangles_adj"      -> Graph.qTrianglesAdj _,
+    "q_triangles_adj_idx"  -> Graph.qTrianglesAdjIdx _,
   )
 
   private val llmQueries: Map[String, Query] = Map(
@@ -183,6 +184,7 @@ object SparkEntry {
     "t10_mixture_sample" -> LlmOps.t10MixtureSample _,
     "t11_decontaminate" -> LlmOps.t11Decontaminate _,
     "q_curation_pipeline" -> LlmOps.curationManifest _,
+    "q_curation_neardup"  -> LlmOps.curationNeardupManifest _,
     "t12_stopwords"    -> LlmOps.t12Stopwords _,
     "t13_rolling_fp"   -> LlmOps.t13RollingFp _,
     "t14_pack"         -> LlmOps.t14PackSequences _,
@@ -196,6 +198,7 @@ object SparkEntry {
     "t22_group_sample" -> LlmOps.t22GroupSample _,
     "t23_rare_bigrams" -> LlmOps.t23RareBigrams _,
     "t24_bpe_pairs"    -> LlmOps.t24BpePairs _,
+    "t28_bpe_encode"   -> LlmOps.t28BpeEncode _,
     "t25_classifier"   -> LlmOps.t25Classifier _,
     "t26_bigram_lm"    -> LlmOps.t26BigramLm _,
     "t27_bigram_topk"  -> ((s: SparkSession, d: String) => LlmOps.t27BigramTopk(s, d)),
@@ -1027,6 +1030,64 @@ object SparkEntry {
         "LEFT JOIN cont ON s.doc_id = cont.doc_id " +
         "JOIN spl ON s.doc_id = spl.doc_id " +
         s"WHERE s.bucket < s.rate_pct AND s.doc_id >= ${LlmOps.BenchmarkDocs} AND cont.doc_id IS NULL"),
+    // Near-dup-aware curation twin: the d12 chain (CC components +
+    // quality election) supplies stage 1's keep set — `kept` is exactly
+    // d12's is_kept = 1 rows — and the remaining stages replay the
+    // q_curation_pipeline CTEs. duckCcCte's `sh` holds per-doc shingle
+    // LISTS, so the contamination stage unnests it (shr) instead of
+    // rebuilding shingles.
+    "q_curation_neardup" ->
+      (duckCcCte + ", cc AS (SELECT a AS doc_id, min(b) AS canonical_id FROM reach GROUP BY a), " +
+        "c AS (SELECT doc_id, len(tok)::BIGINT AS n, len(list_distinct(tok))::BIGINT AS u, " +
+        "len(list_filter(tok, t -> t IN ('the', 'a')))::BIGINT AS stop FROM tokd), " +
+        "q AS (SELECT doc_id, coalesce((400*(n - stop)) // n + least(3*n, 300) + (300*u) // n, -1) AS quality_milli FROM c), " +
+        "j AS (SELECT cc.doc_id, cc.canonical_id, q.quality_milli FROM cc JOIN q USING (doc_id)), " +
+        "w AS (SELECT canonical_id, min(doc_id) AS keep_id FROM (" +
+        "SELECT doc_id, canonical_id, quality_milli, max(quality_milli) OVER (PARTITION BY canonical_id) AS mq FROM j) " +
+        "WHERE quality_milli = mq GROUP BY canonical_id), " +
+        "kept AS (SELECT j.doc_id FROM j JOIN w USING (canonical_id) WHERE j.doc_id = w.keep_id), " +
+        "quality_ok AS (SELECT doc_id FROM q WHERE quality_milli >= 400), " +
+        "shr AS (SELECT doc_id, unnest(s) AS shingle FROM sh), " +
+        s"bench AS (SELECT DISTINCT shingle FROM shr WHERE doc_id < ${LlmOps.BenchmarkDocs}), " +
+        s"cont AS (SELECT DISTINCT shr.doc_id FROM shr JOIN bench USING (shingle) WHERE shr.doc_id >= ${LlmOps.BenchmarkDocs}), " +
+        "samp AS (SELECT doc_id, source, " +
+        "" + duckBucket + " AS bucket, " +
+        "CASE WHEN source = 'src0' THEN 100 WHEN source IN ('src1', 'src2', 'src3') THEN 50 ELSE 20 END AS rate_pct " +
+        "FROM documents), " +
+        "spl AS (SELECT doc_id, CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split " +
+        "FROM (SELECT doc_id, " + duckBucket + " AS bucket FROM documents)) " +
+        "SELECT s.doc_id, s.source, CAST(s.bucket AS BIGINT) AS bucket, spl.split " +
+        "FROM samp s " +
+        "JOIN kept ON s.doc_id = kept.doc_id " +
+        "JOIN quality_ok ON s.doc_id = quality_ok.doc_id " +
+        "LEFT JOIN cont ON s.doc_id = cont.doc_id " +
+        "JOIN spl ON s.doc_id = spl.doc_id " +
+        s"WHERE s.bucket < s.rate_pct AND s.doc_id >= ${LlmOps.BenchmarkDocs} AND cont.doc_id IS NULL"),
+    // BPE-encode twin: the same ranked merge list (count desc, a, b —
+    // row_number here, the struct-sort trick on the Spark side) and the
+    // same nested fold — DuckDB's list_reduce seeds the accumulator with
+    // the FIRST list element, so the word state is prepended to the
+    // merge list and the inner fold's accumulator starts at the word's
+    // first symbol, exactly like Spark's explicit zero argument. The
+    // coalesce([]) keeps a merge-free degenerate corpus folding to the
+    // initial state instead of NULL (DuckDB's list() over zero rows).
+    "t28_bpe_encode" ->
+      ("WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents), " +
+        "w AS (SELECT tok, count(*) AS freq FROM toks WHERE length(tok) >= 1 GROUP BY tok), " +
+        "p AS (SELECT substr(tok, CAST(i AS INT), 1) AS a, substr(tok, CAST(i AS INT) + 1, 1) AS b, freq " +
+        "FROM (SELECT tok, freq, unnest(range(1, length(tok))) AS i FROM w WHERE length(tok) >= 2)), " +
+        "pc AS (SELECT a, b, CAST(sum(freq) AS BIGINT) AS pair_count FROM p GROUP BY a, b), " +
+        "rk AS (SELECT a, b, row_number() OVER (ORDER BY pair_count DESC, a, b) AS rn FROM pc), " +
+        s"ml AS (SELECT coalesce(list(a || ' ' || b ORDER BY rn), []) AS merges FROM rk WHERE rn <= ${LlmOps.NumMerges}), " +
+        "enc AS (SELECT tok, freq, list_reduce(list_prepend(" +
+        "array_to_string(list_transform(range(1, length(tok) + 1), i -> substr(tok, CAST(i AS INT), 1)), ' '), merges), " +
+        "(wd, m) -> list_reduce(string_split(wd, ' '), (acc, x) -> " +
+        "CASE WHEN regexp_extract(acc, '[^ ]+$') = string_split(m, ' ')[1] AND x = string_split(m, ' ')[2] " +
+        "THEN regexp_replace(acc, '[^ ]+$', '') || string_split(m, ' ')[1] || string_split(m, ' ')[2] " +
+        "ELSE acc || ' ' || x END)) AS encoded FROM w CROSS JOIN ml), " +
+        "sym AS (SELECT tok, freq, unnest(string_split(encoded, ' ')) AS symbol FROM enc) " +
+        "SELECT symbol, CAST(sum(freq) AS BIGINT) AS token_count, " +
+        "count(DISTINCT tok) AS n_words FROM sym GROUP BY symbol"),
   )
 
   // -- Similarity oracles ---------------------------------------------
@@ -1515,6 +1576,9 @@ object SparkEntry {
     // sorted adjacency arrays instead of a wedge-row join), never the
     // count.
     "q_triangles_adj" -> duckTriangleSql,
+    // Bucketed-snapshot adjacency twin: same SQL a fourth time — the
+    // stored layout moves the build cost, never the answer.
+    "q_triangles_adj_idx" -> duckTriangleSql,
     // t23 twin: same bigram construction as t20's; the head set is the
     // df-threshold filter, rare = total − frequent by subtraction.
     "t23_rare_bigrams" ->

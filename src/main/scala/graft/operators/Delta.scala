@@ -170,9 +170,11 @@ object Delta {
     * original claim here was off by 2^17): each term is < 1000003 ≈ 2^20,
     * so the signed-64 sum is exact up to 2^63 / 1000003 ≈ 9.2×10^12 rows
     * — ~90× headroom over a 100 TB table of 1 KB rows (~10^11). Beyond
-    * that, Spark's non-ANSI sum wraps while DuckDB's HUGEINT→BIGINT cast
-    * errors, so the gate would diverge rather than agree-by-accident;
-    * shrink the modulus (or fold per-partition) before fingerprinting
+    * that the gate fails LOUDLY rather than agreeing by accident: this
+    * repo runs Spark 4.x where ANSI mode is the default, so an
+    * overflowing sum throws ARITHMETIC_OVERFLOW (only a non-ANSI session
+    * would silently wrap), and DuckDB's HUGEINT→BIGINT cast errors.
+    * Shrink the modulus (or fold per-partition) before fingerprinting
     * tables past ~10^12 rows.
     */
   def tableChecksum(df: DataFrame, cols: Seq[String]): DataFrame = {

@@ -403,8 +403,16 @@ object Scale {
     // inlined as a literal: a literal date predicate reaches the scan as
     // a static pushed filter / partition-pruning predicate, where the
     // in-plan broadcast-join form would not prune anything.
-    val cutoffDay = ev.agg(date_sub(max(col("day")), 2).as("cutoff_day"))
-      .first().getDate(0)
+    val cutoffRow = ev.agg(date_sub(max(col("day")), 2).as("cutoff_day")).first()
+    // Empty events table → max(day) is NULL → no cutoff exists. Return
+    // the (empty) flat aggregate directly instead of threading an
+    // untyped null literal through the two filters (advisor finding:
+    // `lit(null) < day` is never true but the plan it builds is
+    // ill-typed noise, and a later getDate dereference would NPE).
+    if (cutoffRow.isNullAt(0))
+      return ev.groupBy("day", "event_type")
+        .agg(count(lit(1)).as("n_events"), sum("value_milli").as("total_value_milli"))
+    val cutoffDay = cutoffRow.getDate(0)
     val scratch = scratchDir("graft_rollup")
     val table = s"$scratch/daily_rollup"
     // Materialize the closed-days rollup partitioned BY DAY: the layout a

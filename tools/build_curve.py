@@ -42,6 +42,14 @@ def main():
     base, x10, x30, out_path = sys.argv[1:5]
     b, t, th = parse_min(base), parse_min(x10), parse_min(x30)
     queries = {}
+    # No silent caps (advisor finding): a truncated/partial log would
+    # quietly shrink the curve — name what each scale point is missing.
+    union = sorted(set(b) | set(t) | set(th))
+    for point, have in (("1x", b), ("10x", t), ("30x", th)):
+        missing = [n for n in union if n not in have]
+        if missing:
+            print(f"SKIPPED at {point} (absent from its logs): "
+                  f"{','.join(missing)}")
     for name in sorted(b):
         if name not in t or name not in th:
             continue
