@@ -41,6 +41,18 @@ def parse_min(paths):
 def main():
     base, x10, x30, out_path = sys.argv[1:5]
     b, t, th = parse_min(base), parse_min(x10), parse_min(x30)
+    # Attribution notes are hand-written after generation (they encode
+    # per-query diagnosis, not anything derivable from the logs) — carry
+    # them over from the existing output so a regeneration that adds
+    # queries doesn't silently drop the prior round's attributions.
+    old_notes = {}
+    try:
+        with open(out_path) as f:
+            for name, q in json.load(f).get("queries", {}).items():
+                if "note" in q:
+                    old_notes[name] = q["note"]
+    except (OSError, ValueError):
+        pass
     queries = {}
     # No silent caps (advisor finding): a truncated/partial log would
     # quietly shrink the curve — name what each scale point is missing.
@@ -61,6 +73,8 @@ def main():
             "ratio_30x": round(hs / bs, 2) if bs > 0 else None,
             "step_30x_over_10x": round(hs / ts, 2) if ts > 0 else None,
         }
+        if name in old_notes:
+            queries[name]["note"] = old_notes[name]
     doc = {
         "what": ("3-point scale curve: TimeQuery min-of-reps (see module "
                  "docstring for why min, not median, on this host) over "

@@ -18,7 +18,13 @@ LINE = re.compile(r"^TIME (\S+)\s+median=\s*([0-9.]+) s .*rows=(\d+)")
 def main():
     out_json, what = sys.argv[1], sys.argv[2]
     meds = {}
+    # A .json input seeds from a previously built QUIET_MEDIANS file, so
+    # an incremental round only re-sweeps its NEW queries (the raw TIME
+    # logs behind older rounds live in /tmp and don't survive the host).
     for path in sys.argv[3:]:
+        if path.endswith(".json"):
+            meds.update(json.load(open(path)).get("medians_sec", {}))
+            continue
         for line in open(path):
             m = LINE.match(line.strip())
             if m:
