@@ -9,48 +9,221 @@ package graft
   * query runs first (untimed) so the first timed query doesn't absorb
   * session/codegen startup (~4 s in round 1's numbers).
   *
-  * Noise protocol (VERDICT r10 #1: the one-rep full-catalog pass shipped
-  * a 6.9× phantom — st4 graded at 18.2 s vs a 2.66 s quiet median —
-  * because a single cold reading soaks up whatever the host happens to
-  * be doing): every query whose first rep exceeds [[Bench.RepThreshold]]
-  * runs TWO more reps and reports the median of three, the same
-  * warm-median estimator tools/sweep_quiet.sh records in
-  * QUIET_MEDIANS.json (PersistScope released between reps, page cache
-  * warm — deliberately identical so graded entries are comparable to
-  * quiet medians 1:1). Sub-threshold queries keep their single reading:
-  * 0.2 s is under 3× the smallest quiet median in the catalog (0.068 s),
-  * so an accepted one-rep value can never be a >3× outlier, and skipping
-  * their extra reps keeps the full catalog from tripling its wall time.
+  * Noise protocol, two layers (VERDICT r10 #1 — the graded artifact used
+  * to be the least reliable number in the repo):
+  *
+  *  1. '''Median-of-3''' per query (r11): every query whose first rep
+  *     exceeds [[Bench.RepThreshold]] runs TWO more reps and reports the
+  *     median — the same warm-median estimator tools/sweep_quiet.sh
+  *     records in QUIET_MEDIANS.json, so graded entries are comparable
+  *     to quiet medians 1:1. This kills HOST-LOAD phantoms (st4 graded
+  *     18.2 s in r10 vs its 2.66 s quiet median off one cold rep).
+  *     Sub-threshold queries keep their single reading: 0.2 s is under
+  *     3× the smallest quiet median in the catalog (0.068 s), so an
+  *     accepted one-rep value can never be a >3× outlier.
+  *
+  *  2. '''Fresh JVM per chunk''' (r11): the catalog is split into
+  *     ≤[[Bench.ChunkSize]]-query chunks, each timed in a CHILD JVM the
+  *     parent forks with its own flags and classpath — the
+  *     tools/sweep_quiet.sh protocol ported into Bench itself. This
+  *     kills IN-JVM AGING, which median-of-3 cannot (all three reps are
+  *     equally aged): a single 181-query JVM measured the triangle
+  *     family at 2.3–3.3× its fresh-JVM medians with all reps agreeing —
+  *     stable, reproducible, and still wrong. Forking needs a real
+  *     classpath (`run / fork := true` in build.sbt provides one; sbt's
+  *     in-process classloaders would not). If spawning fails, or
+  *     SPARK_GRAFT_BENCH_FORK=0, the affected chunks run in-process and
+  *     the sidecar records the fallback — degraded timing is marked,
+  *     never silent.
+  *
   * Per-query rep detail lands in the BENCH_DETAIL sidecar.
   */
 object Bench {
 
   /** First-rep seconds above which a query is re-measured (median of 3). */
   val RepThreshold = 0.2
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = Sessions.local(cpus)
-    // Warm-up: exercise parquet reader, codegen, shuffle machinery once —
-    // and the Structured Streaming machinery (round-2 finding: the first
-    // streaming query absorbed ~10 s of micro-batch engine startup that
-    // st2-st4 never paid).
-    // d4 warms the shingle window / distinct / multi-key join codegen
-    // shapes shared across the dedup family — first-touch JIT of those
-    // generated classes was worth ~2× on the first timed d* query.
-    // d5b's warm-up run builds the corpus index (the once-per-snapshot
-    // setup job), so its timed entry measures what the operator promises:
-    // batch-proportional steady-state ingest against the stored index.
-    Seq("j1_dim_join", "st2_sliding_window", "d4_ngram_jaccard",
-      "d5b_index_ingest", "q_triangles_idx").foreach { q =>
+
+  /** Max queries per child JVM (matches tools/sweep_quiet.sh's default —
+    * bounds any JVM's aging exposure to one chunk).
+    */
+  val ChunkSize = 25
+
+  /** Untimed warm-up queries and the chunk contents that need them: each
+    * exercises machinery whose first-touch cost would otherwise land in
+    * the first timed query of its family. j1 (parquet reader, codegen,
+    * shuffle) always runs; st2 spins up the Structured Streaming
+    * micro-batch engine (~10 s, round-2 finding); d4 JITs the shingle
+    * window / distinct / multi-key join codegen shapes shared across the
+    * dedup family (~2× on the first timed d* query); d5b builds the
+    * corpus index so its timed entry measures steady-state ingest;
+    * q_triangles_idx builds the bucketed edge snapshot so the timed
+    * indexed probes measure the probe, not the build.
+    */
+  private[graft] def warmupsFor(names: Seq[String]): Seq[String] = {
+    val b = Seq.newBuilder[String]
+    b += "j1_dim_join"
+    if (names.exists(_.startsWith("st"))) b += "st2_sliding_window"
+    if (names.exists(n => n.startsWith("d") || n.startsWith("q_curation")))
+      b += "d4_ngram_jaccard"
+    if (names.exists(n => n == "d5_dedup_incremental" || n == "d5b_index_ingest"))
+      b += "d5b_index_ingest"
+    if (names.exists(n => n == "q_triangles_idx" || n == "q_triangles_adj_idx"))
+      b += "q_triangles_idx"
+    b.result()
+  }
+
+  private def runWarmups(spark: org.apache.spark.sql.SparkSession,
+                         sfDir: String, names: Seq[String]): Unit = {
+    warmupsFor(names).foreach { q =>
       try SparkEntry.queries.get(q).foreach(_(spark, sfDir).count())
       catch { case _: Throwable => () }
       PersistScope.releaseAll()
       spark.catalog.clearCache()
     }
     System.gc()
+  }
+
+  /** Time `names` into the three result maps (the single timing protocol
+    * both the forked children and the in-process fallback share).
+    */
+  private def timeInto(spark: org.apache.spark.sql.SparkSession,
+                       sfDir: String, names: Seq[String],
+                       times: scala.collection.mutable.Map[String, Double],
+                       errors: scala.collection.mutable.Map[String, String],
+                       repsDetail: scala.collection.mutable.Map[String, Seq[Double]])
+                      : Unit = {
+    names.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      try {
+        // One rep = run + count; the PersistScope release is OUTSIDE the
+        // timed window (the TimeQuery protocol, so medians here remain
+        // comparable to QUIET_MEDIANS entries for persist-heavy queries).
+        def rep(): Double = {
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).count()
+          val elapsed = (System.nanoTime() - t0) / 1e9
+          PersistScope.releaseAll()
+          elapsed
+        }
+        val r1 = rep()
+        val rs = if (r1 <= RepThreshold) Seq(r1) else Seq(r1, rep(), rep())
+        repsDetail(name) = rs
+        // A median is recorded only once ALL reps succeeded — a query
+        // that fails on rep 2 reports an error, never a partial timing.
+        times(name) = rs.sorted.apply(rs.size / 2)
+      } catch { case e: Throwable =>
+        errors(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
+      } finally {
+        // Per-query isolation for fair timings. clearCache drops persisted
+        // datasets; the explicit GC (untimed) collects the dropped blocks
+        // and lets ContextCleaner release shuffle/broadcast state NOW.
+        // Without it the dedup family's dead blocks stay resident until a
+        // later query triggers a multi-second mixed collection inside its
+        // timed window — measured round 2 as a 5-11× slowdown of every
+        // join query that ran after the d* family.
+        PersistScope.releaseAll()
+        spark.catalog.clearCache()
+        System.gc()
+      }
+    }
+  }
+
+  /** Child-mode stdout protocol (stdout carries ONLY these lines — Spark
+    * logs go to stderr, which the parent inherits): one `BENCHQ name
+    * median rep,rep,rep` per timed query, one `BENCHE name message` per
+    * failure, `BENCHDONE` last. A deliberately line-oriented format: the
+    * parent needs no JSON parser and a crashed child is detectable by
+    * the missing BENCHDONE.
+    */
+  private def childMain(sfDir: String, cpus: String, names: Seq[String]): Unit = {
+    val spark = Sessions.local(cpus)
+    runWarmups(spark, sfDir, names)
     val times = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val reps = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
+    timeInto(spark, sfDir, names, times, errors, reps)
+    times.foreach { case (k, v) =>
+      println(f"BENCHQ $k $v%.4f ${reps(k).map(r => f"$r%.4f").mkString(",")}")
+    }
+    errors.foreach { case (k, v) =>
+      println(s"BENCHE $k ${v.replace('\n', ' ').replace('\r', ' ')}")
+    }
+    println("BENCHDONE")
+    spark.stop()
+    // Errors are the PARENT's to aggregate and turn into a nonzero exit;
+    // a child that reported them cleanly did its job.
+    sys.exit(0)
+  }
+
+  /** Fork one child JVM over `names`; returns the names it did NOT
+    * account for (crash before BENCHDONE), or None if spawning itself
+    * failed and the whole chunk should fall back in-process.
+    */
+  private def runChunkForked(sfDir: String, names: Seq[String],
+                             times: scala.collection.mutable.Map[String, Double],
+                             errors: scala.collection.mutable.Map[String, String],
+                             repsDetail: scala.collection.mutable.Map[String, Seq[Double]])
+                            : Option[Seq[String]] = {
+    try {
+      val javaBin = new java.io.File(new java.io.File(
+        System.getProperty("java.home"), "bin"), "java").getAbsolutePath
+      // Inherit the parent's own flags (heap pin, --add-opens pairs,
+      // -D system properties) so children measure under the exact JVM
+      // configuration the driver launched the bench with.
+      val jvmArgs = java.lang.management.ManagementFactory
+        .getRuntimeMXBean.getInputArguments
+      val cmd = new java.util.ArrayList[String]()
+      cmd.add(javaBin)
+      jvmArgs.forEach(a => cmd.add(a))
+      cmd.add("-cp"); cmd.add(System.getProperty("java.class.path"))
+      cmd.add("graft.Bench"); cmd.add("--chunk"); cmd.add(names.mkString(","))
+      val pb = new java.lang.ProcessBuilder(cmd)
+      pb.redirectError(java.lang.ProcessBuilder.Redirect.INHERIT)
+      val proc = pb.start()
+      val out = scala.io.Source.fromInputStream(proc.getInputStream).getLines().toList
+      val rc = proc.waitFor()
+      var done = false
+      out.foreach { line =>
+        val parts = line.split(" ", 3)
+        parts(0) match {
+          case "BENCHQ" if parts.length == 3 =>
+            val Array(med, reps) = parts(2).split(" ", 2) match {
+              case Array(m, r) => Array(m, r)
+              case Array(m)    => Array(m, m)
+            }
+            times(parts(1)) = med.toDouble
+            repsDetail(parts(1)) = reps.split(",").toSeq.map(_.toDouble)
+          case "BENCHE" if parts.length >= 2 =>
+            errors(parts(1)) = if (parts.length == 3) parts(2) else "error"
+          case "BENCHDONE" => done = true
+          case _ => () // stray stdout line — ignore
+        }
+      }
+      if (!done)
+        System.err.println(s"[bench] child JVM exited rc=$rc before BENCHDONE " +
+          s"(chunk head ${names.head}) — unaccounted queries re-run in-process")
+      val seen = times.keySet ++ errors.keySet
+      Some(names.filterNot(seen))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] child spawn failed (${e.getClass.getSimpleName}: " +
+        s"${e.getMessage}) — chunk runs in-process")
+      None
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+
+    // Child mode: time the given chunk and report on stdout. Parsed
+    // BEFORE anything session-related so children stay cheap to spawn.
+    val chunkIdx = args.indexOf("--chunk")
+    if (chunkIdx >= 0) {
+      val names = args(chunkIdx + 1).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      childMain(sfDir, cpus, names)
+      return
+    }
+
     // Optional subset filter (dev iteration / the sf1 sweep); the driver
     // never sets it, so the per-round gate always times the full catalog.
     // LOUD when active (advisor finding): a leaked env var must never let
@@ -76,43 +249,39 @@ object Bench {
         s"$matched of ${SparkEntry.queries.size} queries; " +
         "this is NOT a full-catalog sweep")
     }
+
+    val catalog = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
+    val forkEnabled = sys.env.getOrElse("SPARK_GRAFT_BENCH_FORK", "1") != "0"
+
+    val times = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val repsDetail = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
-    SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.forall(_.contains(n)) }
-      .foreach { case (name, fn) =>
-      try {
-        // One rep = run + count; the PersistScope release is OUTSIDE the
-        // timed window (the TimeQuery protocol, so medians here remain
-        // comparable to QUIET_MEDIANS entries for persist-heavy queries).
-        def rep(): Double = {
-          val t0 = System.nanoTime()
-          fn(spark, sfDir).count()
-          val elapsed = (System.nanoTime() - t0) / 1e9
-          PersistScope.releaseAll()
-          elapsed
+    val fallbackChunks = scala.collection.mutable.ArrayBuffer[String]()
+
+    // In-process session, created lazily: the all-forked happy path never
+    // builds a SparkSession in the parent at all.
+    lazy val localSpark = {
+      val s = Sessions.local(cpus)
+      runWarmups(s, sfDir, catalog)
+      s
+    }
+    var usedLocal = false
+
+    catalog.grouped(ChunkSize).foreach { chunk =>
+      val leftover: Seq[String] =
+        if (!forkEnabled) chunk
+        else runChunkForked(sfDir, chunk, times, errors, repsDetail) match {
+          case Some(missing) => missing
+          case None          => chunk
         }
-        val r1 = rep()
-        val rs = if (r1 <= RepThreshold) Seq(r1) else Seq(r1, rep(), rep())
-        repsDetail(name) = rs
-        // A median is recorded only once ALL reps succeeded — a query
-        // that fails on rep 2 reports an error, never a partial timing.
-        times(name) = rs.sorted.apply(rs.size / 2)
-      } catch { case e: Throwable =>
-        errors(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
-      } finally {
-        // Per-query isolation for fair timings. clearCache drops persisted
-        // datasets; the explicit GC (untimed) collects the dropped blocks
-        // and lets ContextCleaner release shuffle/broadcast state NOW.
-        // Without it, on a large heap (the external harness runs ~90 GiB)
-        // the dedup family's tens of GB of dead blocks stay resident until
-        // a later query triggers a multi-second mixed collection inside
-        // its timed window — measured round 2 as a 5-11× slowdown of every
-        // join query that ran after the d* family.
-        PersistScope.releaseAll()
-        spark.catalog.clearCache()
-        System.gc()
+      if (leftover.nonEmpty) {
+        fallbackChunks += leftover.head
+        usedLocal = true
+        timeInto(localSpark, sfDir, leftover, times, errors, repsDetail)
       }
     }
+
     def q(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
@@ -169,21 +338,28 @@ object Bench {
     //     budget, keys sorted, so any capture window wide enough to hold
     //     them yields the full map; the parseable total line stays LAST.
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
+    val protocol =
+      (if (forkEnabled) s"fresh JVM per <=$ChunkSize-query chunk (sweep protocol in-bench); "
+       else "single JVM (SPARK_GRAFT_BENCH_FORK=0); ") +
+      s"median-of-3 for queries with first rep > ${RepThreshold}s; " +
+      "single rep below (see Bench.scala scaladoc)"
     val detailJson = {
-      val qs = times.map { case (k, v) => s"  ${q(k)}: ${sec(v, 3)}" }.mkString("{\n", ",\n", "\n}")
+      val sortedTimes = times.toSeq.sortBy(_._1)
+      val qs = sortedTimes.map { case (k, v) => s"  ${q(k)}: ${sec(v, 3)}" }.mkString("{\n", ",\n", "\n}")
       val es = errors.map { case (k, v) => s"  ${q(k)}: ${q(v)}" }.mkString("{\n", ",\n", "\n}")
-      val rd = repsDetail.map { case (k, vs) =>
-        s"  ${q(k)}: ${vs.map(sec(_, 3)).mkString("[", ",", "]")}" }
+      val rd = sortedTimes.map { case (k, _) =>
+        s"  ${q(k)}: ${repsDetail.getOrElse(k, Nil).map(sec(_, 3)).mkString("[", ",", "]")}" }
         .mkString("{\n", ",\n", "\n}")
       s"""{
 "metric": "total",
 "value": ${sec(total, 3)},
 "unit": "sec",
-"protocol": "median-of-3 for queries with first rep > ${RepThreshold}s; single rep below (see Bench.scala scaladoc)",
+"protocol": ${q(protocol)},
 "n_queries": ${times.size},
 "n_errors": ${errors.size},${if (only.isDefined) s"""
 "subset": true,
-"n_catalog": ${SparkEntry.queries.size},""" else ""}
+"n_catalog": ${SparkEntry.queries.size},""" else ""}${if (fallbackChunks.nonEmpty) s"""
+"fork_fallback_chunks": ${fallbackChunks.map(q).mkString("[", ",", "]")},""" else ""}
 "sf": ${q(sfDir)},
 "queries": $qs,
 "reps": $rd,
@@ -195,7 +371,7 @@ object Bench {
         detailJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case e: Throwable => System.err.println(s"[bench] sidecar write failed: $e") }
     def chunkLines(maxLen: Int): Seq[String] = {
-      val entries = times.toSeq.map { case (k, v) => s"${q(k)}:${sec(v, 2)}" }
+      val entries = times.toSeq.sortBy(_._1).map { case (k, v) => s"${q(k)}:${sec(v, 2)}" }
       val chunks = scala.collection.mutable.ArrayBuffer(scala.collection.mutable.ArrayBuffer[String]())
       var len = 0
       entries.foreach { e =>
@@ -221,7 +397,7 @@ object Bench {
       build(1, false, 20, 80), build(1, false, 20, 60), build(1, false, 20, 40),
       build(1, false, 20, 25))
       .find(_.length <= 1960).getOrElse(build(1, false, 0, 0))
-    spark.stop()
+    if (usedLocal) localSpark.stop()
     chunkLines(1800).foreach(println)
     println(line)
     if (errors.nonEmpty) sys.exit(1)
