@@ -172,6 +172,7 @@ object SparkEntry {
     "d11_band_stats"   -> LlmOps.d11BandStats _,
     "d7_dedup_resolve" -> LlmOps.d7DedupResolve _,
     "d12_quality_resolve" -> LlmOps.d12QualityResolve _,
+    "d13_group_split"  -> LlmOps.d13GroupSplit _,
     "t1_text_stats"    -> LlmOps.t1TextStats _,
     "t2_lang_id"       -> LlmOps.t2LangId _,
     "t3_quality_score" -> LlmOps.t3QualityScore _,
@@ -666,11 +667,13 @@ object SparkEntry {
     * LlmOps.docBucketExpr (4 nibbles; the old 8-bit form had a visible
     * 3/256-vs-2/256 modulo bias on the split proportions).
     */
-  private val duckBucket = {
+  private def duckBucketOn(column: String): String = {
     val nib = (i: Int) =>
-      s"(strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), $i, 1)) - 1)"
+      s"(strpos('0123456789abcdef', substr(md5($column::VARCHAR), $i, 1)) - 1)"
     s"((((${nib(1)} * 16 + ${nib(2)}) * 16 + ${nib(3)}) * 16 + ${nib(4)}) % 100)"
   }
+
+  private val duckBucket = duckBucketOn("doc_id")
 
   /** Shared by d5_dedup_incremental and d5b_index_ingest: the index path
     * is a pure optimization, so both queries grade against the identical
@@ -810,6 +813,13 @@ object SparkEntry {
     // Connected-components twin: see duckCcCte.
     "d7_dedup_resolve" ->
       (duckCcCte + " SELECT a AS doc_id, min(b) AS canonical_id FROM reach GROUP BY a"),
+    // d13 = d7's components + t8's hash split keyed on the GROUP id, so
+    // near-dup members can never straddle train/test (leakage guard).
+    "d13_group_split" ->
+      (duckCcCte + ", cc AS (SELECT a AS doc_id, min(b) AS canonical_id FROM reach GROUP BY a), " +
+        s"bk AS (SELECT doc_id, canonical_id, ${duckBucketOn("canonical_id")} AS bucket FROM cc) " +
+        "SELECT doc_id, canonical_id, CAST(bucket AS BIGINT) AS bucket, " +
+        "CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split FROM bk"),
     // d12 = d7's components + t3's quality, survivor = max quality with a
     // min-doc_id tie-break (window-max + min, not arg_max, so ties are
     // deterministic in both engines).

@@ -889,11 +889,13 @@ object LlmOps {
     * residual bias is 65536 % 100 = 36 buckets heavier by 1/65536
     * (~0.15% relative), below anything a mixture weight can see.
     */
-  private def docBucketExpr: String = {
+  private def bucketExpr(column: String): String = {
     val nib = (i: Int) =>
-      s"(instr('0123456789abcdef', substring(md5(cast(doc_id as string)), $i, 1)) - 1)"
+      s"(instr('0123456789abcdef', substring(md5(cast($column as string)), $i, 1)) - 1)"
     s"((((${nib(1)} * 16 + ${nib(2)}) * 16 + ${nib(3)}) * 16 + ${nib(4)}) % 100)"
   }
+
+  private def docBucketExpr: String = bucketExpr("doc_id")
 
   def t8HashSplit(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -902,6 +904,33 @@ object LlmOps {
         expr(docBucketExpr).as("bucket"))
       .select(
         col("doc_id"), col("source"), col("bucket").cast("long").as("bucket"),
+        expr("case when bucket < 90 then 'train' when bucket < 95 then 'val' else 'test' end")
+          .as("split"))
+
+  /** D13: leakage-safe train/val/test split — [[t8HashSplit]]'s
+    * deterministic hash split keyed on the NEAR-DUP GROUP, not the
+    * document. Splitting by per-document hash (t8) leaks evaluation
+    * data: two near-duplicate copies of the same page hash
+    * independently, one lands in train and the other in test, and the
+    * model is scored on text it effectively saw. Here the bucket is
+    * computed on [[d7DedupResolve]]'s `canonical_id`, so every member
+    * of a near-dup component — including the exact-dup degenerate case
+    * — receives the SAME split, and a component straddling splits is
+    * impossible by construction.
+    *
+    * Scale shape: the labels are d7's output (edge-subgraph CC +
+    * identity join-back — already the curation pipeline's artifact at
+    * 100 TB; a composed caller shares them via [[d12From]]'s pattern
+    * instead of recomputing); the split itself is then map-only on the
+    * labeled stream — one md5 per row, no shuffle, no RNG, stable
+    * under re-partitioning, append, and rerun.
+    */
+  def d13GroupSplit(spark: SparkSession, dir: String): DataFrame =
+    d7DedupResolve(spark, dir)
+      .select(col("doc_id"), col("canonical_id"),
+        expr(bucketExpr("canonical_id")).as("bucket"))
+      .select(col("doc_id"), col("canonical_id"),
+        col("bucket").cast("long").as("bucket"),
         expr("case when bucket < 90 then 'train' when bucket < 95 then 'val' else 'test' end")
           .as("split"))
 

@@ -176,6 +176,46 @@ class Round11Spec extends SparkTestBase {
   }
 
   // -------------------------------------------------------------------
+  // d13: leakage-safe group split — near-dup components never straddle
+  // train/val/test.
+  // -------------------------------------------------------------------
+
+  test("d13 splits by near-dup group where t8's per-doc split would leak") {
+    import spark.implicits._
+    val dir = tempDir("d13")
+    // Docs 8 and 9 are near-dups (shingle Jaccard 10/11 ≥ threshold, the
+    // d12 fixture trick). Their PER-DOC hash buckets straddle the split
+    // boundary — md5("8") buckets to 96 (test), md5("9") to 60 (train) —
+    // which is exactly the eval-leakage case t8 cannot prevent. Doc 30
+    // is an unrelated singleton (bucket 35, train).
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    Seq((8L, base), (9L, base + " mike"),
+      (30L, "november oscar papa quebec romeo sierra tango uniform victor whiskey xray yankee"))
+      .map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+
+    // Precondition: t8 really does straddle this pair — the leak exists.
+    val t8 = LlmOps.t8HashSplit(spark, dir)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(t8(8L) === "test" && t8(9L) === "train",
+      "fixture must exhibit the straddle t8 cannot prevent")
+
+    // d13: both members take the CANONICAL id's bucket (min id 8 → 96 →
+    // test); the singleton behaves exactly like t8 on its own id.
+    val out = LlmOps.d13GroupSplit(spark, dir)
+      .select("doc_id", "canonical_id", "bucket", "split")
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(out === Set(
+      (8L, 8L, 96L, "test"),
+      (9L, 8L, 96L, "test"),
+      (30L, 30L, 35L, "train")))
+    // The no-straddle invariant, stated directly: one split per group.
+    assert(out.groupBy(_._2).forall { case (_, rows) =>
+      rows.map(_._4).toSet.size == 1 })
+  }
+
+  // -------------------------------------------------------------------
   // Bench chunk warm-ups: each family's first-touch machinery must be
   // exercised by the child JVM that times it (a missing streaming
   // warm-up puts ~10 s of micro-batch engine startup into the first
