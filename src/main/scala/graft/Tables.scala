@@ -80,6 +80,33 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 
+  /** [[documents]] with the scan's map-side parallelism restored when the
+    * fixture cannot provide it. Parquet splits at row-group granularity;
+    * the test corpora are ONE row group per table, so the scan — and,
+    * through persist's partition-preservation, every downstream map stage
+    * over cached derivations — runs in a single task. For the text-heavy
+    * dedup family (tokenize → 3-gram explode → 8 md5 banks → map-side
+    * partial aggregation) that single task was ~70 % of d2's wall at
+    * sf0.1 (two 1-task ~1 s stages inside a 2.8 s query, r11 profile).
+    *
+    * The gate keeps this scale-honest: it fires only when the scan's
+    * split count is under half the session parallelism, i.e. total input
+    * ≲ cores/2 × maxPartitionBytes — a few GB at most — so the cost when
+    * it fires is one hash exchange of a small table, and at 100 TB
+    * (thousands of row groups, split count ≫ cores) it is the identity.
+    * Hash on doc_id rather than round-robin: doc_id is unique (uniform,
+    * no skew), it skips round-robin's defensive full-row sort, and with
+    * shuffle.partitions == cores the groupBy(doc_id) aggregations
+    * immediately downstream reuse the partitioning instead of
+    * re-shuffling.
+    */
+  def documentsSpread(spark: SparkSession, dir: String): DataFrame = {
+    val docs = documents(spark, dir)
+    val cores = spark.sparkContext.defaultParallelism
+    if (docs.rdd.getNumPartitions * 2 < cores) docs.repartition(cores, col("doc_id"))
+    else docs
+  }
+
   /** All corpus tables, by name. */
   val All: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")

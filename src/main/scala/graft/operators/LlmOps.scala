@@ -67,7 +67,12 @@ object LlmOps {
           element_at(col("toks"), col("pos") + 3)).as("shingle"))
 
   private[graft] def shingleRows(spark: SparkSession, dir: String): DataFrame =
-    shingleRowsOf(Tables.documents(spark, dir))
+    // documentsSpread, not documents: the shingle explode and the md5
+    // banks downstream are the corpus's heaviest map work, and the
+    // single-row-group fixtures would otherwise pin all of it (plus
+    // every stage over the persisted result) to ONE task — see the
+    // gate's scaladoc for why this is the identity at real scale.
+    shingleRowsOf(Tables.documentsSpread(spark, dir))
   // NB: rows are NOT deduplicated here — min-hash over a multiset equals
   // min-hash over its set, so the signature path skips that shuffle;
   // consumers needing set semantics dedupe in-aggregation (collect_set).
@@ -331,7 +336,9 @@ object LlmOps {
     // 32 bit positions, integer bit-contribution per (doc, bit) row, then
     // two map-combinable aggregations. All sums are order-independent
     // integer math — values identical to the nested-fold formulation.
-    Tables.documents(spark, dir)
+    // documentsSpread: token × 32-bit explode is heavy map work the
+    // one-row-group fixture would otherwise single-thread.
+    Tables.documentsSpread(spark, dir)
       .select(col("doc_id"), explode(expr(tokExpr)).as("tok"))
       .select(col("doc_id"), expr("substring(md5(tok), 1, 8)").as("t8"))
       .select(col("doc_id"), col("t8"), explode(expr("sequence(0, 31)")).as("b"))
@@ -609,10 +616,14 @@ object LlmOps {
     * to themselves. Deterministic: min over an unordered neighbor set.
     */
   def d7DedupResolve(spark: SparkSession, dir: String): DataFrame = {
-    val edges = PersistScope.persisted(
-      d2DedupMinhash(spark, dir)
-        .filter(col("jaccard_milli") >= ResolveThreshold)
-        .select(col("doc_a"), col("doc_b")))
+    // No persist on the edge list: connectedComponents eagerly
+    // localCheckpoints it as its first act, so the candidate pipeline
+    // runs exactly once either way and a cache layer would only add a
+    // write it never reads back (r11 — the persist predated the
+    // edge-level checkpoint).
+    val edges = d2DedupMinhash(spark, dir)
+      .filter(col("jaccard_milli") >= ResolveThreshold)
+      .select(col("doc_a"), col("doc_b"))
     val identity = Tables.documents(spark, dir)
       .select(col("doc_id"), col("doc_id").as("canonical_id"))
     // No pre-emptive edges.isEmpty fast path: it cost a full extra
@@ -621,10 +632,6 @@ object LlmOps {
     // converges in ONE cheap round inside the loop (empty adjacency →
     // zero changes) and the left join below then yields pure identity.
     val (resolved, converged) = connectedComponents(edges, MaxResolveRounds)
-    // The loop has materialized its final labels (checkpoint-backed), so
-    // the candidate-generation blocks can go now rather than lingering
-    // for the session's lifetime (advisor finding).
-    edges.unpersist()
     if (!converged)
       org.apache.log4j.Logger.getLogger(getClass)
         .warn(s"d7DedupResolve: label propagation did NOT converge within " +
@@ -680,20 +687,43 @@ object LlmOps {
 
   def connectedComponents(edges: DataFrame, maxRounds: Int): (DataFrame, Boolean) = {
     ccRuns += 1
+    // Round-level attribution (SPARK_GRAFT_DIAG, same knob as RepDiag):
+    // stderr only, so the sweep scripts' stdout protocol is untouched.
+    val diag = sys.env.contains("SPARK_GRAFT_DIAG")
+    def mark(label: String, t0: Long): Long = {
+      val t = System.nanoTime()
+      if (diag) System.err.println(f"CC $label ${(t - t0) / 1e9}%.3fs")
+      t
+    }
+    var tMark = System.nanoTime()
+    // Materialize the incoming edge list ONCE (eager localCheckpoint):
+    // `edges` usually sits on a deep candidate-generation tree (d2's
+    // window + aggregates + joins), and every round's self-join would
+    // otherwise re-analyze and re-optimize TWO copies of it — measured at
+    // sf0.1 as a 110 s first round vs 2 s for the identical second round
+    // whose inputs were already checkpoint-flat. persist() alone does not
+    // help: it caches data but leaves the logical plan in place.
+    //
+    // r11 placement fix: the eager checkpoint used to sit on the
+    // ADJACENCY — 2|E|+|V| rows whose THREE union branches each scan the
+    // deep candidate tree inside one job (block locks serialize the
+    // recompute, but the tripled analysis + the 3× materialized volume
+    // made that checkpoint job the CC family's dominant cost: 5.3 s warm
+    // at sf0.1 vs d2's 3.0 s standalone for the same candidates).
+    // Checkpointing the |E|-row edge list instead runs the candidate
+    // pipeline exactly once; symmetrize + self-loops then read
+    // checkpoint-flat rows, so the adjacency only needs a cache
+    // (persist), not its own checkpoint — its lineage is already flat
+    // and constant-size to re-analyze.
+    val flat = edges.localCheckpoint(true)
+    tMark = mark("edges_checkpoint", tMark)
     // Symmetrize once and add one self-loop per node; every edge node
     // then appears as doc_a, and the self-loop rows double as the
     // initial label table (filter doc_a = doc_b below).
-    // localCheckpoint (eager) flattens the incoming lineage: `edges`
-    // usually sits on a deep candidate-generation tree (d2's window +
-    // aggregates + joins), and every round's self-join would otherwise
-    // re-analyze and re-optimize TWO copies of it — measured at sf0.1 as
-    // a 110 s first round vs 2 s for the identical second round whose
-    // inputs were already checkpoint-flat. persist() alone does not help:
-    // it caches data but leaves the logical plan in place.
-    val sym = edges.union(edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    val sym = flat.union(flat.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
     val adj = sym
       .union(sym.select(col("doc_a"), col("doc_a").as("doc_b")).distinct())
-      .localCheckpoint(true)
+      .persist()
     var labels: DataFrame = adj.filter(col("doc_a") === col("doc_b"))
       .select(col("doc_a").as("doc_id"), col("doc_a").as("canonical_id"))
       .persist()
@@ -722,6 +752,7 @@ object LlmOps {
         .select(col("doc_a").as("doc_id"), col("jumped").as("canonical_id"), col("prev"))
         .localCheckpoint(false)
       val changed = next.filter(col("canonical_id") =!= col("prev")).count()
+      tMark = mark(s"round_$rounds", tMark)
       // Release the superseded round's storage NOW (advisor finding:
       // checkpoint blocks otherwise accumulate for the session's
       // lifetime). unpersist() handles the cached round-0 labels;
@@ -735,8 +766,10 @@ object LlmOps {
       rounds += 1
     }
     // After ≥1 round the surviving labels are checkpoint-backed and no
-    // longer reference the adjacency — its eager checkpoint can go too.
-    if (rounds > 0) releaseCheckpointBlocks(adj)
+    // longer reference the adjacency — its cache, and the flat edge
+    // list's checkpoint blocks beneath it, can go too. (rounds == 0 only
+    // under maxRounds == 0, where the returned labels still read adj.)
+    if (rounds > 0) { adj.unpersist(); releaseCheckpointBlocks(flat) }
     // The FINAL labels' storage (round-0 cache or checkpoint blocks) is
     // still referenced by the result the caller will consume — release
     // it with the query's other pinned intermediates, not here. The
