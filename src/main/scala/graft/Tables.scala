@@ -106,6 +106,12 @@ object Tables {
     if (docs.rdd.getNumPartitions * 2 < cores) docs.repartition(cores, col("doc_id"))
     else docs
   }
+  // Deliberately NOT offered for embeddings: the vector corpus is ~1 MB
+  // at fixture scale and its queries are iterative (k-means, PQ), so a
+  // 32-way spread multiplied per-task scheduling overhead instead of
+  // unlocking map work — measured r11 as a ~0.4 s REGRESSION on
+  // q_kmeans/q_semdedup. The gate earns its exchange only when the
+  // single-threaded map work (tokenize/shingle/md5 over text) dwarfs it.
 
   /** All corpus tables, by name. */
   val All: Seq[String] = Seq("region", "nation", "customer", "supplier",

@@ -526,7 +526,7 @@ object LlmOps {
     // session's parallelism, sized to executors × cores on a cluster.
     val buckets =
       if (numBuckets > 0) numBuckets else spark.sparkContext.defaultParallelism
-    val corpusDocs = Tables.documents(spark, dir).filter(col("source") =!= excludeSource)
+    val corpusDocs = Tables.documentsSpread(spark, dir).filter(col("source") =!= excludeSource)
     val shingles = shingleRowsOf(corpusDocs).persist()
     // Cap applied at INDEX BUILD time: over-cap corpus buckets never
     // enter the stored band table, so every future ingest inherits the
@@ -547,7 +547,7 @@ object LlmOps {
     */
   def d5IncrementalAgainstIndex(spark: SparkSession, dir: String, prefix: String,
                                 newSource: String = "src0"): DataFrame = {
-    val batchDocs = Tables.documents(spark, dir).filter(col("source") === newSource)
+    val batchDocs = Tables.documentsSpread(spark, dir).filter(col("source") === newSource)
     // Deliberately NOT persisted (advisor finding: the returned plan is
     // lazy, so a persist here outlives the query and accumulates blocks
     // across ingests in a long-lived session). The two consumers below
@@ -866,7 +866,7 @@ object LlmOps {
     * chars_in_tokens = length − (n − 1).
     */
   def t1TextStats(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    Tables.documentsSpread(spark, dir)
       .select(
         col("doc_id"),
         expr(s"cast(size($tokExpr) as bigint)").as("n_tokens"),
@@ -883,7 +883,7 @@ object LlmOps {
     * expression; the pipeline shape is what the engine pins.
     */
   def t5TokenEstimate(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    Tables.documentsSpread(spark, dir)
       .select(col("doc_id"), explode(expr(tokExpr)).as("tok"))
       .groupBy("doc_id")
       .agg(
@@ -900,7 +900,7 @@ object LlmOps {
     * not ∝ occurrences.
     */
   def t7TokenFreq(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    Tables.documentsSpread(spark, dir)
       .select(col("doc_id"), explode(expr(tokExpr)).as("tok"))
       .groupBy("tok")
       .agg(
@@ -978,7 +978,7 @@ object LlmOps {
   val RollingWindow = 8
 
   def t13RollingFp(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    Tables.documentsSpread(spark, dir)
       // Fingerprints are defined for docs that fill at least one window;
       // shorter docs are excluded on BOTH sides (the oracle's window
       // enumeration would yield NULL where the expression degenerates
@@ -1008,7 +1008,7 @@ object LlmOps {
       .partitionBy("source").orderBy("doc_id")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
-    Tables.documents(spark, dir)
+    Tables.documentsSpread(spark, dir)
       .select(col("doc_id"), col("source"),
         expr(s"cast(size($tokExpr) as bigint)").as("n_tokens"))
       .withColumn("cum_tokens", sum("n_tokens").over(w))
@@ -1035,7 +1035,7 @@ object LlmOps {
   val ChunkStride = 48
 
   def t15Chunk(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    Tables.documentsSpread(spark, dir)
       .select(col("doc_id"), expr(tokExpr).as("tok"))
       .select(col("doc_id"), col("tok"),
         explode(expr(s"sequence(0, size(tok) - 1, $ChunkStride)")).as("start"))
@@ -1060,7 +1060,7 @@ object LlmOps {
     * never shuffles the data side on token.
     */
   def t16TfIdf(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    val docs = Tables.documentsSpread(spark, dir)
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val vocab = t7TokenFreq(spark, dir)
       .crossJoin(broadcast(nDocs))
@@ -1132,7 +1132,7 @@ object LlmOps {
     * (~len/64), map-combinable throughout.
     */
   def t18CdcChunks(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val docs = Tables.documentsSpread(spark, dir).select(col("doc_id"), col("text"))
     // No distinct: the generator emits each pos at most once per doc and
     // the sentinel branch is disjoint (pos = 0 vs pos > 0) — a dedup
     // here would buy nothing and cost a second (doc_id, pos) shuffle in
@@ -1178,7 +1178,7 @@ object LlmOps {
     * distributed answer to suffix-array dedup; no all-pairs anywhere.
     */
   def t19DupSpans(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    val docs = Tables.documentsSpread(spark, dir)
       .filter(length(col("text")) >= SpanWindow)
       .select(col("doc_id"), col("text"))
     val perDoc = docs
@@ -1218,7 +1218,7 @@ object LlmOps {
     */
   def t9Repetition(spark: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("pos")
-    val bigrams = Tables.documents(spark, dir)
+    val bigrams = Tables.documentsSpread(spark, dir)
       .select(col("doc_id"), posexplode(expr(tokExpr)).as(Seq("pos", "tok")))
       .withColumn("n1", lead("tok", 1).over(w))
       .filter(col("n1").isNotNull)
@@ -1368,7 +1368,7 @@ object LlmOps {
     // count runs on the text the corresponding scrub stage saw: emails
     // on the original, URLs after the email pass, digit runs after both
     // (an email's local digits must not inflate n_digit_runs).
-    Tables.documents(spark, dir)
+    Tables.documentsSpread(spark, dir)
       .withColumn("t1", regexp_replace(col("text"), email, "<EMAIL>"))
       .withColumn("t2", regexp_replace(col("t1"), url, "<URL>"))
       .select(
@@ -1396,7 +1396,7 @@ object LlmOps {
     val sDe = s"${occ("ch")} + ${occ("ei")}"
     val sFr = s"${occ("le")} + ${occ("es")}"
     val sEs = s"${occ("os")} + ${occ("la")}"
-    Tables.documents(spark, dir)
+    Tables.documentsSpread(spark, dir)
       .select(
         col("doc_id"), col("lang"),
         expr(sEn).as("s_en"), expr(sDe).as("s_de"),
@@ -1447,7 +1447,7 @@ object LlmOps {
     // Referenced by the sketch pass, the total count, and the recount —
     // persist so the corpus explodes once, not three times (reviewer
     // finding).
-    val bigrams = PersistScope.persisted(Tables.documents(spark, dir)
+    val bigrams = PersistScope.persisted(Tables.documentsSpread(spark, dir)
       .select(expr(tokExpr).as("toks"))
       .select(col("toks"), posexplode(col("toks")).as(Seq("pos", "tok")))
       .filter(col("pos") <= size(col("toks")) - 2)
@@ -1504,7 +1504,7 @@ object LlmOps {
     // Referenced by dlen (twice, via corpus and the join) and tfs —
     // persist so the corpus tokenizes once, not three times (reviewer
     // finding; the qKmeansCluster working-set lesson).
-    val toks = PersistScope.persisted(Tables.documents(spark, dir)
+    val toks = PersistScope.persisted(Tables.documentsSpread(spark, dir)
       .select(col("doc_id"), explode(expr(tokExpr)).as("tok")))
     val dlen = toks.groupBy("doc_id").agg(count(lit(1)).as("len"))
     val corpus = dlen
@@ -1672,7 +1672,7 @@ object LlmOps {
   def t23RareBigrams(spark: SparkSession, dir: String): DataFrame = {
     // Referenced by the df aggregate, the doc-count scalar, and the
     // scoring join — persist so the corpus explodes once.
-    val bigrams = PersistScope.persisted(Tables.documents(spark, dir)
+    val bigrams = PersistScope.persisted(Tables.documentsSpread(spark, dir)
       .select(col("doc_id"), expr(tokExpr).as("toks"))
       .select(col("doc_id"), col("toks"), posexplode(col("toks")).as(Seq("pos", "tok")))
       .filter(col("pos") <= size(col("toks")) - 2)
@@ -1742,7 +1742,7 @@ object LlmOps {
     * tier label. All-integer arithmetic; map-only.
     */
   def t3QualityScore(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    Tables.documentsSpread(spark, dir)
       .select(
         col("doc_id"),
         expr(s"cast(size($tokExpr) as bigint)").as("n"),
@@ -1765,7 +1765,7 @@ object LlmOps {
     * small edits away from the minimizing shingle). Map-only.
     */
   def t4Fingerprint(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    Tables.documentsSpread(spark, dir)
       .select(
         col("doc_id"),
         md5(col("text")).as("doc_md5"),
@@ -1794,7 +1794,7 @@ object LlmOps {
     * symbols carry no pair and are dropped on both engines.
     */
   def t24BpePairs(spark: SparkSession, dir: String): DataFrame = {
-    val words = Tables.documents(spark, dir)
+    val words = Tables.documentsSpread(spark, dir)
       .select(explode(expr(tokExpr)).as("tok"))
       .filter(length(col("tok")) >= 2)
       .groupBy("tok")
@@ -1856,7 +1856,7 @@ object LlmOps {
     // encode), so persisted. len >= 1 drops the empty tokens consecutive
     // spaces would inject as vocabulary (the t25 discipline).
     val words = PersistScope.persisted(
-      Tables.documents(spark, dir)
+      Tables.documentsSpread(spark, dir)
         .select(explode(expr(tokExpr)).as("tok"))
         .filter(length(col("tok")) >= 1)
         .groupBy("tok")
@@ -1938,7 +1938,7 @@ object LlmOps {
     */
   def t25Classifier(spark: SparkSession, dir: String): DataFrame = {
     val toks = PersistScope.persisted(
-      Tables.documents(spark, dir)
+      Tables.documentsSpread(spark, dir)
         .select(col("doc_id"), col("source"), explode(expr(tokExpr)).as("tok"))
         .filter(length(col("tok")) >= 1))
     val vocab = toks.groupBy("tok").agg(
@@ -1989,7 +1989,7 @@ object LlmOps {
     */
   def t26BigramLm(spark: SparkSession, dir: String): DataFrame = {
     val bi = PersistScope.persisted(
-      Tables.documents(spark, dir)
+      Tables.documentsSpread(spark, dir)
         .select(col("doc_id"), expr(tokExpr).as("toks"))
         .select(col("doc_id"), col("toks"), posexplode(col("toks")).as(Seq("pos", "a")))
         .filter(col("pos") <= size(col("toks")) - 2)
@@ -2028,7 +2028,7 @@ object LlmOps {
   def t27BigramTopk(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val bi = PersistScope.persisted(
-      Tables.documents(spark, dir)
+      Tables.documentsSpread(spark, dir)
         .select(col("doc_id"), expr(tokExpr).as("toks"))
         .select(col("doc_id"), col("toks"), posexplode(col("toks")).as(Seq("pos", "a")))
         .filter(col("pos") <= size(col("toks")) - 2)
