@@ -200,6 +200,7 @@ object SparkEntry {
     "t23_rare_bigrams" -> LlmOps.t23RareBigrams _,
     "t24_bpe_pairs"    -> LlmOps.t24BpePairs _,
     "t28_bpe_encode"   -> LlmOps.t28BpeEncode _,
+    "t29_winnow_dups"  -> LlmOps.t29WinnowDups _,
     "t25_classifier"   -> LlmOps.t25Classifier _,
     "t26_bigram_lm"    -> LlmOps.t26BigramLm _,
     "t27_bigram_topk"  -> ((s: SparkSession, d: String) => LlmOps.t27BigramTopk(s, d)),
@@ -238,6 +239,7 @@ object SparkEntry {
     "m3_resize"       -> Multimodal.m3Resize _,
     "m4_audio_meta"   -> Multimodal.m4AudioMeta _,
     "m5_image_phash"  -> Multimodal.m5ImagePhash _,
+    "m6_phash_neardup" -> Multimodal.m6PhashNeardup _,
   )
 
   def queries: Map[String, Query] =
@@ -892,6 +894,53 @@ object SparkEntry {
   // Rabin-Karp window-hash constants shared with RollingMinHash: the
   // oracle brute-forces Σ code·B^(w−1−j) mod M per window; the engine's
   // rolling update computes the identical polynomial.
+  /** Shared dHash pipeline CTE (WITH ... ph(doc_id, phash)) — m5's twin
+    * SELECTs from it directly; m6's twin appends the banded-candidate
+    * join. One string so the two can never de-sync.
+    */
+  private val duckPhashCte: String = {
+    import graft.operators.Multimodal.{GridH, GridW}
+    def gray(gx: Int, gy: Int): String = {
+      val idx = s"((($gy * h) // $GridH) * w + (($gx * w) // ${GridW + 1}))"
+      val at = (k: Int) => s"ord(substr(pix, CAST($idx * 3 + $k AS INTEGER), 1))"
+      s"((${at(1)} + ${at(2)} + ${at(3)}) // 3)"
+    }
+    val bits = (for { gy <- 0 until GridH; gx <- 0 until GridW } yield
+      s"(CASE WHEN ${gray(gx, gy)} > ${gray(gx + 1, gy)} " +
+        s"THEN ${1L << (gy * GridW + gx)} ELSE 0 END)").mkString(" + ")
+    "WITH g AS (SELECT doc_id, CAST(1 + n_chars % 16 AS INTEGER) AS w, " +
+      "CAST(1 + n_chars % 12 AS INTEGER) AS h, text FROM documents), " +
+      "p AS (SELECT doc_id, w, h, rpad(substr(text, 1, w * h * 3), w * h * 3, 'x') AS pix FROM g), " +
+      s"ph AS (SELECT doc_id, $bits AS phash FROM p)"
+  }
+
+  // Winnowed-dup twin: the same rolling-hash polynomial brute-forced per
+  // position, the same packed (hash · 2^20 + reversed-pos) frame min —
+  // so hash ties resolve to the identical rightmost position — then
+  // t19's pipeline tail replayed on the selected subset.
+  private val winnowDupSql: String = {
+    import graft.functions.RollingMinHash.{Base, Mod}
+    val w = LlmOps.SpanWindow
+    val ww = LlmOps.WinnowWindow
+    val pk = LlmOps.WinnowPosPack
+    val pows = (0 until w).map { j =>
+      (0 until (w - 1 - j)).foldLeft(1L)((p, _) => p * Base % Mod)
+    }
+    val terms = pows.zipWithIndex
+      .map { case (p, j) => s"CAST(ord(substr(text, i + $j, 1)) AS BIGINT) * $p" }.mkString(" + ")
+    s"WITH hs AS (SELECT doc_id, i, ($terms) % $Mod AS hash FROM " +
+      s"(SELECT doc_id, text, unnest(range(1, length(text) - ${w - 2})) AS i FROM documents WHERE length(text) >= $w)), " +
+      s"sw AS (SELECT doc_id, count(*) OVER win AS nw, " +
+      s"min(hash * $pk + ($pk - 1 - (i - 1))) OVER win AS sel FROM hs " +
+      s"WINDOW win AS (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND ${ww - 1} FOLLOWING)), " +
+      s"selected AS (SELECT DISTINCT doc_id, $pk - 1 - (sel % $pk) AS pos, sel // $pk AS hash FROM sw WHERE nw = $ww), " +
+      "pd AS (SELECT doc_id, hash, min(pos) AS pos FROM selected GROUP BY 1, 2), " +
+      "cd AS (SELECT hash FROM pd GROUP BY hash HAVING count(*) >= 2), " +
+      s"ver AS (SELECT md5(substr(d.text, CAST(pd.pos + 1 AS INTEGER), $w)) AS span_md5 " +
+      "FROM pd JOIN cd USING (hash) JOIN documents d USING (doc_id)) " +
+      "SELECT span_md5, CAST(count(*) AS BIGINT) AS n_docs FROM ver GROUP BY 1 HAVING count(*) >= 2"
+  }
+
   private val rkSql: String = {
     import graft.functions.RollingMinHash.{Base, Mod}
     val w = LlmOps.RollingWindow
@@ -952,6 +1001,7 @@ object SparkEntry {
     "t13_rolling_fp" -> rkSql,
     "t18_cdc_chunks" -> cdcSql,
     "t19_dup_spans" -> dupSpanSql,
+    "t29_winnow_dups" -> winnowDupSql,
     // Inverted-index twin: distinct (shingle, doc) rows, df band filter,
     // posting truncation via row_number — the engine's collect/sort/slice
     // must produce the identical comma string.
@@ -1405,23 +1455,23 @@ object SparkEntry {
         "ORDER BY big.sum_qty DESC, o_orderkey LIMIT 10"),
     // m5 twin: identical grid/gray/bit arithmetic with ord() and //
     // over the same text-reconstructed pixel section as m3's twin.
-    "m5_image_phash" -> {
-      import graft.operators.Multimodal.{GridH, GridW}
-      def gray(gx: Int, gy: Int): String = {
-        val idx = s"((($gy * h) // $GridH) * w + (($gx * w) // ${GridW + 1}))"
-        val at = (k: Int) => s"ord(substr(pix, CAST($idx * 3 + $k AS INTEGER), 1))"
-        s"((${at(1)} + ${at(2)} + ${at(3)}) // 3)"
-      }
-      val bits = (for { gy <- 0 until GridH; gx <- 0 until GridW } yield
-        s"(CASE WHEN ${gray(gx, gy)} > ${gray(gx + 1, gy)} " +
-          s"THEN ${1L << (gy * GridW + gx)} ELSE 0 END)").mkString(" + ")
-      "WITH g AS (SELECT doc_id, CAST(1 + n_chars % 16 AS INTEGER) AS w, " +
-        "CAST(1 + n_chars % 12 AS INTEGER) AS h, text FROM documents), " +
-        "p AS (SELECT doc_id, w, h, rpad(substr(text, 1, w * h * 3), w * h * 3, 'x') AS pix FROM g), " +
-        s"ph AS (SELECT doc_id, $bits AS phash FROM p) " +
-        "SELECT doc_id, CAST(phash AS BIGINT) AS phash, " +
-        "CAST(phash // 256 AS BIGINT) AS band_hi, CAST(phash % 256 AS BIGINT) AS band_lo FROM ph"
-    },
+    // The phash CTE is ONE string shared with m6's twin (the triangle
+    // lesson: never paste an oracle pipeline twice).
+    "m5_image_phash" ->
+      (duckPhashCte +
+        " SELECT doc_id, CAST(phash AS BIGINT) AS phash, " +
+        "CAST(phash // 256 AS BIGINT) AS band_hi, CAST(phash % 256 AS BIGINT) AS band_lo FROM ph"),
+    // m6 twin: the shared phash CTE, then d6's banded-candidate shape —
+    // two 8-bit bands, the same bucket cap, xor popcount verify.
+    "m6_phash_neardup" ->
+      (duckPhashCte + ", " +
+        "bands0 AS (SELECT doc_id, b, CASE WHEN b = 0 THEN phash // 256 ELSE phash % 256 END AS bkey " +
+        "FROM ph CROSS JOIN (VALUES (0), (1)) t(b)), " +
+        s"bands AS (SELECT * FROM bands0 WHERE (b, bkey) IN (SELECT (b, bkey) FROM bands0 GROUP BY b, bkey HAVING count(*) <= ${LlmOps.LshBucketCap})), " +
+        "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id) " +
+        "SELECT doc_a, doc_b, CAST(bit_count(xor(pa.phash, pb.phash)) AS BIGINT) AS hamming " +
+        "FROM cand JOIN ph pa ON doc_a = pa.doc_id JOIN ph pb ON doc_b = pb.doc_id " +
+        s"WHERE bit_count(xor(pa.phash, pb.phash)) <= ${graft.operators.Multimodal.PhashMaxHamming}"),
     // t22 twin: the bounded-heap sample equals the window form stated
     // directly — rank by the same 48-bit md5 prefix (hex via 0x-cast),
     // keep rn <= k.

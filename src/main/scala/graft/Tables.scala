@@ -102,16 +102,36 @@ object Tables {
     */
   def documentsSpread(spark: SparkSession, dir: String): DataFrame = {
     val docs = documents(spark, dir)
-    val cores = spark.sparkContext.defaultParallelism
-    if (docs.rdd.getNumPartitions * 2 < cores) docs.repartition(cores, col("doc_id"))
+    if (underParallel(spark, dir, docs))
+      docs.repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
     else docs
   }
+
+  /** Whether `dir`'s documents scan yields too few splits to feed the
+    * session's cores. Memoized per (session, dir): the answer depends
+    * only on the file layout, and the probe itself costs a full physical
+    * planning pass (`.rdd` compiles the scan) — measured at ~0.2 s,
+    * which doubled the sub-second map-only queries when paid per call.
+    * Corpora are immutable snapshots (the d5b index makes the same
+    * assumption), so the memo never goes stale within a session.
+    */
+  private val spreadMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Boolean]()
+  private def underParallel(spark: SparkSession, dir: String, docs: DataFrame): Boolean =
+    spreadMemo.computeIfAbsent((spark.sparkContext.applicationId, dir), _ =>
+      docs.rdd.getNumPartitions * 2 < spark.sparkContext.defaultParallelism)
   // Deliberately NOT offered for embeddings: the vector corpus is ~1 MB
   // at fixture scale and its queries are iterative (k-means, PQ), so a
   // 32-way spread multiplied per-task scheduling overhead instead of
   // unlocking map work — measured r11 as a ~0.4 s REGRESSION on
-  // q_kmeans/q_semdedup. The gate earns its exchange only when the
-  // single-threaded map work (tokenize/shingle/md5 over text) dwarfs it.
+  // q_kmeans/q_semdedup. The same measurement discipline decides WHICH
+  // documents consumers call documentsSpread: the exchange + extra
+  // stage cost ~0.2 s fixed, so map-only single-pass queries (t1-t6,
+  // t13-t16, token-frequency aggregates) measured as pure loss and read
+  // plain documents, while the shingle/rolling-hash/join families
+  // (d2-d7 via shingleRows, t18/t19/t29, t23, t25) measured 1.3-2.2×
+  // wins and keep it. The gate earns its exchange only when the
+  // single-threaded map work dwarfs it.
 
   /** All corpus tables, by name. */
   val All: Seq[String] = Seq("region", "nation", "customer", "supplier",

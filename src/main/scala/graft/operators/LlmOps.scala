@@ -112,7 +112,7 @@ object LlmOps {
     * threshold, both sides hash-partition on the same (band, bkey) key,
     * so the fallback is a co-partitioned shuffle join, not a blowup.
     */
-  private def capBandBuckets(bands: DataFrame): DataFrame =
+  private[graft] def capBandBuckets(bands: DataFrame): DataFrame =
     bands.join(
       bands.groupBy("band", "bkey").agg(count(lit(1)).as("__bsz"))
         .filter(col("__bsz") <= LshBucketCap),
@@ -547,7 +547,7 @@ object LlmOps {
     */
   def d5IncrementalAgainstIndex(spark: SparkSession, dir: String, prefix: String,
                                 newSource: String = "src0"): DataFrame = {
-    val batchDocs = Tables.documentsSpread(spark, dir).filter(col("source") === newSource)
+    val batchDocs = Tables.documents(spark, dir).filter(col("source") === newSource)
     // Deliberately NOT persisted (advisor finding: the returned plan is
     // lazy, so a persist here outlives the query and accumulates blocks
     // across ingests in a long-lived session). The two consumers below
@@ -866,7 +866,7 @@ object LlmOps {
     * chars_in_tokens = length − (n − 1).
     */
   def t1TextStats(spark: SparkSession, dir: String): DataFrame =
-    Tables.documentsSpread(spark, dir)
+    Tables.documents(spark, dir)
       .select(
         col("doc_id"),
         expr(s"cast(size($tokExpr) as bigint)").as("n_tokens"),
@@ -883,7 +883,7 @@ object LlmOps {
     * expression; the pipeline shape is what the engine pins.
     */
   def t5TokenEstimate(spark: SparkSession, dir: String): DataFrame =
-    Tables.documentsSpread(spark, dir)
+    Tables.documents(spark, dir)
       .select(col("doc_id"), explode(expr(tokExpr)).as("tok"))
       .groupBy("doc_id")
       .agg(
@@ -900,7 +900,7 @@ object LlmOps {
     * not ∝ occurrences.
     */
   def t7TokenFreq(spark: SparkSession, dir: String): DataFrame =
-    Tables.documentsSpread(spark, dir)
+    Tables.documents(spark, dir)
       .select(col("doc_id"), explode(expr(tokExpr)).as("tok"))
       .groupBy("tok")
       .agg(
@@ -978,7 +978,7 @@ object LlmOps {
   val RollingWindow = 8
 
   def t13RollingFp(spark: SparkSession, dir: String): DataFrame =
-    Tables.documentsSpread(spark, dir)
+    Tables.documents(spark, dir)
       // Fingerprints are defined for docs that fill at least one window;
       // shorter docs are excluded on BOTH sides (the oracle's window
       // enumeration would yield NULL where the expression degenerates
@@ -1008,7 +1008,7 @@ object LlmOps {
       .partitionBy("source").orderBy("doc_id")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
-    Tables.documentsSpread(spark, dir)
+    Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"),
         expr(s"cast(size($tokExpr) as bigint)").as("n_tokens"))
       .withColumn("cum_tokens", sum("n_tokens").over(w))
@@ -1035,7 +1035,7 @@ object LlmOps {
   val ChunkStride = 48
 
   def t15Chunk(spark: SparkSession, dir: String): DataFrame =
-    Tables.documentsSpread(spark, dir)
+    Tables.documents(spark, dir)
       .select(col("doc_id"), expr(tokExpr).as("tok"))
       .select(col("doc_id"), col("tok"),
         explode(expr(s"sequence(0, size(tok) - 1, $ChunkStride)")).as("start"))
@@ -1060,7 +1060,7 @@ object LlmOps {
     * never shuffles the data side on token.
     */
   def t16TfIdf(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documentsSpread(spark, dir)
+    val docs = Tables.documents(spark, dir)
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val vocab = t7TokenFreq(spark, dir)
       .crossJoin(broadcast(nDocs))
@@ -1193,6 +1193,81 @@ object LlmOps {
       .filter(col("n_docs") >= 2)
   }
 
+  /** Winnowing window: every [[WinnowWindow]] consecutive span hashes
+    * contribute one selected fingerprint, so ~2/w of positions survive
+    * (the MOSS density bound) and any shared substring of length ≥
+    * [[SpanWindow]] + WinnowWindow − 1 is GUARANTEED to share a selected
+    * fingerprint in both documents.
+    */
+  val WinnowWindow = 8
+
+  /** Packs (hash, pos) into one long so a single min() both selects the
+    * smallest hash and breaks ties to the RIGHTMOST position (robust
+    * winnowing's tie rule): hash · 2^20 + (2^20 − 1 − pos). Valid for
+    * documents under 2^20 characters (hash < 2^31 keeps the product
+    * under 2^51); a longer-document corpus widens the shift, same plan.
+    */
+  private[graft] val WinnowPosPack = 1L << 20
+
+  /** The winnowing SELECTION (Schleimer/Wilkerson/Aiken) over a document
+    * table: from each doc's rolling span hashes keep, per sliding window
+    * of [[WinnowWindow]] starts, the smallest hash (ties → rightmost
+    * position), deduplicated. Exposed separately so the spec can drive
+    * it with a hand-computable toy corpus.
+    *
+    * The per-window argmin runs as ONE bounded rows-frame min over the
+    * packed (hash, pos) long — codegen'd, O(w) per row with w = 8; a
+    * monotonic-deque formulation would make it O(1) amortized if w ever
+    * grows large. The frame-population count gates partial tail windows
+    * so both engines enumerate identical window sets.
+    */
+  private[graft] def winnowSelect(docs: DataFrame, span: Int, window: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos").rowsBetween(0, window - 1)
+    docs
+      .select(col("doc_id"), expr(s"rolling_hashes(text, $span)"))
+      .withColumn("nw", count(lit(1)).over(w))
+      .withColumn("sel",
+        min(expr(s"hash * $WinnowPosPack + ($WinnowPosPack - 1 - pos)")).over(w))
+      .filter(col("nw") === window)
+      .select(col("doc_id"),
+        expr(s"$WinnowPosPack - 1 - (sel % $WinnowPosPack)").as("pos"),
+        expr(s"sel div $WinnowPosPack").as("hash"))
+      .distinct()
+  }
+
+  /** T29: winnowed duplicate-span detection — [[t19DupSpans]] run on the
+    * winnowing fingerprint SELECTION instead of every position: the MOSS
+    * document-fingerprinting algorithm, the form a 100 TB span-dedup pass
+    * actually ships because it cuts the per-doc fingerprint stream to
+    * ~2/[[WinnowWindow]] of t19's while keeping a hard guarantee (any
+    * cross-doc match of length ≥ SpanWindow + WinnowWindow − 1 is still
+    * caught — shorter overlaps MAY be missed, the documented trade).
+    * Pipeline after selection is t19's verbatim: per-doc first
+    * occurrence, cross-doc hash gate, md5 verify of the actual bytes.
+    *
+    * Scale shape: selection is map work + one (doc_id)-partitioned
+    * bounded-frame window; everything downstream operates on the
+    * winnowed subset, so the (doc, hash) shuffle and the verify join
+    * carry ~4× fewer rows than t19 at the same corpus.
+    */
+  def t29WinnowDups(spark: SparkSession, dir: String): DataFrame = {
+    // Both the selection and the verify join read the filtered corpus —
+    // pin so the scan + length filter run once.
+    val docs = PersistScope.persisted(Tables.documentsSpread(spark, dir)
+      .filter(length(col("text")) >= SpanWindow + WinnowWindow - 1)
+      .select(col("doc_id"), col("text")))
+    val perDoc = winnowSelect(docs, SpanWindow, WinnowWindow)
+      .groupBy("doc_id", "hash").agg(min("pos").as("pos"))
+    val crossDoc = perDoc.groupBy("hash")
+      .agg(count(lit(1)).as("nd")).filter(col("nd") >= 2).select("hash")
+    perDoc.join(crossDoc, "hash")
+      .join(docs, "doc_id")
+      .select(expr(s"md5(substring(text, pos + 1, $SpanWindow))").as("span_md5"))
+      .groupBy("span_md5").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+  }
+
   /** T12: stopword selection from the corpus vocabulary — tokens whose
     * document frequency exceeds half the corpus ([[t7TokenFreq]]'s
     * stopword/IDF use, materialized): the df-threshold rule every
@@ -1218,7 +1293,7 @@ object LlmOps {
     */
   def t9Repetition(spark: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("pos")
-    val bigrams = Tables.documentsSpread(spark, dir)
+    val bigrams = Tables.documents(spark, dir)
       .select(col("doc_id"), posexplode(expr(tokExpr)).as(Seq("pos", "tok")))
       .withColumn("n1", lead("tok", 1).over(w))
       .filter(col("n1").isNotNull)
@@ -1368,7 +1443,7 @@ object LlmOps {
     // count runs on the text the corresponding scrub stage saw: emails
     // on the original, URLs after the email pass, digit runs after both
     // (an email's local digits must not inflate n_digit_runs).
-    Tables.documentsSpread(spark, dir)
+    Tables.documents(spark, dir)
       .withColumn("t1", regexp_replace(col("text"), email, "<EMAIL>"))
       .withColumn("t2", regexp_replace(col("t1"), url, "<URL>"))
       .select(
@@ -1396,7 +1471,7 @@ object LlmOps {
     val sDe = s"${occ("ch")} + ${occ("ei")}"
     val sFr = s"${occ("le")} + ${occ("es")}"
     val sEs = s"${occ("os")} + ${occ("la")}"
-    Tables.documentsSpread(spark, dir)
+    Tables.documents(spark, dir)
       .select(
         col("doc_id"), col("lang"),
         expr(sEn).as("s_en"), expr(sDe).as("s_de"),
@@ -1447,7 +1522,7 @@ object LlmOps {
     // Referenced by the sketch pass, the total count, and the recount —
     // persist so the corpus explodes once, not three times (reviewer
     // finding).
-    val bigrams = PersistScope.persisted(Tables.documentsSpread(spark, dir)
+    val bigrams = PersistScope.persisted(Tables.documents(spark, dir)
       .select(expr(tokExpr).as("toks"))
       .select(col("toks"), posexplode(col("toks")).as(Seq("pos", "tok")))
       .filter(col("pos") <= size(col("toks")) - 2)
@@ -1504,7 +1579,7 @@ object LlmOps {
     // Referenced by dlen (twice, via corpus and the join) and tfs —
     // persist so the corpus tokenizes once, not three times (reviewer
     // finding; the qKmeansCluster working-set lesson).
-    val toks = PersistScope.persisted(Tables.documentsSpread(spark, dir)
+    val toks = PersistScope.persisted(Tables.documents(spark, dir)
       .select(col("doc_id"), explode(expr(tokExpr)).as("tok")))
     val dlen = toks.groupBy("doc_id").agg(count(lit(1)).as("len"))
     val corpus = dlen
@@ -1742,7 +1817,7 @@ object LlmOps {
     * tier label. All-integer arithmetic; map-only.
     */
   def t3QualityScore(spark: SparkSession, dir: String): DataFrame =
-    Tables.documentsSpread(spark, dir)
+    Tables.documents(spark, dir)
       .select(
         col("doc_id"),
         expr(s"cast(size($tokExpr) as bigint)").as("n"),
@@ -1765,7 +1840,7 @@ object LlmOps {
     * small edits away from the minimizing shingle). Map-only.
     */
   def t4Fingerprint(spark: SparkSession, dir: String): DataFrame =
-    Tables.documentsSpread(spark, dir)
+    Tables.documents(spark, dir)
       .select(
         col("doc_id"),
         md5(col("text")).as("doc_md5"),
@@ -1794,7 +1869,7 @@ object LlmOps {
     * symbols carry no pair and are dropped on both engines.
     */
   def t24BpePairs(spark: SparkSession, dir: String): DataFrame = {
-    val words = Tables.documentsSpread(spark, dir)
+    val words = Tables.documents(spark, dir)
       .select(explode(expr(tokExpr)).as("tok"))
       .filter(length(col("tok")) >= 2)
       .groupBy("tok")
@@ -1856,7 +1931,7 @@ object LlmOps {
     // encode), so persisted. len >= 1 drops the empty tokens consecutive
     // spaces would inject as vocabulary (the t25 discipline).
     val words = PersistScope.persisted(
-      Tables.documentsSpread(spark, dir)
+      Tables.documents(spark, dir)
         .select(explode(expr(tokExpr)).as("tok"))
         .filter(length(col("tok")) >= 1)
         .groupBy("tok")
@@ -1989,7 +2064,7 @@ object LlmOps {
     */
   def t26BigramLm(spark: SparkSession, dir: String): DataFrame = {
     val bi = PersistScope.persisted(
-      Tables.documentsSpread(spark, dir)
+      Tables.documents(spark, dir)
         .select(col("doc_id"), expr(tokExpr).as("toks"))
         .select(col("doc_id"), col("toks"), posexplode(col("toks")).as(Seq("pos", "a")))
         .filter(col("pos") <= size(col("toks")) - 2)
@@ -2028,7 +2103,7 @@ object LlmOps {
   def t27BigramTopk(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val bi = PersistScope.persisted(
-      Tables.documentsSpread(spark, dir)
+      Tables.documents(spark, dir)
         .select(col("doc_id"), expr(tokExpr).as("toks"))
         .select(col("doc_id"), col("toks"), posexplode(col("toks")).as(Seq("pos", "a")))
         .filter(col("pos") <= size(col("toks")) - 2)

@@ -196,6 +196,49 @@ object Multimodal {
         expr("phash % 256").as("band_lo"))
   }
 
+  /** Pairs past this Hamming distance on the 16-bit dHash are not
+    * near-duplicates. The two 8-bit band keys guarantee candidate recall
+    * for distance ≤ 1 by pigeonhole; distance-2 pairs are found when
+    * both flipped bits land in one band — the standard LSH recall trade
+    * ([[LlmOps.d6SimhashNeardup]] makes the same one on text).
+    */
+  val PhashMaxHamming = 2
+
+  /** M6: perceptual near-duplicate IMAGE pairs — the multimodal arm of
+    * the near-dup join family: [[m5ImagePhash]]'s dHash bands feed the
+    * exact banded-candidate shape text dedup uses (equi-join per band,
+    * skew-capped, never all-pairs — the [[LlmOps.d6Candidates]] builder
+    * is shared verbatim), then the full 16-bit Hamming distance verifies
+    * each candidate with one codegen'd `bit_count(xor)`. This is the
+    * re-encoded/re-hosted image detector a multimodal curation run pairs
+    * with d1's byte checksum: content-identical images whose BYTES
+    * differ hash within a bit or two and land in one bucket.
+    *
+    * Scale shape: the hash table is one narrow (id, long) row per image
+    * (the decode already ran in m5's map stage); banding doubles it;
+    * the candidate join shuffles band keys only. At real scale the hash
+    * is 64-bit with 4×16-bit bands (the classic dHash layout m5's
+    * scaladoc notes the fixture scales down from) — same plan, wider
+    * key space, so buckets SHRINK as the corpus grows past 2^16.
+    */
+  def m6PhashNeardup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.PersistScope
+    // Both the band explode and the two verify joins read the hash
+    // table — pin so the P6 decode runs once, not three times.
+    val ph = PersistScope.persisted(
+      m5ImagePhash(spark, dir).select(col("doc_id"), col("phash"),
+        col("band_hi"), col("band_lo")))
+    val bands = LlmOps.capBandBuckets(ph.select(
+      col("doc_id"),
+      posexplode(array(col("band_hi"), col("band_lo"))).as(Seq("band", "bkey"))))
+    LlmOps.d6Candidates(bands)
+      .join(ph.select(col("doc_id").as("doc_a"), col("phash").as("pa")), "doc_a")
+      .join(ph.select(col("doc_id").as("doc_b"), col("phash").as("pb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        expr("cast(bit_count(pa ^ pb) as bigint)").as("hamming"))
+      .filter(col("hamming") <= PhashMaxHamming)
+  }
+
   /** Documents rendered as REAL Sun AU (audio/basic) payloads — the
     * audio sibling of [[ppmTable]]: '.snd' magic, then five BIG-endian
     * uint32 header fields (data offset 24, data size, encoding 3 =
