@@ -277,7 +277,16 @@ object LlmOps {
     // once per query, not once per derived table (round-2 finding: the
     // dedup family's dominant shared cost).
     val shingles = PersistScope.persisted(shingleRows(spark, dir))
-    val bands = PersistScope.persisted(capBandBuckets(minhashBandsOf(shingles)))
+    // Persist the UNCAPPED band table too: capBandBuckets reads its
+    // argument on both sides (band rows + the bucket-size aggregate),
+    // and with only the capped OUTPUT cached the signature aggregation —
+    // the family's single most expensive operator (a SortAggregate:
+    // min(string) has no fixed-width buffer, so it can never
+    // hash-aggregate) — executed twice per materialization (r11 plan
+    // read: two full min(h0..h7) chains in the executed plan, ~50 CPU-s
+    // each at 30× rows).
+    val rawBands = PersistScope.persisted(minhashBandsOf(shingles))
+    val bands = PersistScope.persisted(capBandBuckets(rawBands))
     val bandsA = bands.toDF("doc_a", "band_a", "bkey_a")
     val bandsB = bands.toDF("doc_b", "band_b", "bkey_b")
     // Candidates feed both the intersection build and the final
@@ -531,8 +540,12 @@ object LlmOps {
     // Cap applied at INDEX BUILD time: over-cap corpus buckets never
     // enter the stored band table, so every future ingest inherits the
     // skew guard for free (and the cap is amortized like the index).
-    Scale.writeBucketed(capBandBuckets(minhashBandsOf(shingles)),
+    // Persisted for the same two-sided capBandBuckets read as in d2 —
+    // without it the signature SortAggregate runs twice in the build.
+    val rawBands = minhashBandsOf(shingles).persist()
+    Scale.writeBucketed(capBandBuckets(rawBands),
       s"${prefix}_bands", "bkey", buckets)
+    rawBands.unpersist()
     Scale.writeBucketed(docShinglesOf(shingles, "doc_id", "sset"), s"${prefix}_shingles", "doc_id", buckets)
     shingles.unpersist()
   }
@@ -717,6 +730,9 @@ object LlmOps {
     // and constant-size to re-analyze.
     val flat = edges.localCheckpoint(true)
     tMark = mark("edges_checkpoint", tMark)
+    if (diag && sys.env.contains("SPARK_GRAFT_CCPLAN"))
+      System.err.println("CCPLAN\n" + edges.queryExecution.executedPlan.toString
+        .linesIterator.map(_.take(200)).mkString("\n"))
     // Symmetrize once and add one self-loop per node; every edge node
     // then appears as doc_a, and the self-loop rows double as the
     // initial label table (filter doc_a = doc_b below).
