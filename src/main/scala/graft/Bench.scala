@@ -65,7 +65,8 @@ object Bench {
     if (names.exists(_.startsWith("st"))) b += "st2_sliding_window"
     if (names.exists(n => n.startsWith("d") || n.startsWith("q_curation")))
       b += "d4_ngram_jaccard"
-    if (names.exists(n => n == "d5_dedup_incremental" || n == "d5b_index_ingest"))
+    if (names.exists(n => n == "d5_dedup_incremental" || n == "d5b_index_ingest"
+        || n == "st14_stream_neardup"))
       b += "d5b_index_ingest"
     if (names.exists(n => n == "q_triangles_idx" || n == "q_triangles_adj_idx"))
       b += "q_triangles_idx"

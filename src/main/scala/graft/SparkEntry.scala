@@ -201,6 +201,7 @@ object SparkEntry {
     "t24_bpe_pairs"    -> LlmOps.t24BpePairs _,
     "t28_bpe_encode"   -> LlmOps.t28BpeEncode _,
     "t29_winnow_dups"  -> LlmOps.t29WinnowDups _,
+    "t30_bpe_learn"    -> LlmOps.t30BpeLearn _,
     "t25_classifier"   -> LlmOps.t25Classifier _,
     "t26_bigram_lm"    -> LlmOps.t26BigramLm _,
     "t27_bigram_topk"  -> ((s: SparkSession, d: String) => LlmOps.t27BigramTopk(s, d)),
@@ -231,6 +232,7 @@ object SparkEntry {
     "st11_milestones"      -> Streaming.st11Milestones _,
     "st12_inactivity"      -> Streaming.st12Inactivity _,
     "st13_ttl_state"       -> Streaming.st13TtlState _,
+    "st14_stream_neardup"  -> Streaming.st14StreamNeardup _,
   )
 
   private val multimodalQueries: Map[String, Query] = Map(
@@ -697,6 +699,55 @@ object SparkEntry {
       "SELECT new_doc, existing_doc, len(list_intersect(sa.s, sb.s)) AS i, len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)) AS u " +
       "FROM cand JOIN sh sa ON cand.new_doc = sa.doc_id JOIN sh sb ON cand.existing_doc = sb.doc_id)"
 
+  /** t30 twin: the learn loop unrolled as [[LlmOps.BpeLearnRounds]] CTE
+    * stages — per round, pair counts over the current symbolization, a
+    * LIMIT-1 argmax with the identical (count desc, a, b) tie order, and
+    * the same leftmost-non-overlapping fold t28's twin uses with the
+    * elected pair bound by a cross join.
+    */
+  private lazy val t30LearnSql: String = {
+    val rounds = LlmOps.BpeLearnRounds
+    val sb = new StringBuilder
+    sb ++= s"WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents), "
+    sb ++= "w AS (SELECT tok, count(*) AS freq FROM toks WHERE length(tok) >= 1 GROUP BY tok), "
+    sb ++= "e0 AS (SELECT tok, freq, array_to_string(list_transform(range(1, length(tok) + 1), " +
+      "i -> substr(tok, CAST(i AS INT), 1)), ' ') AS sym FROM w)"
+    for (r <- 1 to rounds) {
+      val prev = s"e${r - 1}"
+      sb ++= s", p$r AS (SELECT string_split(sym, ' ')[CAST(i AS INT)] AS a, " +
+        s"string_split(sym, ' ')[CAST(i AS INT) + 1] AS b, freq " +
+        s"FROM (SELECT sym, freq, unnest(range(1, len(string_split(sym, ' ')))) AS i FROM $prev))"
+      sb ++= s", c$r AS (SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt FROM p$r GROUP BY a, b)"
+      sb ++= s", b$r AS (SELECT a, b, cnt FROM c$r ORDER BY cnt DESC, a, b LIMIT 1)"
+      sb ++= s", e$r AS (SELECT tok, freq, list_reduce(string_split(sym, ' '), (acc, x) -> " +
+        s"CASE WHEN regexp_extract(acc, '[^ ]+$$') = b$r.a AND x = b$r.b " +
+        s"THEN regexp_replace(acc, '[^ ]+$$', '') || b$r.a || b$r.b " +
+        s"ELSE acc || ' ' || x END) AS sym FROM $prev CROSS JOIN b$r)"
+    }
+    sb ++= " " + (1 to rounds).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS merge_rank, a, b, cnt AS pair_count FROM b$r")
+      .mkString(" UNION ALL ")
+    sb.toString
+  }
+
+  /** st14 twin: d5's ingest pipeline with the candidate DISTINCT removed
+    * and the band index kept — one alert row per (new, existing, band)
+    * collision, the stream's stateless at-least-once contract.
+    */
+  private lazy val st14NeardupSql: String =
+    s"WITH tokd AS ($duckTok), " +
+      s"sh AS (SELECT doc_id, $duckShingles AS s FROM tokd WHERE len(tok) >= 3), " +
+      s"sig AS (SELECT doc_id, list_transform(range(0, ${LlmOps.NumHashes}), h -> list_min(list_transform(s, x -> md5(h::VARCHAR || '|' || x)))) AS g FROM sh), " +
+      s"bands AS (SELECT sig.doc_id, d.source, b, md5(array_to_string(g[b*${LlmOps.RowsPerBand}+1 : b*${LlmOps.RowsPerBand}+${LlmOps.RowsPerBand}], '|')) AS bkey " +
+      "FROM sig JOIN documents d ON sig.doc_id = d.doc_id CROSS JOIN (VALUES (0),(1),(2),(3)) AS t(b)), " +
+      "corp AS (SELECT * FROM bands WHERE source != 'src0'), " +
+      s"corpk AS (SELECT * FROM corp WHERE (b, bkey) IN (SELECT (b, bkey) FROM corp GROUP BY b, bkey HAVING count(*) <= ${LlmOps.LshBucketCap})), " +
+      "cand AS (SELECT n.doc_id AS new_doc, c.doc_id AS existing_doc, n.b AS band FROM bands n JOIN corpk c " +
+      "ON n.b = c.b AND n.bkey = c.bkey AND n.source = 'src0') " +
+      "SELECT new_doc, existing_doc, CAST(band AS BIGINT) AS band, (2000*i + u) // (2*u) AS jaccard_milli FROM (" +
+      "SELECT new_doc, existing_doc, band, len(list_intersect(sa.s, sb.s)) AS i, len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)) AS u " +
+      "FROM cand JOIN sh sa ON cand.new_doc = sa.doc_id JOIN sh sb ON cand.existing_doc = sb.doc_id)"
+
   private def duckOcc(p: String): String =
     s"(length(text) - length(replace(text, '$p', ''))) // ${p.length}"
 
@@ -1002,6 +1053,8 @@ object SparkEntry {
     "t18_cdc_chunks" -> cdcSql,
     "t19_dup_spans" -> dupSpanSql,
     "t29_winnow_dups" -> winnowDupSql,
+    "t30_bpe_learn" -> t30LearnSql,
+    "st14_stream_neardup" -> st14NeardupSql,
     // Inverted-index twin: distinct (shingle, doc) rows, df band filter,
     // posting truncation via row_number — the engine's collect/sort/slice
     // must produce the identical comma string.

@@ -599,17 +599,24 @@ object LlmOps {
     * immutable snapshots; a mutated-in-place dir would need an index
     * rebuild, which at scale is the snapshot-refresh job).
     */
-  def d5bIndexIngest(spark: SparkSession, dir: String): DataFrame = {
+  def d5bIndexIngest(spark: SparkSession, dir: String): DataFrame =
+    d5IncrementalAgainstIndex(spark, dir, ensureCorpusIndex(spark, dir))
+
+  /** Build-if-absent gate for the bucketed corpus index; returns the
+    * index prefix. Shared by [[d5bIndexIngest]] and the streaming ingest
+    * probe ([[graft.streaming.Streaming.st14StreamNeardup]]).
+    * Both tables gate the build: a crash between the two writeBucketed
+    * calls would otherwise wedge the query permanently — bands present,
+    * shingles missing, and nothing ever repairs it (reviewer finding).
+    * writeBucketed overwrites, so the re-build is self-healing.
+    */
+  private[graft] def ensureCorpusIndex(spark: SparkSession, dir: String): String = {
     val prefix = "d5b_idx_" + java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
-    // Both tables gate the build: a crash between the two writeBucketed
-    // calls would otherwise wedge the query permanently — bands present,
-    // shingles missing, and nothing ever repairs it (reviewer finding).
-    // writeBucketed overwrites, so the re-build is self-healing.
     if (!spark.catalog.tableExists(s"${prefix}_bands") ||
         !spark.catalog.tableExists(s"${prefix}_shingles"))
       buildCorpusIndex(spark, dir, prefix)
-    d5IncrementalAgainstIndex(spark, dir, prefix)
+    prefix
   }
 
   /** Near-dup pairs count as the same document at or above this Jaccard. */
@@ -1996,6 +2003,89 @@ object LlmOps {
       .agg(
         sum("freq").as("token_count"),
         countDistinct("tok").as("n_words"))
+  }
+
+  /** Rounds of the iterative BPE learn loop ([[t30BpeLearn]]). Small by
+    * design — each round is two wordcount-shaped aggregates plus one
+    * one-row argmax; production vocabularies run the same loop for
+    * thousands of rounds with the same per-round cost envelope.
+    */
+  val BpeLearnRounds = 4
+
+  /** T30: the BPE LEARN loop (Sennrich §3.2's training side) —
+    * [[t24BpePairs]] finds the single best pair and [[t28BpeEncode]]
+    * applies a table ranked by INITIAL counts; this closes the loop:
+    * each round recounts symbol pairs over the PARTIALLY-MERGED word
+    * table, elects the argmax (count desc, a asc, b asc — deterministic
+    * ties), applies exactly that merge with the same
+    * leftmost-non-overlapping fold t28 uses, and repeats. Ranking by
+    * initial counts and re-ranking per round genuinely diverge (a merge
+    * changes the pair statistics it overlaps), so this is a different
+    * operator, not a restatement.
+    *
+    * Output: the learned merge table — (merge_rank, a, b, pair_count at
+    * election time), ≤ [[BpeLearnRounds]] rows (fewer if the vocabulary
+    * runs out of adjacent pairs).
+    *
+    * Scale shape: the corpus collapses ONCE into the distinct-word
+    * table (the t24/t28 wordcount shuffle, Zipf head absorbed
+    * map-side); every round after that touches only |vocab| rows — two
+    * map-combinable aggregates and a one-row min(struct) argmax. The
+    * driver sees one row per round (the elected pair), the same
+    * O(rounds) driver-work bound as [[connectedComponents]]'s
+    * convergence counts; the corpus itself is never re-scanned or
+    * re-shuffled per round.
+    */
+  def t30BpeLearn(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val words = PersistScope.persisted(
+      Tables.documents(spark, dir)
+        .select(explode(expr(tokExpr)).as("tok"))
+        .filter(length(col("tok")) >= 1)
+        .groupBy("tok")
+        .agg(count(lit(1)).as("freq")))
+    // SQL string literal for an elected symbol (symbols come from corpus
+    // text, so escaping is belt-and-braces, not decoration).
+    def q(s: String) = "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    var sym = words.select(col("tok"), col("freq"),
+      expr("array_join(transform(sequence(1, length(tok)), i -> substring(tok, i, 1)), ' ')")
+        .as("sym"))
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var r = 1
+    var done = false
+    while (r <= BpeLearnRounds && !done) {
+      // Pair statistics over the current symbolization; argmax as ONE
+      // map-combinable min(struct(-count, a, b)) — no global sort.
+      val best = sym
+        .select(col("freq"), split(col("sym"), " ").as("ss"))
+        .filter(size(col("ss")) >= 2)
+        .select(col("freq"), col("ss"),
+          explode(expr("sequence(1, size(ss) - 1)")).as("i"))
+        .select(expr("element_at(ss, i)").as("a"),
+          expr("element_at(ss, i + 1)").as("b"), col("freq"))
+        .groupBy("a", "b").agg(sum("freq").as("cnt"))
+        .agg(min(struct((-col("cnt")).as("negc"), col("a"), col("b"))).as("m"))
+        .head()
+      if (best.isNullAt(0)) done = true
+      else {
+        val m = best.getStruct(0)
+        val (a, b, cnt) = (m.getString(1), m.getString(2), -m.getLong(0))
+        learned += ((r.toLong, a, b, cnt))
+        // t28's inner fold with the elected pair bound as literals:
+        // leftmost non-overlapping application, boundary-exact (the
+        // merged symbol is never re-matched as its left half).
+        sym = sym.withColumn("sym", expr(
+          s"""aggregate(
+             |  slice(split(sym, ' '), 2, size(split(sym, ' ')) - 1),
+             |  element_at(split(sym, ' '), 1),
+             |  (acc, x) -> case
+             |    when regexp_extract(acc, '[^ ]+$$', 0) = ${q(a)} and x = ${q(b)}
+             |    then concat(regexp_replace(acc, '[^ ]+$$', ''), ${q(a)}, ${q(b)})
+             |    else concat(acc, ' ', x) end)""".stripMargin))
+        r += 1
+      }
+    }
+    learned.toSeq.toDF("merge_rank", "a", "b", "pair_count")
   }
 
   // ---------------------------------------------------------------------

@@ -83,6 +83,93 @@ object Streaming {
         .parquet(streamDir))
   }
 
+  /** File-stream over the documents table — [[eventsStream]]'s symlink
+    * staging applied to the text corpus (ingest-side streaming for the
+    * dedup family).
+    */
+  private def docsStream(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val file = Paths.get(s"$dir/documents.parquet")
+    val streamDir =
+      if (Files.isDirectory(file)) file.toString
+      else {
+        val d = Paths.get(scratchDir("graft_docs_stream"))
+        Files.createSymbolicLink(d.resolve("documents.parquet"), file.toAbsolutePath)
+        d.toString
+      }
+    spark.readStream
+      .schema(spark.read.parquet(file.toString).schema)
+      .parquet(streamDir)
+  }
+
+  /** ST14: streaming near-duplicate gate — the dedup family's ingest
+    * loop run IN-FLIGHT: each arriving document (source = 'src0', the
+    * same "new batch" d5 models) is shingled, minhash-banded, and
+    * band-joined against the STORED corpus index
+    * ([[graft.operators.LlmOps.ensureCorpusIndex]]'s bucketed band +
+    * shingle-set tables), with the exact Jaccard verified against the
+    * stored shingle sets — d5b's incremental ingest as a stream.
+    *
+    * Contract: one ALERT row per (new_doc, existing_doc, band)
+    * collision, with the exact `jaccard_milli` on every row —
+    * deliberately at-least-once per colliding band rather than
+    * distinct-per-pair, because pair-level dedup would need unbounded
+    * stream state (`dropDuplicates` keyed on an ever-growing pair set);
+    * the consumer's batch compaction dedups alerts with ONE exact
+    * shuffle, the engine's standard split between in-flight signal and
+    * batch truth. Everything here is map work + stream-static
+    * broadcast-able joins: NO stream state at all, so the query runs at
+    * any corpus scale with constant memory.
+    *
+    * The stream side computes its signature PER ROW (array HOFs over
+    * the carried shingle array — bounded per document, the multimodal
+    * m3 "bounded lambda at ingest" precedent) rather than through
+    * minhashBandsOf's groupBy, which would be a stateful streaming
+    * aggregation; the two formulations produce byte-identical band keys
+    * (min over the same md5 strings).
+    */
+  def st14StreamNeardup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.LlmOps
+    val prefix = LlmOps.ensureCorpusIndex(spark, dir)
+    val nh = LlmOps.NumHashes
+    val mins = (0 until nh).map(k =>
+      s"array_min(transform(sh, x -> md5(concat('$k|', x)))) as m$k")
+    val bandKeys = (0 until LlmOps.NumBands).map { b =>
+      val slice = (b * LlmOps.RowsPerBand until (b + 1) * LlmOps.RowsPerBand)
+        .map(k => s"m$k")
+      s"md5(concat_ws('|', ${slice.mkString(", ")}))"
+    }
+    val incoming = docsStream(spark, dir)
+      .filter(col("source") === "src0")
+      .select(col("doc_id").as("new_doc"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("new_doc"), expr(
+        "transform(sequence(1, size(toks) - 2), i -> concat(" +
+          "element_at(toks, i), ' ', element_at(toks, i + 1), ' ', element_at(toks, i + 2)))")
+        .as("sh"))
+      .select(Seq(col("new_doc"), expr("array_distinct(sh)").as("sa")) ++
+        mins.map(expr): _*)
+      .select(col("new_doc"), col("sa"),
+        posexplode(array(bandKeys.map(expr): _*)).as(Seq("band", "bkey")))
+    val corpusBands = spark.table(s"${prefix}_bands")
+      .select(col("doc_id").as("existing_doc"), col("band").as("band_c"),
+        col("bkey").as("bkey_c"))
+    // No broadcast hints: the static sides are re-planned per
+    // micro-batch, so the planner broadcasts them while they fit (the
+    // fixture case) and falls back to a shuffled join against the
+    // bucketed index layout when a 100 TB corpus outgrows any broadcast.
+    val alerts = incoming
+      .join(corpusBands,
+        col("band") === col("band_c") && col("bkey") === col("bkey_c"))
+      .join(spark.table(s"${prefix}_shingles").toDF("existing_doc", "sb"),
+        "existing_doc")
+      .select(col("new_doc"), col("existing_doc"), col("band").cast("long").as("band"),
+        expr(LlmOps.milli(
+          "size(array_intersect(sa, sb))",
+          "size(sa) + size(sb) - size(array_intersect(sa, sb))")).as("jaccard_milli"))
+    runAppendToParquet(spark, alerts)
+  }
+
   /** Stateful streaming creates one state store per shuffle partition;
     * the harness corpus needs nowhere near the session's CPU-count
     * partitions, and each store costs real per-batch overhead. Scoped
