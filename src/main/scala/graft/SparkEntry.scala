@@ -979,8 +979,11 @@ object SparkEntry {
     }
     val terms = pows.zipWithIndex
       .map { case (p, j) => s"CAST(ord(substr(text, i + $j, 1)) AS BIGINT) * $p" }.mkString(" + ")
+    // length(text) < pk mirrors the engine's WinnowPosPack validity
+    // guard: a ≥ 2^20-char doc would corrupt the packed min identically
+    // on both engines, so the bound is part of the checked semantics.
     s"WITH hs AS (SELECT doc_id, i, ($terms) % $Mod AS hash FROM " +
-      s"(SELECT doc_id, text, unnest(range(1, length(text) - ${w - 2})) AS i FROM documents WHERE length(text) >= $w)), " +
+      s"(SELECT doc_id, text, unnest(range(1, length(text) - ${w - 2})) AS i FROM documents WHERE length(text) >= $w AND length(text) < $pk)), " +
       s"sw AS (SELECT doc_id, count(*) OVER win AS nw, " +
       s"min(hash * $pk + ($pk - 1 - (i - 1))) OVER win AS sel FROM hs " +
       s"WINDOW win AS (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND ${ww - 1} FOLLOWING)), " +

@@ -116,10 +116,15 @@ object Tables {
     * assumption), so the memo never goes stale within a session.
     */
   private val spreadMemo =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), Boolean]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Int), Boolean]()
   private def underParallel(spark: SparkSession, dir: String, docs: DataFrame): Boolean =
-    spreadMemo.computeIfAbsent((spark.sparkContext.applicationId, dir), _ =>
-      docs.rdd.getNumPartitions * 2 < spark.sparkContext.defaultParallelism)
+    // defaultParallelism is part of the computed predicate, so it is part
+    // of the key (advisor finding): under dynamic allocation the core
+    // count can move mid-session, and a memo frozen at first probe would
+    // keep answering for a cluster shape that no longer exists.
+    spreadMemo.computeIfAbsent(
+      (spark.sparkContext.applicationId, dir, spark.sparkContext.defaultParallelism),
+      _ => docs.rdd.getNumPartitions * 2 < spark.sparkContext.defaultParallelism)
   // Deliberately NOT offered for embeddings: the vector corpus is ~1 MB
   // at fixture scale and its queries are iterative (k-means, PQ), so a
   // 32-way spread multiplied per-task scheduling overhead instead of

@@ -752,6 +752,17 @@ object LlmOps {
       .persist()
     var converged = false
     var rounds = 0
+    // Base-storage release is idempotent and shared by every exit path
+    // (advisor finding: with maxRounds == 0, or an exception mid-loop,
+    // the eager `flat` checkpoint and the persisted `adj` used to leak
+    // for the session's lifetime with nothing registered to free them).
+    var baseReleased = false
+    def releaseBase(): Unit = if (!baseReleased) {
+      baseReleased = true
+      adj.unpersist()
+      releaseCheckpointBlocks(flat)
+    }
+    try {
     while (!converged && rounds < maxRounds) {
       // One join: every (doc_a, doc_b) edge pulls doc_b's label; the
       // self-loop makes min() = least(own, neighbor min) and prev = the
@@ -788,11 +799,20 @@ object LlmOps {
       converged = changed == 0
       rounds += 1
     }
+    } catch { case t: Throwable =>
+      // Abnormal exit: free the round-in-flight labels too — the caller
+      // never sees them, so nothing else ever would.
+      releaseBase()
+      labels.unpersist(false); releaseCheckpointBlocks(labels)
+      throw t
+    }
     // After ≥1 round the surviving labels are checkpoint-backed and no
     // longer reference the adjacency — its cache, and the flat edge
     // list's checkpoint blocks beneath it, can go too. (rounds == 0 only
-    // under maxRounds == 0, where the returned labels still read adj.)
-    if (rounds > 0) { adj.unpersist(); releaseCheckpointBlocks(flat) }
+    // under maxRounds == 0, where the returned labels still read adj —
+    // release it with the query's other pinned intermediates instead.)
+    if (rounds > 0) releaseBase()
+    else PersistScope.register { () => releaseBase() }
     // The FINAL labels' storage (round-0 cache or checkpoint blocks) is
     // still referenced by the result the caller will consume — release
     // it with the query's other pinned intermediates, not here. The
@@ -1229,8 +1249,27 @@ object LlmOps {
     * winnowing's tie rule): hash · 2^20 + (2^20 − 1 − pos). Valid for
     * documents under 2^20 characters (hash < 2^31 keeps the product
     * under 2^51); a longer-document corpus widens the shift, same plan.
+    *
+    * The validity bound is ENFORCED, not assumed (advisor finding): a
+    * ≥ 2^20-char document would borrow into the hash bits and silently
+    * corrupt the packed min — and because the DuckDB twin shares the
+    * identical packing, the oracle could never catch it. [[t29WinnowDups]]
+    * (and its index-ingest variant) filter such documents out on BOTH
+    * engines, and [[winnowOversized]] exposes the excluded set so the cap
+    * is monitorable, never silent (SURVEY.md §5 discipline). Book-length
+    * corpora widen the shift — one constant, both engines.
     */
   private[graft] val WinnowPosPack = 1L << 20
+
+  /** Monitoring view for the [[WinnowPosPack]] length bound: the documents
+    * the winnowing entries exclude because their positions would not fit
+    * the packed (hash, pos) encoding. Empty on any corpus of sub-2^20-char
+    * documents (the fixture; most web text) — rows here mean "widen
+    * WinnowPosPack" or "pre-chunk these docs".
+    */
+  def winnowOversized(docs: DataFrame): DataFrame =
+    docs.filter(length(col("text")) >= WinnowPosPack)
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
 
   /** The winnowing SELECTION (Schleimer/Wilkerson/Aiken) over a document
     * table: from each doc's rolling span hashes keep, per sliding window
@@ -1276,9 +1315,12 @@ object LlmOps {
     */
   def t29WinnowDups(spark: SparkSession, dir: String): DataFrame = {
     // Both the selection and the verify join read the filtered corpus —
-    // pin so the scan + length filter run once.
+    // pin so the scan + length filter run once. The upper bound is the
+    // WinnowPosPack validity guard (see its scaladoc; mirrored in the
+    // oracle twin, monitorable via winnowOversized).
     val docs = PersistScope.persisted(Tables.documentsSpread(spark, dir)
-      .filter(length(col("text")) >= SpanWindow + WinnowWindow - 1)
+      .filter(length(col("text")) >= SpanWindow + WinnowWindow - 1 &&
+        length(col("text")) < WinnowPosPack)
       .select(col("doc_id"), col("text")))
     val perDoc = winnowSelect(docs, SpanWindow, WinnowWindow)
       .groupBy("doc_id", "hash").agg(min("pos").as("pos"))

@@ -117,7 +117,12 @@ object Streaming {
     * stream state (`dropDuplicates` keyed on an ever-growing pair set);
     * the consumer's batch compaction dedups alerts with ONE exact
     * shuffle, the engine's standard split between in-flight signal and
-    * batch truth. Everything here is map work + stream-static
+    * batch truth. The parquet-append sink is itself at-least-once on a
+    * replayed micro-batch (appends are not idempotent), so a retried
+    * run can emit MORE than NumBands rows per pair — the per-band row
+    * count is a clean-run property, never part of the contract; only
+    * "≥ 1 alert per colliding band, exact jaccard on every row" is.
+    * Everything here is map work + stream-static
     * broadcast-able joins: NO stream state at all, so the query runs at
     * any corpus scale with constant memory.
     *

@@ -41,11 +41,15 @@ class LearnStreamSpec extends SparkTestBase {
     val alerts = Streaming.st14StreamNeardup(spark, Sf)
       .as[(Long, Long, Long, Long)].collect()
     assert(alerts.nonEmpty)
-    // Per-band at-least-once: every pair alerts between 1 and NumBands
-    // times, with the SAME exact jaccard on every alert for a pair.
+    // Per-band at-least-once: every pair alerts at least once, with the
+    // SAME exact jaccard on every alert for a pair. No upper bound
+    // (advisor finding): the operator's contract is at-least-once per
+    // colliding band — the parquet-append sink is non-idempotent on a
+    // replayed micro-batch, so a retried run may legitimately exceed
+    // NumBands rows per pair; asserting a cap would encode exactly-once
+    // semantics the sink does not provide.
     val byPair = alerts.groupBy(a => (a._1, a._2))
-    assert(byPair.valuesIterator.forall(rows =>
-      rows.length >= 1 && rows.length <= LlmOps.NumBands))
+    assert(byPair.valuesIterator.forall(rows => rows.length >= 1))
     assert(byPair.valuesIterator.forall(rows => rows.map(_._4).distinct.length == 1))
     // Batch truth: one exact dedup of the alert stream equals the batch
     // ingest path (same index, same corpus) — the in-flight signal loses

@@ -77,6 +77,33 @@ class WinnowPhashSpec extends SparkTestBase {
     assert(out.forall(_.getLong(1) >= 2))
   }
 
+  test("t29 excludes docs past the WinnowPosPack bound (and flags them in the monitor)") {
+    import spark.implicits._
+    val dir = tempDir("t29pk")
+    val shared = (0 until LlmOps.SpanWindow + LlmOps.WinnowWindow - 1)
+      .map(i => ('a' + (i * 7) % 26).toChar).mkString
+    // Doc 3 is a 2^20-char giant whose positions would borrow into the
+    // packed hash bits; it carries the shared span too, but the guard
+    // must keep it out of the winnow pipeline entirely — the pair that
+    // survives is (1, 2) only, counted as n_docs = 2, and the monitor
+    // names exactly doc 3.
+    val giant = ("m" * (LlmOps.WinnowPosPack.toInt - shared.length)) + shared
+    val docs = Seq(
+      (1L, "qqqqqqqqqq" + shared + "rrrrrrrrrr"),
+      (2L, "zzzz" + shared + "wwwwwwwwwwwwwwwwww"),
+      (3L, giant))
+    docs.map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = LlmOps.t29WinnowDups(spark, dir).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getLong(1) == 2),
+      "the oversize doc must not contribute to any span's doc count")
+    val flagged = LlmOps.winnowOversized(Tables.documents(spark, dir))
+      .select("doc_id").as[Long].collect().toSeq
+    assert(flagged === Seq(3L))
+  }
+
   test("t29 detects a winnowed subset of t19's duplicated spans on the corpus") {
     import spark.implicits._
     val t19 = LlmOps.t19DupSpans(spark, Sf).select("span_md5").as[String].collect().toSet
