@@ -36,6 +36,24 @@ class LearnStreamSpec extends SparkTestBase {
       (3L, "ab", "b", 2L)))
   }
 
+  test("t30's per-round plan depth is constant out to 32 rounds") {
+    import spark.implicits._
+    // 36 distinct symbols -> >= 35 merges available, far past the
+    // shipped BpeLearnRounds = 4; the abab word seeds a distinct
+    // top-count pair so round 1 is deterministic.
+    val words = Seq(("abcdefghijklmnopqrstuvwxyz0123456789", 3L), ("abab", 2L))
+      .toDF("tok", "freq")
+    val out = LlmOps.bpeLearnFrom(spark, words, 32)
+    assert(out.count() === 32)
+    // The r11 formulation composed one more nested fold per round (plan
+    // size grew linearly, per-row work O(r)); the materialized loop must
+    // show the SAME pre-checkpoint plan size every round.
+    val sizes = LlmOps.lastLearnPlanSizes
+    assert(sizes.size === 32)
+    assert(sizes.distinct.size === 1,
+      s"per-round plan size must be constant, got: $sizes")
+  }
+
   test("st14 alerts dedupe to exactly d5b's incremental ingest result") {
     import spark.implicits._
     val alerts = Streaming.st14StreamNeardup(spark, Sf)
