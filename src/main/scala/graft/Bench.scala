@@ -99,6 +99,13 @@ object Bench {
       b += "d5b_index_ingest"
     if (names.exists(n => n == "q_triangles_idx" || n == "q_triangles_adj_idx"))
       b += "q_triangles_idx"
+    // The label-index consumers: one warm-up builds the bucketed label
+    // snapshot so their timed entries measure steady-state reads, and
+    // d7c additionally builds its corpus-minus-batch snapshot pair.
+    if (names.exists(n => n == "d7b_resolve_idx" || n == "d12b_quality_idx"
+        || n == "d13b_split_idx" || n == "q_curation_neardup_idx"))
+      b += "d7b_resolve_idx"
+    if (names.contains("d7c_resolve_ingest")) b += "d7c_resolve_ingest"
     b.result()
   }
 

@@ -171,8 +171,13 @@ object SparkEntry {
     "d10_norm_dedup"   -> LlmOps.d10NormDedup _,
     "d11_band_stats"   -> LlmOps.d11BandStats _,
     "d7_dedup_resolve" -> LlmOps.d7DedupResolve _,
+    "d7b_resolve_idx"  -> LlmOps.d7bResolveIdx _,
+    "d7c_resolve_ingest" -> LlmOps.d7cResolveIngest _,
     "d12_quality_resolve" -> LlmOps.d12QualityResolve _,
+    "d12b_quality_idx" -> LlmOps.d12bQualityIdx _,
     "d13_group_split"  -> LlmOps.d13GroupSplit _,
+    "d13b_split_idx"   -> LlmOps.d13bSplitIdx _,
+    "q_curation_neardup_idx" -> LlmOps.curationNeardupIdx _,
     "t1_text_stats"    -> LlmOps.t1TextStats _,
     "t2_lang_id"       -> LlmOps.t2LangId _,
     "t3_quality_score" -> LlmOps.t3QualityScore _,
@@ -790,6 +795,59 @@ object SparkEntry {
       s"UNION ALL SELECT doc_b, doc_a FROM jac WHERE jaccard_milli >= ${LlmOps.ResolveThreshold}), " +
       "reach(a, b) AS (SELECT doc_id, doc_id FROM documents UNION SELECT r.a, e.doc_b FROM reach r JOIN edges e ON r.b = e.doc_a)"
 
+  private lazy val d7ResolveSql: String =
+    duckCcCte + " SELECT a AS doc_id, min(b) AS canonical_id FROM reach GROUP BY a"
+
+  private lazy val d13SplitSql: String =
+    duckCcCte + ", cc AS (SELECT a AS doc_id, min(b) AS canonical_id FROM reach GROUP BY a), " +
+      s"bk AS (SELECT doc_id, canonical_id, ${duckBucketOn("canonical_id")} AS bucket FROM cc) " +
+      "SELECT doc_id, canonical_id, CAST(bucket AS BIGINT) AS bucket, " +
+      "CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split FROM bk"
+
+  private lazy val d12QualitySql: String =
+    duckCcCte + ", cc AS (SELECT a AS doc_id, min(b) AS canonical_id FROM reach GROUP BY a), " +
+      "c AS (SELECT doc_id, len(tok)::BIGINT AS n, len(list_distinct(tok))::BIGINT AS u, " +
+      "len(list_filter(tok, t -> t IN ('the', 'a')))::BIGINT AS stop FROM tokd), " +
+      // COALESCE(-1) mirrors the Spark side's null-quality pin (see
+      // LlmOps.withPinnedQuality): without it a NULL-text doc's group
+      // vanishes here (window-max ignores NULLs, `quality = mq` then
+      // filters the whole group) while the engine keeps the row.
+      "q AS (SELECT doc_id, coalesce((400*(n - stop)) // n + least(3*n, 300) + (300*u) // n, -1) AS quality_milli FROM c), " +
+      "j AS (SELECT cc.doc_id, cc.canonical_id, q.quality_milli FROM cc JOIN q USING (doc_id)), " +
+      "w AS (SELECT canonical_id, min(doc_id) AS keep_id FROM (" +
+      "SELECT doc_id, canonical_id, quality_milli, max(quality_milli) OVER (PARTITION BY canonical_id) AS mq FROM j) " +
+      "WHERE quality_milli = mq GROUP BY canonical_id) " +
+      "SELECT j.doc_id, j.canonical_id, w.keep_id, CAST(j.doc_id = w.keep_id AS BIGINT) AS is_kept " +
+      "FROM j JOIN w USING (canonical_id)"
+
+  private lazy val curationNeardupSql: String =
+    duckCcCte + ", cc AS (SELECT a AS doc_id, min(b) AS canonical_id FROM reach GROUP BY a), " +
+      "c AS (SELECT doc_id, len(tok)::BIGINT AS n, len(list_distinct(tok))::BIGINT AS u, " +
+      "len(list_filter(tok, t -> t IN ('the', 'a')))::BIGINT AS stop FROM tokd), " +
+      "q AS (SELECT doc_id, coalesce((400*(n - stop)) // n + least(3*n, 300) + (300*u) // n, -1) AS quality_milli FROM c), " +
+      "j AS (SELECT cc.doc_id, cc.canonical_id, q.quality_milli FROM cc JOIN q USING (doc_id)), " +
+      "w AS (SELECT canonical_id, min(doc_id) AS keep_id FROM (" +
+      "SELECT doc_id, canonical_id, quality_milli, max(quality_milli) OVER (PARTITION BY canonical_id) AS mq FROM j) " +
+      "WHERE quality_milli = mq GROUP BY canonical_id), " +
+      "kept AS (SELECT j.doc_id FROM j JOIN w USING (canonical_id) WHERE j.doc_id = w.keep_id), " +
+      "quality_ok AS (SELECT doc_id FROM q WHERE quality_milli >= 400), " +
+      "shr AS (SELECT doc_id, unnest(s) AS shingle FROM sh), " +
+      s"bench AS (SELECT DISTINCT shingle FROM shr WHERE doc_id < ${LlmOps.BenchmarkDocs}), " +
+      s"cont AS (SELECT DISTINCT shr.doc_id FROM shr JOIN bench USING (shingle) WHERE shr.doc_id >= ${LlmOps.BenchmarkDocs}), " +
+      "samp AS (SELECT doc_id, source, " +
+      "" + duckBucket + " AS bucket, " +
+      "CASE WHEN source = 'src0' THEN 100 WHEN source IN ('src1', 'src2', 'src3') THEN 50 ELSE 20 END AS rate_pct " +
+      "FROM documents), " +
+      "spl AS (SELECT doc_id, CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split " +
+      "FROM (SELECT doc_id, " + duckBucket + " AS bucket FROM documents)) " +
+      "SELECT s.doc_id, s.source, CAST(s.bucket AS BIGINT) AS bucket, spl.split " +
+      "FROM samp s " +
+      "JOIN kept ON s.doc_id = kept.doc_id " +
+      "JOIN quality_ok ON s.doc_id = quality_ok.doc_id " +
+      "LEFT JOIN cont ON s.doc_id = cont.doc_id " +
+      "JOIN spl ON s.doc_id = spl.doc_id " +
+      s"WHERE s.bucket < s.rate_pct AND s.doc_id >= ${LlmOps.BenchmarkDocs} AND cont.doc_id IS NULL"
+
   private val llmOracle: Map[String, String] = Map(
     "d1_dedup_exact" ->
       "SELECT md5(text) AS text_hash, min(doc_id) AS canonical_doc_id, count(*) AS n_copies FROM documents GROUP BY md5(text)",
@@ -864,33 +922,21 @@ object SparkEntry {
         "FROM cand JOIN s sa ON doc_a = sa.doc_id JOIN s sb ON doc_b = sb.doc_id " +
         s"WHERE bit_count(xor(sa.simhash, sb.simhash)) <= ${LlmOps.SimhashMaxHamming}"),
     // Connected-components twin: see duckCcCte.
-    "d7_dedup_resolve" ->
-      (duckCcCte + " SELECT a AS doc_id, min(b) AS canonical_id FROM reach GROUP BY a"),
+    "d7_dedup_resolve" -> d7ResolveSql,
+    // Label-INDEX variants: the stored bucketed labels and the
+    // incremental contracted-graph ingest are pure optimizations, so all
+    // three grade against the identical full-recompute twins.
+    "d7b_resolve_idx" -> d7ResolveSql,
+    "d7c_resolve_ingest" -> d7ResolveSql,
+    "d12b_quality_idx" -> d12QualitySql,
+    "d13b_split_idx" -> d13SplitSql,
     // d13 = d7's components + t8's hash split keyed on the GROUP id, so
     // near-dup members can never straddle train/test (leakage guard).
-    "d13_group_split" ->
-      (duckCcCte + ", cc AS (SELECT a AS doc_id, min(b) AS canonical_id FROM reach GROUP BY a), " +
-        s"bk AS (SELECT doc_id, canonical_id, ${duckBucketOn("canonical_id")} AS bucket FROM cc) " +
-        "SELECT doc_id, canonical_id, CAST(bucket AS BIGINT) AS bucket, " +
-        "CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split FROM bk"),
+    "d13_group_split" -> d13SplitSql,
     // d12 = d7's components + t3's quality, survivor = max quality with a
     // min-doc_id tie-break (window-max + min, not arg_max, so ties are
     // deterministic in both engines).
-    "d12_quality_resolve" ->
-      (duckCcCte + ", cc AS (SELECT a AS doc_id, min(b) AS canonical_id FROM reach GROUP BY a), " +
-        "c AS (SELECT doc_id, len(tok)::BIGINT AS n, len(list_distinct(tok))::BIGINT AS u, " +
-        "len(list_filter(tok, t -> t IN ('the', 'a')))::BIGINT AS stop FROM tokd), " +
-        // COALESCE(-1) mirrors the Spark side's null-quality pin (see
-        // LlmOps.d12QualityResolve): without it a NULL-text doc's group
-        // vanishes here (window-max ignores NULLs, `quality = mq` then
-        // filters the whole group) while the engine keeps the row.
-        "q AS (SELECT doc_id, coalesce((400*(n - stop)) // n + least(3*n, 300) + (300*u) // n, -1) AS quality_milli FROM c), " +
-        "j AS (SELECT cc.doc_id, cc.canonical_id, q.quality_milli FROM cc JOIN q USING (doc_id)), " +
-        "w AS (SELECT canonical_id, min(doc_id) AS keep_id FROM (" +
-        "SELECT doc_id, canonical_id, quality_milli, max(quality_milli) OVER (PARTITION BY canonical_id) AS mq FROM j) " +
-        "WHERE quality_milli = mq GROUP BY canonical_id) " +
-        "SELECT j.doc_id, j.canonical_id, w.keep_id, CAST(j.doc_id = w.keep_id AS BIGINT) AS is_kept " +
-        "FROM j JOIN w USING (canonical_id)"),
+    "d12_quality_resolve" -> d12QualitySql,
     "t1_text_stats" ->
       (s"WITH tokd AS ($duckTok) " +
         "SELECT doc_id, len(tok)::BIGINT AS n_tokens, len(list_distinct(tok))::BIGINT AS n_uniq_tokens, " +
@@ -1152,33 +1198,10 @@ object SparkEntry {
     // q_curation_pipeline CTEs. duckCcCte's `sh` holds per-doc shingle
     // LISTS, so the contamination stage unnests it (shr) instead of
     // rebuilding shingles.
-    "q_curation_neardup" ->
-      (duckCcCte + ", cc AS (SELECT a AS doc_id, min(b) AS canonical_id FROM reach GROUP BY a), " +
-        "c AS (SELECT doc_id, len(tok)::BIGINT AS n, len(list_distinct(tok))::BIGINT AS u, " +
-        "len(list_filter(tok, t -> t IN ('the', 'a')))::BIGINT AS stop FROM tokd), " +
-        "q AS (SELECT doc_id, coalesce((400*(n - stop)) // n + least(3*n, 300) + (300*u) // n, -1) AS quality_milli FROM c), " +
-        "j AS (SELECT cc.doc_id, cc.canonical_id, q.quality_milli FROM cc JOIN q USING (doc_id)), " +
-        "w AS (SELECT canonical_id, min(doc_id) AS keep_id FROM (" +
-        "SELECT doc_id, canonical_id, quality_milli, max(quality_milli) OVER (PARTITION BY canonical_id) AS mq FROM j) " +
-        "WHERE quality_milli = mq GROUP BY canonical_id), " +
-        "kept AS (SELECT j.doc_id FROM j JOIN w USING (canonical_id) WHERE j.doc_id = w.keep_id), " +
-        "quality_ok AS (SELECT doc_id FROM q WHERE quality_milli >= 400), " +
-        "shr AS (SELECT doc_id, unnest(s) AS shingle FROM sh), " +
-        s"bench AS (SELECT DISTINCT shingle FROM shr WHERE doc_id < ${LlmOps.BenchmarkDocs}), " +
-        s"cont AS (SELECT DISTINCT shr.doc_id FROM shr JOIN bench USING (shingle) WHERE shr.doc_id >= ${LlmOps.BenchmarkDocs}), " +
-        "samp AS (SELECT doc_id, source, " +
-        "" + duckBucket + " AS bucket, " +
-        "CASE WHEN source = 'src0' THEN 100 WHEN source IN ('src1', 'src2', 'src3') THEN 50 ELSE 20 END AS rate_pct " +
-        "FROM documents), " +
-        "spl AS (SELECT doc_id, CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split " +
-        "FROM (SELECT doc_id, " + duckBucket + " AS bucket FROM documents)) " +
-        "SELECT s.doc_id, s.source, CAST(s.bucket AS BIGINT) AS bucket, spl.split " +
-        "FROM samp s " +
-        "JOIN kept ON s.doc_id = kept.doc_id " +
-        "JOIN quality_ok ON s.doc_id = quality_ok.doc_id " +
-        "LEFT JOIN cont ON s.doc_id = cont.doc_id " +
-        "JOIN spl ON s.doc_id = spl.doc_id " +
-        s"WHERE s.bucket < s.rate_pct AND s.doc_id >= ${LlmOps.BenchmarkDocs} AND cont.doc_id IS NULL"),
+    "q_curation_neardup" -> curationNeardupSql,
+    // Same pipeline with resolution read from the maintained label index
+    // — a pure optimization, identical twin.
+    "q_curation_neardup_idx" -> curationNeardupSql,
     // BPE-encode twin: the same ranked merge list (count desc, a, b —
     // row_number here, the struct-sort trick on the Spark side) and the
     // same nested fold — DuckDB's list_reduce seeds the accumulator with

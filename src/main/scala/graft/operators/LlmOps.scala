@@ -265,7 +265,15 @@ object LlmOps {
     * Collision probability per band is J^r, so the candidate count stays
     * ~linear while recall for true near-dups (J close to 1) stays high.
     */
-  def d2DedupMinhash(spark: SparkSession, dir: String): DataFrame = {
+  def d2DedupMinhash(spark: SparkSession, dir: String): DataFrame =
+    d2DedupMinhashOf(shingleRows(spark, dir))
+
+  /** [[d2DedupMinhash]] over an arbitrary shingle-row table — the seam
+    * the label-index build ([[buildLabelIndex]]) and the incremental
+    * label ingest ([[d7cResolveIngest]]'s batch-internal edges) use to
+    * run the same oracle-checked pipeline on a document SUBSET.
+    */
+  private[graft] def d2DedupMinhashOf(shingles0: DataFrame): DataFrame = {
     // The bands and shingle-set tables are each used on BOTH sides of a
     // self-join; exchange reuse does not fire across the renamed join
     // branches (verified in the physical plan), so each would compute
@@ -276,7 +284,7 @@ object LlmOps {
     // and the set tables — persist it too so the corpus is tokenized
     // once per query, not once per derived table (round-2 finding: the
     // dedup family's dominant shared cost).
-    val shingles = PersistScope.persisted(shingleRows(spark, dir))
+    val shingles = PersistScope.persisted(shingles0)
     // Persist the UNCAPPED band table too: capBandBuckets reads its
     // argument on both sides (band rows + the bucket-size aggregate),
     // and with only the capped OUTPUT cached the signature aggregation —
@@ -610,12 +618,17 @@ object LlmOps {
     * shingles missing, and nothing ever repairs it (reviewer finding).
     * writeBucketed overwrites, so the re-build is self-healing.
     */
-  private[graft] def ensureCorpusIndex(spark: SparkSession, dir: String): String = {
+  private[graft] def ensureCorpusIndex(spark: SparkSession, dir: String,
+                                       excludeSource: String = "src0"): String = {
+    // Key stays the bare dir for the default batch source (pre-r12
+    // compatibility with every existing caller) and widens only for a
+    // caller that excludes a different source.
+    val key = dir + (if (excludeSource == "src0") "" else "!" + excludeSource)
     val prefix = "d5b_idx_" + java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
     if (!spark.catalog.tableExists(s"${prefix}_bands") ||
         !spark.catalog.tableExists(s"${prefix}_shingles"))
-      buildCorpusIndex(spark, dir, prefix)
+      buildCorpusIndex(spark, dir, prefix, excludeSource)
     prefix
   }
 
@@ -635,16 +648,25 @@ object LlmOps {
     * Output: (doc_id, canonical_id) for EVERY document — singletons map
     * to themselves. Deterministic: min over an unordered neighbor set.
     */
-  def d7DedupResolve(spark: SparkSession, dir: String): DataFrame = {
+  def d7DedupResolve(spark: SparkSession, dir: String): DataFrame =
+    d7ResolveOf(spark, Tables.documentsSpread(spark, dir))
+
+  /** [[d7DedupResolve]] over an arbitrary document table — the seam the
+    * materialized label index builds through ([[buildLabelIndex]] runs it
+    * on the corpus minus the incoming batch). `docs` should already carry
+    * the fixture-parallelism spread where the caller wants it (a filter
+    * of a spread scan preserves the layout).
+    */
+  private[graft] def d7ResolveOf(spark: SparkSession, docs: DataFrame): DataFrame = {
     // No persist on the edge list: connectedComponents eagerly
     // localCheckpoints it as its first act, so the candidate pipeline
     // runs exactly once either way and a cache layer would only add a
     // write it never reads back (r11 — the persist predated the
     // edge-level checkpoint).
-    val edges = d2DedupMinhash(spark, dir)
+    val edges = d2DedupMinhashOf(shingleRowsOf(docs))
       .filter(col("jaccard_milli") >= ResolveThreshold)
       .select(col("doc_a"), col("doc_b"))
-    val identity = Tables.documents(spark, dir)
+    val identity = docs
       .select(col("doc_id"), col("doc_id").as("canonical_id"))
     // No pre-emptive edges.isEmpty fast path: it cost a full extra
     // materialization of the candidate pipeline (the selective ≥threshold
@@ -862,21 +884,26 @@ object LlmOps {
     * [[d12From]] exposes and [[curationNeardupManifest]] demonstrates
     * (its spec asserts the CC loop runs once in the composed plan).
     */
-  def d12QualityResolve(spark: SparkSession, dir: String): DataFrame = {
-    // NULL quality (NULL/empty text) is pinned to -1 BEFORE the election:
-    // every real score is >= 0, so a null-text doc can never beat a real
-    // one, and a singleton null-text group still elects itself. Without
-    // the pin the two engines diverge on such a doc (reviewer finding):
-    // Spark's struct-max treats the null field as smallest and keeps the
-    // row, while the oracle's window-max ignores NULLs and its
-    // `quality = mq` filter drops the whole group.
-    d12From(
-      d7DedupResolve(spark, dir)
-        .join(t3QualityScore(spark, dir)
-          .select(col("doc_id"),
-            coalesce(col("quality_milli"), lit(-1L)).as("quality_milli")),
-          "doc_id"))
-  }
+  def d12QualityResolve(spark: SparkSession, dir: String): DataFrame =
+    d12From(withPinnedQuality(spark, dir, d7DedupResolve(spark, dir)))
+
+  /** Attach t3's quality to a (doc_id, canonical_id) label table with
+    * NULL quality pinned to -1 BEFORE the election: every real score is
+    * >= 0, so a null-text doc can never beat a real one, and a singleton
+    * null-text group still elects itself. Without the pin the two
+    * engines diverge on such a doc (reviewer finding): Spark's
+    * struct-max treats the null field as smallest and keeps the row,
+    * while the oracle's window-max ignores NULLs and its `quality = mq`
+    * filter drops the whole group. Shared by the full-recompute d12 and
+    * the label-index variant ([[d12bQualityIdx]]).
+    */
+  private def withPinnedQuality(spark: SparkSession, dir: String,
+                                labels: DataFrame): DataFrame =
+    labels.join(
+      t3QualityScore(spark, dir)
+        .select(col("doc_id"),
+          coalesce(col("quality_milli"), lit(-1L)).as("quality_milli")),
+      "doc_id")
 
   /** The quality election of [[d12QualityResolve]] factored over
     * PRECOMPUTED labels — the seam a composed pipeline uses to share one
@@ -897,6 +924,144 @@ object LlmOps {
       .join(winners, "canonical_id")
       .select(col("doc_id"), col("canonical_id"), col("keep_id"),
         (col("doc_id") === col("keep_id")).cast("bigint").as("is_kept"))
+  }
+
+  // ---------------------------------------------------------------------
+  // D7b/D7c: the CC labels as a MAINTAINED index — the d5b pattern
+  // applied to resolution (VERDICT r11 missing #1: d12/d13/curation each
+  // re-paid the whole candidate pipeline + CC loop per query; the four
+  // heaviest quiet-median entries were the same work re-run).
+  // ---------------------------------------------------------------------
+
+  /** Build the resolved-label index ONCE as a bucketed managed table:
+    * `<prefix>_labels(doc_id, canonical_id)` — [[d7DedupResolve]]'s
+    * output for the given corpus (optionally minus an incoming batch's
+    * source), bucketed on `doc_id` so every per-doc consumer join (d12's
+    * quality attach, d13's split, curation's manifest stages) reads
+    * co-located buckets and only ever shuffles its OWN small side. At
+    * 100 TB this runs once per corpus snapshot — exactly when the d5b
+    * band index is refreshed — and every resolution consumer amortizes
+    * it; between snapshots, [[labelIngestAgainstIndex]] folds a new
+    * batch in at batch-proportional cost.
+    */
+  def buildLabelIndex(spark: SparkSession, dir: String, prefix: String,
+                      excludeSource: Option[String] = None,
+                      numBuckets: Int = -1): Unit = {
+    val buckets =
+      if (numBuckets > 0) numBuckets else spark.sparkContext.defaultParallelism
+    val docs = excludeSource.foldLeft(Tables.documentsSpread(spark, dir))(
+      (d, s) => d.filter(col("source") =!= s))
+    Scale.writeBucketed(d7ResolveOf(spark, docs), s"${prefix}_labels", "doc_id", buckets)
+  }
+
+  /** Build-if-absent gate for the label index; returns the prefix. The
+    * key hashes (dir, excludeSource) — corpora are immutable snapshots,
+    * the d5b contract; a mutated dir needs the snapshot-refresh rebuild.
+    */
+  private[graft] def ensureLabelIndex(spark: SparkSession, dir: String,
+                                      excludeSource: Option[String] = None): String = {
+    val key = dir + excludeSource.fold("")("!" + _)
+    val prefix = "d7b_idx_" + java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    if (!spark.catalog.tableExists(s"${prefix}_labels"))
+      buildLabelIndex(spark, dir, prefix, excludeSource)
+    prefix
+  }
+
+  /** D7b: [[d7DedupResolve]] read from the materialized label index —
+    * the index path is a PURE optimization (same oracle as d7): first
+    * call per corpus builds the bucketed table once; every later call —
+    * and every composed consumer below — is a bucketed scan, no
+    * candidate generation, no CC loop.
+    */
+  def d7bResolveIdx(spark: SparkSession, dir: String): DataFrame =
+    spark.table(s"${ensureLabelIndex(spark, dir)}_labels")
+
+  /** D12b: [[d12QualityResolve]] over the stored labels — the quality
+    * election without re-running resolution (same oracle as d12). The
+    * labels arrive bucketed on doc_id, so the quality attach join
+    * co-locates on the stored layout.
+    */
+  def d12bQualityIdx(spark: SparkSession, dir: String): DataFrame =
+    d12From(withPinnedQuality(spark, dir, d7bResolveIdx(spark, dir)))
+
+  /** D13b: [[d13GroupSplit]] over the stored labels — the leakage-safe
+    * split as a map-only pass over the index (same oracle as d13).
+    */
+  def d13bSplitIdx(spark: SparkSession, dir: String): DataFrame =
+    groupSplitOf(d7bResolveIdx(spark, dir))
+
+  /** D7c: INCREMENTAL label maintenance — fold a new batch (source =
+    * `src0`, d5's ingest convention) into a label snapshot built WITHOUT
+    * it, producing labels for the whole corpus that equal the full
+    * recompute (same oracle as d7). The standard contracted-graph
+    * update:
+    *
+    *  1. batch↔corpus near-dup edges come from the stored BAND index
+    *     ([[d5IncrementalAgainstIndex]] ≥ [[ResolveThreshold]]) — work ∝
+    *     batch;
+    *  2. batch-internal edges from the d2 pipeline over the batch alone;
+    *  3. every corpus endpoint is CONTRACTED to its stored
+    *     `canonical_id` (contracting a component to its representative
+    *     preserves connectivity, and the representative IS the
+    *     component's min doc_id, so min-label semantics survive
+    *     contraction exactly);
+    *  4. [[connectedComponents]] runs on the contracted edge set —
+    *     batch docs + touched representatives only, orders of magnitude
+    *     smaller than the corpus;
+    *  5. stored labels are relabeled through the (old rep → new rep)
+    *     map (a broadcast-sized join), batch docs take their resolved
+    *     label or themselves.
+    *
+    * Cap-parity caveat (same contract as d5b): the stored band index
+    * applied [[LshBucketCap]] at build time against CORPUS occupancy, so
+    * a bucket that crosses the cap only once the batch lands in it is
+    * capped differently than a full recompute would. Equality with d7
+    * therefore holds when no bucket occupancy crosses the cap between
+    * snapshot and ingest — fixture max occupancy is 16 of 100
+    * ([[d11BandStats]] is the monitor); a corpus living near the cap
+    * re-snapshots instead.
+    */
+  def d7cResolveIngest(spark: SparkSession, dir: String): DataFrame =
+    labelIngestAgainstIndex(spark, dir)
+
+  def labelIngestAgainstIndex(spark: SparkSession, dir: String,
+                              newSource: String = "src0"): DataFrame = {
+    val stored = spark.table(
+      s"${ensureLabelIndex(spark, dir, Some(newSource))}_labels")
+    val bandPrefix = ensureCorpusIndex(spark, dir, excludeSource = newSource)
+    val batchCorpus = d5IncrementalAgainstIndex(spark, dir, bandPrefix, newSource)
+      .filter(col("jaccard_milli") >= ResolveThreshold)
+      .select(col("new_doc").as("doc_a"), col("existing_doc").as("doc_b"))
+    val batchDocs = Tables.documentsSpread(spark, dir)
+      .filter(col("source") === newSource)
+    val batchInternal = d2DedupMinhashOf(shingleRowsOf(batchDocs))
+      .filter(col("jaccard_milli") >= ResolveThreshold)
+      .select(col("doc_a"), col("doc_b"))
+    // Contract corpus endpoints to their stored representative (3.);
+    // the labels table is bucketed on doc_id, so this join co-locates
+    // on the stored layout and shuffles only the edge side.
+    val contracted = batchCorpus
+      .join(stored.toDF("doc_b", "rep"), "doc_b")
+      .select(col("doc_a"), col("rep").as("doc_b"))
+      .unionByName(batchInternal)
+    val (resolved, converged) = connectedComponents(contracted, MaxResolveRounds)
+    if (!converged)
+      org.apache.log4j.Logger.getLogger(getClass)
+        .warn(s"labelIngestAgainstIndex: contracted-graph label propagation did NOT " +
+          s"converge within $MaxResolveRounds rounds")
+    // resolved covers every contracted-edge node (batch docs + touched
+    // reps) — a broadcast-sized relabel map on any real corpus.
+    val corpusNew = stored
+      .join(resolved.toDF("canonical_id", "merged"), Seq("canonical_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("merged"), col("canonical_id")).as("canonical_id"))
+    val batchNew = Tables.documents(spark, dir)
+      .filter(col("source") === newSource)
+      .select(col("doc_id"), col("doc_id").as("self"))
+      .join(resolved.toDF("doc_id", "merged"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("merged"), col("self")).as("canonical_id"))
+    corpusNew.unionByName(batchNew)
   }
 
   // ---------------------------------------------------------------------
@@ -1002,7 +1167,14 @@ object LlmOps {
     * under re-partitioning, append, and rerun.
     */
   def d13GroupSplit(spark: SparkSession, dir: String): DataFrame =
-    d7DedupResolve(spark, dir)
+    groupSplitOf(d7DedupResolve(spark, dir))
+
+  /** d13's map-only split stage over precomputed (doc_id, canonical_id)
+    * labels — shared by the full-recompute entry and the label-index
+    * variant ([[d13bSplitIdx]]).
+    */
+  private def groupSplitOf(labels: DataFrame): DataFrame =
+    labels
       .select(col("doc_id"), col("canonical_id"),
         expr(bucketExpr("canonical_id")).as("bucket"))
       .select(col("doc_id"), col("canonical_id"),
@@ -1469,8 +1641,21 @@ object LlmOps {
     * stage. Remaining stages and the output contract are identical to
     * [[curationManifest]].
     */
-  def curationNeardupManifest(spark: SparkSession, dir: String): DataFrame = {
-    val kept = d12QualityResolve(spark, dir)
+  def curationNeardupManifest(spark: SparkSession, dir: String): DataFrame =
+    curationNeardupFrom(spark, dir, d12QualityResolve(spark, dir))
+
+  /** [[curationNeardupManifest]] with the resolution stage read from the
+    * MAINTAINED label index ([[d12bQualityIdx]]) — the shape a production
+    * curation run at 100 TB actually has: resolution is a snapshot
+    * artifact, the manifest pass pays only per-doc joins. Same oracle as
+    * q_curation_neardup (the index is a pure optimization).
+    */
+  def curationNeardupIdx(spark: SparkSession, dir: String): DataFrame =
+    curationNeardupFrom(spark, dir, d12bQualityIdx(spark, dir))
+
+  private def curationNeardupFrom(spark: SparkSession, dir: String,
+                                  d12out: DataFrame): DataFrame = {
+    val kept = d12out
       .filter(col("is_kept") === 1).select("doc_id")
     val qualityOk = t3QualityScore(spark, dir)
       .filter(col("tier") =!= "low").select("doc_id")
