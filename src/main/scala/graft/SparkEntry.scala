@@ -684,6 +684,17 @@ object SparkEntry {
 
   private val duckBucket = duckBucketOn("doc_id")
 
+  /** 60-bit shingle hash — token-for-token twin of LlmOps.shingleHash60
+    * (first 15 md5 hex chars, big-endian nibbles; the q_table_checksum
+    * encoding). The d5-family verify runs on hashed DISTINCT sets in
+    * both engines, so the int64 transformation is part of the checked
+    * semantics, never an engine-side assumption.
+    */
+  private def duckHash60(c: String): String =
+    s"CAST(list_sum(list_transform(range(0, 15), i -> " +
+      s"(strpos('0123456789abcdef', substr(md5($c), CAST(i + 1 AS INTEGER), 1)) - 1)::BIGINT * " +
+      s"(1::BIGINT << (4 * (14 - CAST(i AS INTEGER)))))) AS BIGINT)"
+
   /** Shared by d5_dedup_incremental and d5b_index_ingest: the index path
     * is a pure optimization, so both queries grade against the identical
     * full-recompute twin.
@@ -691,6 +702,7 @@ object SparkEntry {
   private lazy val d5DedupSql =
     s"WITH tokd AS ($duckTok), " +
       s"sh AS (SELECT doc_id, $duckShingles AS s FROM tokd WHERE len(tok) >= 3), " +
+      s"shh AS (SELECT doc_id, list_distinct(list_transform(s, x -> ${duckHash60("x")})) AS s FROM sh), " +
       s"sig AS (SELECT doc_id, list_transform(range(0, ${LlmOps.NumHashes}), h -> list_min(list_transform(s, x -> md5(h::VARCHAR || '|' || x)))) AS g FROM sh), " +
       s"bands AS (SELECT sig.doc_id, d.source, b, md5(array_to_string(g[b*${LlmOps.RowsPerBand}+1 : b*${LlmOps.RowsPerBand}+${LlmOps.RowsPerBand}], '|')) AS bkey " +
       "FROM sig JOIN documents d ON sig.doc_id = d.doc_id CROSS JOIN (VALUES (0),(1),(2),(3)) AS t(b)), " +
@@ -702,7 +714,7 @@ object SparkEntry {
       "ON n.b = c.b AND n.bkey = c.bkey AND n.source = 'src0') " +
       "SELECT new_doc, existing_doc, (2000*i + u) // (2*u) AS jaccard_milli FROM (" +
       "SELECT new_doc, existing_doc, len(list_intersect(sa.s, sb.s)) AS i, len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)) AS u " +
-      "FROM cand JOIN sh sa ON cand.new_doc = sa.doc_id JOIN sh sb ON cand.existing_doc = sb.doc_id)"
+      "FROM cand JOIN shh sa ON cand.new_doc = sa.doc_id JOIN shh sb ON cand.existing_doc = sb.doc_id)"
 
   /** t30 twin: the learn loop unrolled as [[LlmOps.BpeLearnRounds]] CTE
     * stages — per round, pair counts over the current symbolization, a
@@ -742,6 +754,7 @@ object SparkEntry {
   private lazy val st14NeardupSql: String =
     s"WITH tokd AS ($duckTok), " +
       s"sh AS (SELECT doc_id, $duckShingles AS s FROM tokd WHERE len(tok) >= 3), " +
+      s"shh AS (SELECT doc_id, list_distinct(list_transform(s, x -> ${duckHash60("x")})) AS s FROM sh), " +
       s"sig AS (SELECT doc_id, list_transform(range(0, ${LlmOps.NumHashes}), h -> list_min(list_transform(s, x -> md5(h::VARCHAR || '|' || x)))) AS g FROM sh), " +
       s"bands AS (SELECT sig.doc_id, d.source, b, md5(array_to_string(g[b*${LlmOps.RowsPerBand}+1 : b*${LlmOps.RowsPerBand}+${LlmOps.RowsPerBand}], '|')) AS bkey " +
       "FROM sig JOIN documents d ON sig.doc_id = d.doc_id CROSS JOIN (VALUES (0),(1),(2),(3)) AS t(b)), " +
@@ -751,7 +764,7 @@ object SparkEntry {
       "ON n.b = c.b AND n.bkey = c.bkey AND n.source = 'src0') " +
       "SELECT new_doc, existing_doc, CAST(band AS BIGINT) AS band, (2000*i + u) // (2*u) AS jaccard_milli FROM (" +
       "SELECT new_doc, existing_doc, band, len(list_intersect(sa.s, sb.s)) AS i, len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)) AS u " +
-      "FROM cand JOIN sh sa ON cand.new_doc = sa.doc_id JOIN sh sb ON cand.existing_doc = sb.doc_id)"
+      "FROM cand JOIN shh sa ON cand.new_doc = sa.doc_id JOIN shh sb ON cand.existing_doc = sb.doc_id)"
 
   private def duckOcc(p: String): String =
     s"(length(text) - length(replace(text, '$p', ''))) // ${p.length}"

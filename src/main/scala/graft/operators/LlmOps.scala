@@ -186,18 +186,36 @@ object LlmOps {
   private def minhashBands(spark: SparkSession, dir: String): DataFrame =
     minhashBandsOf(shingleRows(spark, dir))
 
-  /** (doc_id → idName, shingle set → setName): per-doc shingle arrays,
-    * materialized behind the collect_list aggregation barrier so the
-    * array construction can never be inlined into a downstream per-PAIR
-    * projection by projection collapse (measured as the d4 bottleneck).
-    * Element order in the collected array is partition-dependent, but
-    * every consumer uses set semantics (intersection/union sizes), so
-    * results are deterministic.
+  /** 60-bit integer hash of a shingle: the first 15 hex chars of its md5
+    * (big-endian nibbles), exact in a signed long — the q_table_checksum
+    * encoding, reused so the DuckDB twins compute the identical value
+    * with plain nibble arithmetic. Hashing shingles to int64 lets the
+    * exact-Jaccard verify run on SORTED LONG ARRAYS through the native
+    * codegen'd `sorted_intersect_count` merge instead of interpreted
+    * per-pair string `array_intersect` (~175 µs/pair, the construct the
+    * repo measured and removed from d4 in round 3 — VERDICT r11 #3
+    * flagged the same cost left in d5/d5b/st14). Set semantics are
+    * preserved: distinct shingles → distinct hashes at any plausible
+    * scale (60-bit space vs per-doc set sizes), and both engines hash
+    * identically, so the oracle twins share the transformation rather
+    * than assuming it.
+    */
+  private[graft] def shingleHash60(c: String): String =
+    s"cast(conv(substring(md5($c), 1, 15), 16, 10) as bigint)"
+
+  /** (doc_id → idName, sorted distinct shingle-hash array → setName):
+    * per-doc verify sets, materialized behind the aggregation barrier so
+    * the array construction can never be inlined into a downstream
+    * per-PAIR projection by projection collapse (measured as the d4
+    * bottleneck). sort_array(collect_set(hash)) is order-independent, so
+    * results are deterministic under any partitioning — and sortedness
+    * is exactly [[graft.functions.SortedIntersectCount]]'s input
+    * contract.
     */
   private def docShinglesOf(shingles: DataFrame, idName: String, setName: String): DataFrame =
     shingles
       .groupBy("doc_id")
-      .agg(collect_set("shingle").as(setName))
+      .agg(sort_array(collect_set(expr(shingleHash60("shingle")))).as(setName))
       .withColumnRenamed("doc_id", idName)
 
   /** Round-half-up(1000 * num / den) in pure integer arithmetic.
@@ -508,11 +526,10 @@ object LlmOps {
     candidates
       .join(sh.toDF("new_doc", "sa"), "new_doc")
       .join(sh.toDF("existing_doc", "sb"), "existing_doc")
+      .withColumn("i", expr("sorted_intersect_count(sa, sb)"))
       .select(
         col("new_doc"), col("existing_doc"),
-        expr(milli(
-          "size(array_intersect(sa, sb))",
-          "size(sa) + size(sb) - size(array_intersect(sa, sb))")).as("jaccard_milli"))
+        expr(milli("i", "size(sa) + size(sb) - i")).as("jaccard_milli"))
   }
 
   // ---------------------------------------------------------------------
@@ -587,11 +604,10 @@ object LlmOps {
     candidates
       .join(docShinglesOf(batchShingles, "new_doc", "sa"), "new_doc")
       .join(spark.table(s"${prefix}_shingles").toDF("existing_doc", "sb"), "existing_doc")
+      .withColumn("i", expr("sorted_intersect_count(sa, sb)"))
       .select(
         col("new_doc"), col("existing_doc"),
-        expr(milli(
-          "size(array_intersect(sa, sb))",
-          "size(sa) + size(sb) - size(array_intersect(sa, sb))")).as("jaccard_milli"))
+        expr(milli("i", "size(sa) + size(sb) - i")).as("jaccard_milli"))
   }
 
   /** D5b: [[d5IncrementalAgainstIndex]] as a self-contained query — the

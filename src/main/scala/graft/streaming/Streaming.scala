@@ -152,7 +152,9 @@ object Streaming {
         "transform(sequence(1, size(toks) - 2), i -> concat(" +
           "element_at(toks, i), ' ', element_at(toks, i + 1), ' ', element_at(toks, i + 2)))")
         .as("sh"))
-      .select(Seq(col("new_doc"), expr("array_distinct(sh)").as("sa")) ++
+      .select(Seq(col("new_doc"),
+        expr("array_sort(transform(array_distinct(sh), x -> " +
+          LlmOps.shingleHash60("x") + "))").as("sa")) ++
         mins.map(expr): _*)
       .select(col("new_doc"), col("sa"),
         posexplode(array(bandKeys.map(expr): _*)).as(Seq("band", "bkey")))
@@ -168,10 +170,9 @@ object Streaming {
         col("band") === col("band_c") && col("bkey") === col("bkey_c"))
       .join(spark.table(s"${prefix}_shingles").toDF("existing_doc", "sb"),
         "existing_doc")
+      .withColumn("i", expr("sorted_intersect_count(sa, sb)"))
       .select(col("new_doc"), col("existing_doc"), col("band").cast("long").as("band"),
-        expr(LlmOps.milli(
-          "size(array_intersect(sa, sb))",
-          "size(sa) + size(sb) - size(array_intersect(sa, sb))")).as("jaccard_milli"))
+        expr(LlmOps.milli("i", "size(sa) + size(sb) - i")).as("jaccard_milli"))
     runAppendToParquet(spark, alerts)
   }
 
