@@ -106,6 +106,7 @@ object Bench {
         || n == "d13b_split_idx" || n == "q_curation_neardup_idx"))
       b += "d7b_resolve_idx"
     if (names.contains("d7c_resolve_ingest")) b += "d7c_resolve_ingest"
+    if (names.contains("t29b_winnow_ingest")) b += "t29b_winnow_ingest"
     b.result()
   }
 

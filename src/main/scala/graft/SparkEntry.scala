@@ -206,6 +206,7 @@ object SparkEntry {
     "t24_bpe_pairs"    -> LlmOps.t24BpePairs _,
     "t28_bpe_encode"   -> LlmOps.t28BpeEncode _,
     "t29_winnow_dups"  -> LlmOps.t29WinnowDups _,
+    "t29b_winnow_ingest" -> LlmOps.t29bWinnowIngest _,
     "t30_bpe_learn"    -> LlmOps.t30BpeLearn _,
     "t25_classifier"   -> LlmOps.t25Classifier _,
     "t26_bigram_lm"    -> LlmOps.t26BigramLm _,
@@ -1115,6 +1116,9 @@ object SparkEntry {
     "t18_cdc_chunks" -> cdcSql,
     "t19_dup_spans" -> dupSpanSql,
     "t29_winnow_dups" -> winnowDupSql,
+    // Span-index ingest: pure optimization, identical twin (winnowing is
+    // per-document, so stored ∪ batch fingerprints = full recompute's).
+    "t29b_winnow_ingest" -> winnowDupSql,
     "t30_bpe_learn" -> t30LearnSql,
     "st14_stream_neardup" -> st14NeardupSql,
     // Inverted-index twin: distinct (shingle, doc) rows, df band filter,

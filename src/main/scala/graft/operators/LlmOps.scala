@@ -1503,19 +1503,120 @@ object LlmOps {
     */
   def t29WinnowDups(spark: SparkSession, dir: String): DataFrame = {
     // Both the selection and the verify join read the filtered corpus —
-    // pin so the scan + length filter run once. The upper bound is the
-    // WinnowPosPack validity guard (see its scaladoc; mirrored in the
-    // oracle twin, monitorable via winnowOversized).
-    val docs = PersistScope.persisted(Tables.documentsSpread(spark, dir)
-      .filter(length(col("text")) >= SpanWindow + WinnowWindow - 1 &&
-        length(col("text")) < WinnowPosPack)
-      .select(col("doc_id"), col("text")))
+    // pin so the scan + length filter run once. The bounds (minimum
+    // guarantee length, WinnowPosPack validity guard) live in
+    // winnowEligible, shared with the index build/ingest and mirrored in
+    // the oracle twin; winnowOversized monitors the upper cut.
+    val docs = PersistScope.persisted(
+      winnowEligible(Tables.documentsSpread(spark, dir))
+        .select(col("doc_id"), col("text")))
     val perDoc = winnowSelect(docs, SpanWindow, WinnowWindow)
       .groupBy("doc_id", "hash").agg(min("pos").as("pos"))
     val crossDoc = perDoc.groupBy("hash")
       .agg(count(lit(1)).as("nd")).filter(col("nd") >= 2).select("hash")
     perDoc.join(crossDoc, "hash")
       .join(docs, "doc_id")
+      .select(expr(s"md5(substring(text, pos + 1, $SpanWindow))").as("span_md5"))
+      .groupBy("span_md5").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+  }
+
+  // ---------------------------------------------------------------------
+  // T29b: span-dedup at production cadence — the d5b pattern applied to
+  // winnowed fingerprints (VERDICT r11 missing #3: t19/t29 were
+  // whole-corpus recomputes).
+  // ---------------------------------------------------------------------
+
+  /** The winnow-eligibility corpus filter shared by the recompute, the
+    * index build, and the ingest (one definition, three readers — the
+    * bounds are part of the oracle-checked semantics).
+    */
+  private def winnowEligible(docs: DataFrame): DataFrame =
+    docs.filter(length(col("text")) >= SpanWindow + WinnowWindow - 1 &&
+      length(col("text")) < WinnowPosPack)
+
+  /** Build the span-fingerprint index ONCE: `<prefix>_spans(hash,
+    * doc_id, pos)` — the corpus's winnowed per-doc first occurrences
+    * ([[winnowSelect]] + min-pos collapse), bucketed on `hash` so the
+    * per-ingest cross-doc gate aggregates the stored side with NO
+    * exchange and the qualifying-hash probe joins co-locate. Built once
+    * per corpus snapshot (alongside the d5b band index); the winnow
+    * selection — the rolling-hash generator + bounded-frame window, the
+    * family's heavy map work — never re-runs for stored documents.
+    */
+  def buildSpanIndex(spark: SparkSession, dir: String, prefix: String,
+                     excludeSource: String = "src0", numBuckets: Int = -1): Unit = {
+    val buckets =
+      if (numBuckets > 0) numBuckets else spark.sparkContext.defaultParallelism
+    val corpusDocs = winnowEligible(
+      Tables.documentsSpread(spark, dir).filter(col("source") =!= excludeSource))
+      .select(col("doc_id"), col("text"))
+    Scale.writeBucketed(
+      winnowSelect(corpusDocs, SpanWindow, WinnowWindow)
+        .groupBy("doc_id", "hash").agg(min("pos").as("pos"))
+        .select("hash", "doc_id", "pos"),
+      s"${prefix}_spans", "hash", buckets)
+  }
+
+  /** Build-if-absent gate for the span index; returns the prefix (the
+    * d5b immutable-snapshot contract).
+    */
+  private[graft] def ensureSpanIndex(spark: SparkSession, dir: String,
+                                     excludeSource: String = "src0"): String = {
+    val key = dir + (if (excludeSource == "src0") "" else "!" + excludeSource)
+    val prefix = "t29b_idx_" + java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    if (!spark.catalog.tableExists(s"${prefix}_spans"))
+      buildSpanIndex(spark, dir, prefix, excludeSource)
+    prefix
+  }
+
+  /** T29b: [[t29WinnowDups]] as an INGEST against the stored span index
+    * (same oracle — the union of stored + batch fingerprints is exactly
+    * the full recompute's fingerprint set, because winnowing is
+    * per-document). Per-ingest work:
+    *
+    *  - winnow selection runs on the BATCH only (source = 'src0');
+    *  - the stored side's per-hash counts aggregate through the bucket
+    *    layout (no exchange — asserted in WinnowPhashSpec);
+    *  - the cross-doc gate is stored-counts ⊕ batch-counts (full outer
+    *    on hash, sum ≥ 2), so corpus fingerprints are READ, never
+    *    re-derived;
+    *  - the md5 byte-verify touches only rows whose hash qualifies,
+    *    same as the recompute.
+    *
+    * Honest cost envelope: the OUTPUT contract is the whole-corpus span
+    * table (the oracle is the full recompute), so the gate and verify
+    * stay output-proportional per ingest — what the index removes is the
+    * winnow SELECTION over stored documents, the family's dominant cost
+    * on real corpora (per-character rolling hashes + a per-doc window
+    * sort). On the short-document fixture that selection is cheap, so
+    * t29b measures ≈ t29 at sf0.1 and only pulls ahead as document
+    * length / corpus size grow; a consumer wanting batch-proportional
+    * OUTPUT (new-vs-existing alerts only) composes the d5b/st14 shape
+    * instead.
+    */
+  def t29bWinnowIngest(spark: SparkSession, dir: String): DataFrame = {
+    val prefix = ensureSpanIndex(spark, dir)
+    val stored = spark.table(s"${prefix}_spans")
+    // Verify text for BOTH sides comes from the full eligible corpus;
+    // persisted because the batch selection and the verify join read it.
+    val docs = PersistScope.persisted(winnowEligible(
+      Tables.documentsSpread(spark, dir))
+      .select(col("doc_id"), col("text"), col("source")))
+    val batch = winnowSelect(
+      docs.filter(col("source") === "src0").select("doc_id", "text"),
+      SpanWindow, WinnowWindow)
+      .groupBy("doc_id", "hash").agg(min("pos").as("pos"))
+    val storedCnt = stored.groupBy("hash").agg(count(lit(1)).as("nc"))
+    val batchCnt = batch.groupBy("hash").agg(count(lit(1)).as("nb"))
+    val qualifying = storedCnt.join(batchCnt, Seq("hash"), "full_outer")
+      .filter(coalesce(col("nc"), lit(0L)) + coalesce(col("nb"), lit(0L)) >= 2)
+      .select("hash")
+    stored.select("doc_id", "hash", "pos")
+      .unionByName(batch.select("doc_id", "hash", "pos"))
+      .join(qualifying, "hash")
+      .join(docs.select("doc_id", "text"), "doc_id")
       .select(expr(s"md5(substring(text, pos + 1, $SpanWindow))").as("span_md5"))
       .groupBy("span_md5").agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= 2)

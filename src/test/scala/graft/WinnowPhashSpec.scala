@@ -115,6 +115,28 @@ class WinnowPhashSpec extends SparkTestBase {
       "winnowing must select strictly fewer spans than the every-position pass")
   }
 
+  test("t29b: the span-index ingest equals the full winnowed recompute") {
+    val viaIndex = LlmOps.t29bWinnowIngest(spark, Sf)
+    val recompute = LlmOps.t29WinnowDups(spark, Sf)
+    assert(viaIndex.columns.toSeq === recompute.columns.toSeq)
+    assert(viaIndex.exceptAll(recompute).count() === 0)
+    assert(recompute.exceptAll(viaIndex).count() === 0)
+    assert(viaIndex.count() > 0)
+  }
+
+  test("t29b: the stored span table aggregates through its bucket layout") {
+    import org.apache.spark.sql.functions._
+    LlmOps.ensureSpanIndex(spark, Sf)
+    val stored = spark.table(s"${LlmOps.ensureSpanIndex(spark, Sf)}_spans")
+    val agged = stored.groupBy("hash").agg(count(lit(1)).as("nc"))
+    agged.count()
+    val plan = agged.queryExecution.executedPlan.toString
+    assert(plan.contains("Bucketed: true"),
+      s"span index should scan bucketed under the hash aggregate; plan:\n$plan")
+    assert(!plan.contains("Exchange"),
+      s"the per-hash count must reuse the bucket distribution; plan:\n$plan")
+  }
+
   // -------------------------------------------------------------------
   // m6: banded phash near-dup pairs.
   // -------------------------------------------------------------------
