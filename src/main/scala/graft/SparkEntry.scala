@@ -168,6 +168,8 @@ object SparkEntry {
     "d5b_index_ingest"     -> LlmOps.d5bIndexIngest _,
     "d6_simhash_neardup" -> LlmOps.d6SimhashNeardup _,
     "d9_prefix_join"   -> LlmOps.d9PrefixJoin _,
+    "d9b_prefix_guarded" -> LlmOps.d9bPrefixGuarded _,
+    "d9_degree_stats"  -> LlmOps.d9DegreeStats _,
     "d10_norm_dedup"   -> LlmOps.d10NormDedup _,
     "d11_band_stats"   -> LlmOps.d11BandStats _,
     "d7_dedup_resolve" -> LlmOps.d7DedupResolve _,
@@ -672,6 +674,32 @@ object SparkEntry {
     "CASE WHEN len(tok) < 3 THEN [] ELSE list_distinct(list_transform(range(1, len(tok) - 1), i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2])) END"
 
   private val duckTok = "SELECT doc_id, source, text, string_split(text, ' ') AS tok FROM documents"
+
+  /** Shared CTE chain for the d9b/d9_degree_stats twins: the PPJoin
+    * candidate pipeline (rarest-first prefix cut, prefix self-join,
+    * length + positional filters) plus each doc's surviving-candidate
+    * degree — DuckDB walking LlmOps.d9Prefix/d9Grouped/d9LengthFilter/
+    * d9PositionFilter step for step.
+    */
+  private val duckD9Cand = {
+    import LlmOps.{PrefixJaccardDen => den, PrefixJaccardNum => num}
+    "WITH tokd AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents), " +
+      s"shl AS (SELECT doc_id, unnest($duckShingles) AS shingle FROM tokd WHERE len(tok) >= 3), " +
+      "sizes AS (SELECT doc_id, count(*) AS s FROM shl GROUP BY doc_id), " +
+      "dfs AS (SELECT shingle, count(*) AS df FROM shl GROUP BY shingle), " +
+      "ranked AS (SELECT shl.doc_id, shl.shingle, " +
+      "row_number() OVER (PARTITION BY shl.doc_id ORDER BY df, shl.shingle) AS rn, sizes.s " +
+      "FROM shl JOIN dfs USING (shingle) JOIN sizes USING (doc_id)), " +
+      s"pref AS (SELECT * FROM ranked WHERE rn <= s - (($num * s + ${den - 1}) // $den) + 1), " +
+      "cand0 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.s AS sa, b.s AS sb, " +
+      "max(least(a.s - a.rn, b.s - b.rn) + 1) AS ub " +
+      "FROM pref a JOIN pref b ON a.shingle = b.shingle AND a.doc_id < b.doc_id " +
+      "GROUP BY 1, 2, 3, 4), " +
+      s"cand AS (SELECT * FROM cand0 WHERE least(sa, sb) * $den >= greatest(sa, sb) * $num " +
+      s"AND ub * ${num + den} >= $num * (sa + sb)), " +
+      "deg AS (SELECT doc_id, count(*) AS n_candidates FROM " +
+      "(SELECT doc_a AS doc_id FROM cand UNION ALL SELECT doc_b AS doc_id FROM cand) GROUP BY doc_id)"
+  }
 
   /** 16-bit md5 doc bucket in [0, 100) — token-for-token twin of
     * LlmOps.docBucketExpr (4 nibbles; the old 8-bit form had a visible
@@ -1706,6 +1734,33 @@ object SparkEntry {
         "JOIN sizes sb ON sb.doc_id = doc_b " +
         s"WHERE i * $den >= $num * (sa.s + sb.s - i)")
     },
+    // d9b / d9_degree_stats twins: unlike d9's brute-force twin, these
+    // replicate the FULL candidate pipeline (df ranking, prefix cut,
+    // length + positional filters, then the D9DegreeCap clique guard) —
+    // the guard is defined over the candidate set, so the oracle must
+    // walk the same set to check the same contract. The prefix ranking
+    // is deterministic on both engines: row_number over (df, shingle)
+    // within a doc is a total order because (doc, shingle) rows are
+    // distinct.
+    "d9b_prefix_guarded" -> {
+      import LlmOps.{PrefixJaccardDen => den, PrefixJaccardNum => num}
+      (duckD9Cand +
+        s", over_cap AS (SELECT doc_id FROM deg WHERE n_candidates > ${LlmOps.D9DegreeCap}), " +
+        "kept AS (SELECT * FROM cand WHERE doc_a NOT IN (SELECT doc_id FROM over_cap) " +
+        "AND doc_b NOT IN (SELECT doc_id FROM over_cap)), " +
+        "inter AS (SELECT doc_a, doc_b, kept.sa, kept.sb, count(*) AS i " +
+        "FROM kept JOIN shl a ON a.doc_id = kept.doc_a " +
+        "JOIN shl b ON b.doc_id = kept.doc_b AND b.shingle = a.shingle " +
+        "GROUP BY 1, 2, 3, 4) " +
+        "SELECT doc_a, doc_b, " +
+        "CAST((2000 * CAST(i AS BIGINT) + CAST(sa + sb - i AS BIGINT)) " +
+        "// (2 * CAST(sa + sb - i AS BIGINT)) AS BIGINT) AS jaccard_milli " +
+        s"FROM inter WHERE i * $den >= $num * (sa + sb - i)")
+    },
+    "d9_degree_stats" ->
+      (duckD9Cand +
+        " SELECT doc_id, CAST(n_candidates AS BIGINT) AS n_candidates, " +
+        s"n_candidates > ${LlmOps.D9DegreeCap} AS dropped FROM deg"),
     // Winsorize twin: verbatim but for DuckDB's `//`; rank-based bounds
     // (not interpolated quantiles) keep both engines integer-exact.
     "q_winsorize" ->

@@ -1999,6 +1999,15 @@ object LlmOps {
     * boilerplate); intersection counts are relational (the d4 lesson —
     * no per-pair array ops), and every join is an equi-join on shingle
     * or doc id.
+    *
+    * OUTPUT bound, stated explicitly (SCALE_CURVE attribution): this is
+    * an EXACT join, so a corpus whose docs form k-way near-dup cliques
+    * NECESSARILY emits Θ(k²) pairs per clique — the ×30 replica
+    * fixture's 79× wall at 30× data tracks its ~900× true-pair growth,
+    * not a plan defect. A corpus that can contain degenerate
+    * (>[[D9DegreeCap]]-doc) cliques should run [[d9bPrefixGuarded]],
+    * which bounds the verify work and the output by refusing to explode
+    * them, with [[d9DegreeStats]] counting what was refused.
     */
   /** [[d9PrefixJoin]]'s prefix table: distinct (doc, shingle) rows ranked
     * rarest-first, cut to the prefix the lemma requires; rn and s ride
@@ -2073,6 +2082,81 @@ object LlmOps {
     // (every doc gains ~10 near-dup replicas), not a plan regression.
     val cand = d9PositionFilter(d9LengthFilter(d9Grouped(d9PairsRaw(prefix))))
     val inter = cand
+      .join(toks.toDF("doc_a", "shingle"), "doc_a")
+      .join(toks.toDF("doc_b", "shingle"), Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b", "sa", "sb").agg(count(lit(1)).as("i"))
+    inter
+      .filter(col("i") * PrefixJaccardDen >=
+        lit(PrefixJaccardNum) * (col("sa") + col("sb") - col("i")))
+      .select(col("doc_a"), col("doc_b"),
+        expr(milli("i", "sa + sb - i")).as("jaccard_milli"))
+  }
+
+  /** Clique guard for the d9 family: a document whose surviving candidate
+    * partner count (after the length and positional filters) exceeds this
+    * bound sits inside a degenerate near-dup clique — a boilerplate
+    * source, a mirror set, a template dump. Emitting its pairs is
+    * O(clique²) verify work and O(clique²) output rows with no curation
+    * value (the cluster is the unit you act on, not the pairs), and at
+    * 100 TB a single million-doc clique is a 5·10¹¹-pair straggler no
+    * skew split can save — the blowup is the join PRODUCT, exactly the
+    * [[LshBucketCap]] argument. The bound is ABSOLUTE, not relative to
+    * n_docs, deliberately: clique size is what bounds the quadratic, and
+    * a relative cap would loosen as the corpus grows — letting the
+    * million-doc clique through at exactly the scale where it hurts.
+    * SCALE_CURVE context: the ×10/×30 replica fixtures give every doc
+    * ~9/~29 true near-dup partners — real answer structure, far under
+    * the cap, so the guarded form's output there equals [[d9PrefixJoin]]'s
+    * (the curve's super-unit wall growth is OUTPUT growth, attributed in
+    * QUIET_MEDIANS_sf1.json).
+    */
+  val D9DegreeCap = 100
+
+  /** Per-document surviving-candidate degree with the [[D9DegreeCap]]
+    * drop flag — [[d9bPrefixGuarded]]'s monitoring view, the d11/LSH
+    * discipline applied to the exact family: no silent cap without a
+    * count. `dropped` rows are the degenerate cliques the guarded join
+    * refused to explode; their fallback is exact/cluster-level handling
+    * (d1/d7), never pairwise emission.
+    */
+  private[graft] def d9Degrees(cand: DataFrame): DataFrame =
+    cand.select(col("doc_a").as("doc_id"))
+      .unionAll(cand.select(col("doc_b").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_candidates"))
+      .withColumn("dropped", col("n_candidates") > D9DegreeCap)
+
+  def d9DegreeStats(spark: SparkSession, dir: String): DataFrame = {
+    val toks = PersistScope.persisted(shingleRows(spark, dir).distinct())
+    val prefix = PersistScope.persisted(d9Prefix(toks))
+    d9Degrees(d9PositionFilter(d9LengthFilter(d9Grouped(d9PairsRaw(prefix)))))
+  }
+
+  /** [[d9PrefixJoin]] with the [[D9DegreeCap]] clique guard: candidate
+    * pairs touching an over-cap document are dropped BEFORE the
+    * intersection join, so a pathological boilerplate-clique source can
+    * no longer force quadratic verify work (or quadratic output) out of
+    * the exact join. On clique-free corpora the output is identical to
+    * d9's; the guard's cost is one map-combined degree aggregate over
+    * the (already small) candidate table plus two anti-joins whose right
+    * side is the over-cap doc list — tiny by construction (each entry
+    * represents a >[[D9DegreeCap]]-doc clique), so AQE turns both into
+    * broadcast hash anti-joins. The DuckDB twin replicates the FULL
+    * candidate pipeline (df ranking, prefix cut, length/positional
+    * filters, degree cap) — the guard is part of the oracle-checked
+    * contract, per the capBandBuckets precedent.
+    */
+  def d9bPrefixGuarded(spark: SparkSession, dir: String): DataFrame = {
+    val toks = PersistScope.persisted(shingleRows(spark, dir).distinct())
+    val prefix = PersistScope.persisted(d9Prefix(toks))
+    // Referenced by the degree aggregate and the guarded join — persist
+    // so the prefix self-join runs once.
+    val cand = PersistScope.persisted(
+      d9PositionFilter(d9LengthFilter(d9Grouped(d9PairsRaw(prefix)))))
+    val over = d9Degrees(cand).filter(col("dropped")).select("doc_id")
+    val kept = cand
+      .join(over.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "left_anti")
+      .join(over.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "left_anti")
+    val inter = kept
       .join(toks.toDF("doc_a", "shingle"), "doc_a")
       .join(toks.toDF("doc_b", "shingle"), Seq("doc_b", "shingle"))
       .groupBy("doc_a", "doc_b", "sa", "sb").agg(count(lit(1)).as("i"))
