@@ -224,6 +224,8 @@ object SparkEntry {
     "q_kmeans"      -> Similarity.qKmeansCluster _,
     "q_semdedup"    -> Similarity.qSemDedup _,
     "d8_embed_neardup" -> Similarity.d8EmbedNeardup _,
+    "sim_ivf_recall" -> Similarity.simIvfRecall _,
+    "sim_lsh_sweep"  -> Similarity.simLshSweep _,
   )
 
   private val streamingQueries: Map[String, Query] = Map(
@@ -1354,6 +1356,64 @@ object SparkEntry {
         "SELECT e.vec_id, e.dim, CASE WHEN scale = 0 THEN 0 " +
         "ELSE CAST(floor(CAST(127 AS DOUBLE) * x / scale + 0.5) AS BIGINT) END AS q, scale " +
         "FROM e JOIN s ON e.vec_id = s.vec_id"),
+    // Recall-curve twins: the SAME candidate pipelines as sim_ivf_topk /
+    // sim_lsh_pairs (df-for-df), then each sweep point is a filter over
+    // the shared candidate CTE — the nesting/one-list arguments that make
+    // the Spark side a single build hold identically in SQL.
+    "sim_ivf_recall" -> {
+      import Similarity.{NumIvfPivots => npv, IvfQueries => nq, IvfTopK => k}
+      val head =
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings), " +
+          s"pv AS (SELECT vec_id AS p, emb AS pe FROM e WHERE vec_id < $npv), " +
+          s"asg AS (SELECT vec_id, emb, pvt FROM (SELECT e.vec_id, e.emb, pv.p AS pvt, " +
+          s"row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosOf("e.emb", "pv.pe")} DESC, pv.p) AS rn " +
+          "FROM e CROSS JOIN pv) WHERE rn = 1), " +
+          s"prq AS (SELECT e.vec_id AS query_id, e.emb AS qe, pv.p AS pvt, " +
+          s"row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosOf("e.emb", "pv.pe")} DESC, pv.p) AS pr " +
+          s"FROM e CROSS JOIN pv WHERE e.vec_id < $nq), " +
+          s"cand AS (SELECT prq.query_id, asg.vec_id, ${cosOf("prq.qe", "asg.emb")} AS cm, prq.pr " +
+          "FROM prq JOIN asg ON prq.pvt = asg.pvt WHERE asg.vec_id != prq.query_id), " +
+          "exact AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id, " +
+          "row_number() OVER (PARTITION BY query_id ORDER BY cm DESC, vec_id) AS rk FROM cand) " +
+          s"WHERE rk <= $k), " +
+          "exn AS (SELECT count(*) AS n_expected FROM exact)"
+      val parts = Similarity.IvfProbeSweep.map { p =>
+        s"SELECT CAST($p AS BIGINT) AS probes, h.n_hits, exn.n_expected, " +
+          "(2000 * h.n_hits + exn.n_expected) // (2 * exn.n_expected) AS recall_milli " +
+          "FROM (SELECT count(*) AS n_hits FROM (SELECT query_id, vec_id FROM " +
+          "(SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id ORDER BY cm DESC, vec_id) AS rk " +
+          s"FROM cand WHERE pr <= $p) WHERE rk <= $k) t " +
+          "JOIN exact USING (query_id, vec_id)) h CROSS JOIN exn"
+      }
+      head + " " + parts.mkString(" UNION ALL ")
+    },
+    "sim_lsh_sweep" -> {
+      val ns = Similarity.LshPlaneSweep
+      val coarse = ns.min
+      val thr = Similarity.LshThreshold
+      val bcols = ns.map(n =>
+        s"CAST(sum(CASE WHEN d > 0 AND p < $n THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS b$n")
+        .mkString(", ")
+      val head =
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings), " +
+          s"pl AS (SELECT vec_id AS p, emb AS pe FROM e WHERE vec_id < ${ns.max}), " +
+          "dots AS (SELECT e.vec_id, pl.p, list_dot_product(e.emb, pl.pe) AS d FROM e CROSS JOIN pl), " +
+          s"buck AS (SELECT vec_id, $bcols FROM dots GROUP BY vec_id), " +
+          "be AS (SELECT buck.*, e.emb FROM buck JOIN e USING (vec_id)), " +
+          s"cand AS (SELECT ${ns.map(n => s"a.b$n = b.b$n AS coll$n").mkString(", ")}, " +
+          s"${cosOf("a.emb", "b.emb")} AS cm " +
+          s"FROM be a JOIN be b ON a.b$coarse = b.b$coarse AND a.vec_id < b.vec_id), " +
+          s"base AS (SELECT count(*) AS n_base FROM cand WHERE coll$coarse AND cm >= $thr)"
+      val parts = ns.map { n =>
+        s"SELECT CAST($n AS BIGINT) AS n_planes, c.n_candidates, c.n_pairs, " +
+          "CASE WHEN base.n_base = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE (2000 * c.n_pairs + base.n_base) // (2 * base.n_base) END AS retention_milli " +
+          "FROM (SELECT count(*) AS n_candidates, " +
+          s"CAST(coalesce(sum(CASE WHEN cm >= $thr THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_pairs " +
+          s"FROM cand WHERE coll$n) c CROSS JOIN base"
+      }
+      head + " " + parts.mkString(" UNION ALL ")
+    },
   )
 
   // -- Streaming oracles (batch twins) --------------------------------

@@ -456,4 +456,156 @@ object Similarity {
       .select(col("vec_id"), col("cluster"),
         coalesce(col("dup"), lit(0L)).as("is_dup"))
   }
+
+  // ---------------------------------------------------------------------
+  // ANN recall instrumentation — the tuning evidence for the family.
+  // An approximate index without a recall curve is a guess: production
+  // tuning picks the probe count / signature width from exactly these
+  // tables (run on a bounded audit sample, the way D4SkewSpec pinned the
+  // dedup caps).
+  // ---------------------------------------------------------------------
+
+  /** Probe counts [[simIvfRecall]] measures. The last entry equals
+    * [[NumIvfPivots]] on purpose: probing EVERY list is the exhaustive
+    * scan (each vector lives in exactly one inverted list), so the
+    * curve's right edge is recall = 1000 by construction — a built-in
+    * self-check that the ground truth and the probe pipeline agree.
+    */
+  val IvfProbeSweep: Seq[Int] = Seq(1, 2, 4, NumIvfPivots)
+
+  /** Recall@[[IvfTopK]] of [[simIvfTopk]] as a function of probe count:
+    * one row per entry of [[IvfProbeSweep]] — (probes, n_hits,
+    * n_expected, recall_milli), recall_milli = round-half-up
+    * 1000·hits/expected, integer on both engines.
+    *
+    * Relational shape (NO all-pairs anywhere): the candidate table is
+    * built ONCE with every (query, corpus vector) pair reachable through
+    * the vector's one inverted list, carrying `pr` = the probe rank at
+    * which that list is reached; it is persisted, and each sweep point
+    * is a filter (pr ≤ P) + window top-k + a semi-join against the
+    * exact set (the pr ≤ [[NumIvfPivots]] ranking of the same table).
+    * Cost is one corpus×pivots assignment plus one corpus-sized ranked
+    * pass per sweep point — at 100 TB the same query runs on a sampled
+    * query set against the stored inverted-list layout, and the curve
+    * is the artifact a capacity plan reads (committed here as
+    * ANN_RECALL.json).
+    */
+  def simIvfRecall(spark: SparkSession, dir: String): DataFrame = {
+    def pivots = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < NumIvfPivots)
+      .select(col("vec_id").as("p"), expr(embExpr).as("pe"))
+    def corpus = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), expr(embExpr).as("emb"))
+    // Inverted lists, exactly as in simIvfTopk.
+    val assigned = corpus.crossJoin(broadcast(pivots))
+      .select(col("vec_id"), col("emb"), col("p"),
+        expr(cosMilli("emb", "pe")).as("cm"))
+      .groupBy("vec_id", "emb")
+      .agg(max(struct(col("cm"), (-col("p")).as("np"))).as("best"))
+      .select(col("vec_id"), col("emb"), (-col("best.np")).as("pivot"))
+    // Every query × every pivot, ranked: pr = probe order (best first).
+    val wProbe = Window.partitionBy("query_id").orderBy(col("qcm").desc, col("p"))
+    val probes = corpus.filter(col("vec_id") < IvfQueries)
+      .select(col("vec_id").as("query_id"), col("emb").as("qe"))
+      .crossJoin(broadcast(pivots))
+      .select(col("query_id"), col("qe"), col("p"),
+        expr(cosMilli("qe", "pe")).as("qcm"))
+      .withColumn("pr", row_number().over(wProbe))
+      .select(col("query_id"), col("qe"), col("p").as("pivot"), col("pr"))
+    // Candidate pool: each corpus vector reachable at probe depth `pr`.
+    val cand = graft.PersistScope.persisted(
+      probes.join(assigned, "pivot")
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          expr(cosMilli("qe", "emb")).as("cm"), col("pr")))
+    val wRank = Window.partitionBy("query_id").orderBy(col("cm").desc, col("vec_id"))
+    def topk(maxPr: Int): DataFrame = cand
+      .filter(col("pr") <= maxPr)
+      .withColumn("rk", row_number().over(wRank))
+      .filter(col("rk") <= IvfTopK)
+      .select(col("query_id"), col("vec_id"))
+    val exact = graft.PersistScope.persisted(topk(NumIvfPivots))
+    val expected = broadcast(exact.groupBy().agg(count(lit(1)).as("n_expected")))
+    IvfProbeSweep.map { pCnt =>
+      topk(pCnt).join(exact, Seq("query_id", "vec_id"))
+        .groupBy().agg(count(lit(1)).as("n_hits"))
+        .crossJoin(expected)
+        .select(lit(pCnt.toLong).as("probes"), col("n_hits"), col("n_expected"),
+          expr("(2000 * n_hits + n_expected) div (2 * n_expected)").as("recall_milli"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** Plane counts [[simLshSweep]] measures. Candidate sets are NESTED
+    * along this axis (bucket equality on the first n planes implies
+    * equality on any prefix), so the whole sweep is derived from ONE
+    * candidate build at the coarsest width — wider settings are filters
+    * over it, never new joins.
+    */
+  val LshPlaneSweep: Seq[Int] = Seq(4, 6, 8, 10, 12)
+
+  /** Signature-width sweep for [[simLshPairs]]: one row per entry of
+    * [[LshPlaneSweep]] — (n_planes, n_candidates, n_pairs,
+    * retention_milli) where n_candidates counts bucket-colliding pairs,
+    * n_pairs those at cos ≥ [[LshThreshold]], and retention_milli is
+    * round-half-up 1000·n_pairs / n_pairs at the coarsest width (the
+    * audit anchor: by nesting, the coarsest candidate set is the
+    * supremum this hash family can reach, so retention reads as
+    * recall-vs-4-planes without an all-pairs scan anywhere).
+    *
+    * Shape: a single dot-product table against the widest plane set
+    * (broadcast, 12 rows), one per-vector aggregate producing EVERY
+    * width's bucket in the same pass, one bucket-4 equi-join carrying
+    * both sides' wider buckets, then five filter+count aggregates over
+    * the persisted candidates. The quadratic is bounded by the coarsest
+    * bucket width by construction; production corpora tune the width UP
+    * until the candidate count fits the verify budget — this table is
+    * how they find that point.
+    */
+  def simLshSweep(spark: SparkSession, dir: String): DataFrame = {
+    val maxPlanes = LshPlaneSweep.max
+    val planes = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < maxPlanes)
+      .select(col("vec_id").as("p"), expr(embExpr).as("pe"))
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), expr(embExpr).as("emb"))
+    val bucketCols = LshPlaneSweep.map { n =>
+      sum(when(col("d") > 0 && col("p") < n, expr("shiftleft(1L, p)"))
+        .otherwise(0L)).as(s"b$n")
+    }
+    val buckets = e.crossJoin(broadcast(planes))
+      .select(col("vec_id"), col("emb"), col("p"),
+        expr("dot_double(emb, pe)").as("d"))
+      .groupBy("vec_id", "emb")
+      .agg(bucketCols.head, bucketCols.tail: _*)
+    def side(tag: String) = buckets.select(
+      col("vec_id").as(s"vec_$tag") +: col("emb").as(s"emb_$tag") +:
+        LshPlaneSweep.map(n => col(s"b$n").as(s"b${n}_$tag")): _*)
+    val coarse = LshPlaneSweep.min
+    val cand = graft.PersistScope.persisted(
+      side("a").join(side("b"),
+          col(s"b${coarse}_a") === col(s"b${coarse}_b") &&
+            col("vec_a") < col("vec_b"))
+        .select(col("vec_a") +: col("vec_b") +:
+          expr(cosMilli("emb_a", "emb_b")).as("cm") +:
+          LshPlaneSweep.map(n =>
+            (col(s"b${n}_a") === col(s"b${n}_b")).as(s"coll$n")): _*))
+    val base = broadcast(
+      cand.filter(col(s"coll$coarse") && col("cm") >= LshThreshold)
+        .groupBy().agg(count(lit(1)).as("n_base")))
+    LshPlaneSweep.map { n =>
+      cand.filter(col(s"coll$n"))
+        .groupBy().agg(
+          count(lit(1)).as("n_candidates"),
+          // coalesce: a width whose collision set is EMPTY yields a
+          // null sum over zero rows — the count stays 0, the pair
+          // count must too (oracle parity).
+          coalesce(sum(when(col("cm") >= LshThreshold, 1L).otherwise(0L)), lit(0L))
+            .as("n_pairs"))
+        .crossJoin(base)
+        .select(lit(n.toLong).as("n_planes"), col("n_candidates"), col("n_pairs"),
+          when(col("n_base") === 0L, 0L)
+            .otherwise(expr("(2000 * n_pairs + n_base) div (2 * n_base)"))
+            .as("retention_milli"))
+    }.reduce(_ unionAll _)
+  }
 }
