@@ -2104,11 +2104,20 @@ object LlmOps {
     * n_docs, deliberately: clique size is what bounds the quadratic, and
     * a relative cap would loosen as the corpus grows — letting the
     * million-doc clique through at exactly the scale where it hurts.
-    * SCALE_CURVE context: the ×10/×30 replica fixtures give every doc
-    * ~9/~29 true near-dup partners — real answer structure, far under
-    * the cap, so the guarded form's output there equals [[d9PrefixJoin]]'s
-    * (the curve's super-unit wall growth is OUTPUT growth, attributed in
-    * QUIET_MEDIANS_sf1.json).
+    * SCALE_CURVE context, measured honestly: the cap keys on CANDIDATE
+    * degree — the quantity that actually bounds verify cost — which
+    * exceeds true degree by whatever the prefix filter lets through. On
+    * the ×10 replica fixture every doc has 29 true partners but a
+    * median candidate degree of 32 and a max of 220, so 7,890 of 50,000
+    * docs (16%) cross the cap and the guarded output is a measured
+    * SUBSET of d9's there (212k of 249k pairs; at ×30 1.22M of 2.39M) —
+    * visible in the committed curve rows and counted doc-by-doc by
+    * [[d9DegreeStats]]. That is the intended trade at the intended
+    * altitude: 100 is a demo default sized for the sf0.1 fixture
+    * (max organic candidate degree ≪ 100), and a production run sizes
+    * the cap from the degree-stats monitor FIRST — the d11/LSH
+    * discipline — accepting that docs above it are handled at cluster
+    * granularity (d1/d7), never pairwise.
     */
   val D9DegreeCap = 100
 
