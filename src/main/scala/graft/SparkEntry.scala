@@ -252,6 +252,8 @@ object SparkEntry {
     "m4_audio_meta"   -> Multimodal.m4AudioMeta _,
     "m5_image_phash"  -> Multimodal.m5ImagePhash _,
     "m6_phash_neardup" -> Multimodal.m6PhashNeardup _,
+    "m7_audio_fingerprint" -> Multimodal.m7AudioFingerprint _,
+    "m8_audio_neardup" -> Multimodal.m8AudioNeardup _,
   )
 
   def queries: Map[String, Query] =
@@ -1524,7 +1526,49 @@ object SparkEntry {
         "md5(payload_hex) AS checksum, '.snd' AS magic, CAST(dsz AS BIGINT) AS data_size, " +
         "CAST(3 AS BIGINT) AS encoding, CAST(8000 AS BIGINT) AS sample_rate, CAST(ch AS BIGINT) AS channels, " +
         "CAST(dsz // 2 AS BIGINT) AS n_samples, CAST((dsz // 2) * 1000 // (8000 * ch) AS BIGINT) AS duration_ms FROM p"),
+    // Audio fingerprint twins: the oracle rebuilds the PCM section from
+    // the same construction (text bytes, 'x'-padded), states the window
+    // energies as 256·hi + lo byte sums, and replays the delta packing —
+    // the engine must reach the identical longs by PARSING the binary.
+    // The m8 twin then replays m6's banded-candidate shape on them.
+    "m7_audio_fingerprint" ->
+      (duckAudioFpCte + " SELECT doc_id, n_windows, fingerprint FROM fp"),
+    "m8_audio_neardup" -> {
+      import graft.operators.Multimodal.{AudioFpMaxHamming => maxHam}
+      duckAudioFpCte + ", " +
+        "bands0 AS (SELECT doc_id, b, CASE b WHEN 0 THEN fingerprint % 256 " +
+        "WHEN 1 THEN (fingerprint // 256) % 256 WHEN 2 THEN (fingerprint // 65536) % 256 " +
+        "ELSE (fingerprint // 16777216) % 256 END AS bkey " +
+        "FROM fp CROSS JOIN (VALUES (0), (1), (2), (3)) t(b)), " +
+        "bands AS (SELECT * FROM bands0 WHERE (b, bkey) IN " +
+        s"(SELECT (b, bkey) FROM bands0 GROUP BY b, bkey HAVING count(*) <= ${LlmOps.LshBucketCap})), " +
+        "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a " +
+        "JOIN bands b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id) " +
+        "SELECT doc_a, doc_b, CAST(bit_count(xor(fa.fingerprint, fb.fingerprint)) AS BIGINT) AS hamming " +
+        "FROM cand JOIN fp fa ON doc_a = fa.doc_id JOIN fp fb ON doc_b = fb.doc_id " +
+        s"WHERE bit_count(xor(fa.fingerprint, fb.fingerprint)) <= $maxHam"
+    },
   )
+
+  /** Shared audio-fingerprint CTE chain ending at `fp(doc_id, n_windows,
+    * fingerprint)` — one string for the m7/m8 twins (the triangle
+    * lesson: never paste an oracle pipeline twice).
+    */
+  private lazy val duckAudioFpCte: String = {
+    import graft.operators.Multimodal.{FpWinSamples => ws}
+    val energy = (0 until ws)
+      .map(j => s"(256 * ord(substr(pcm, (win * $ws + $j) * 2 + 1, 1)) + ord(substr(pcm, (win * $ws + $j) * 2 + 2, 1)))")
+      .mkString("(", " + ", ")")
+    "WITH g AS (SELECT doc_id, CAST(2 * least(n_chars // 2, 256) AS INTEGER) AS dsz, text FROM documents), " +
+      s"p AS (SELECT doc_id, (dsz // 2) // $ws AS n_win, rpad(substr(text, 1, dsz), dsz, 'x') AS pcm " +
+      s"FROM g WHERE (dsz // 2) // $ws >= 2), " +
+      "wrows AS (SELECT doc_id, n_win, pcm, unnest(range(0, n_win)) AS win FROM p), " +
+      s"e AS (SELECT doc_id, n_win, win, $energy AS energy FROM wrows), " +
+      "d AS (SELECT doc_id, n_win, win, energy, lag(energy) OVER (PARTITION BY doc_id ORDER BY win) AS prev FROM e), " +
+      "fp AS (SELECT doc_id, CAST(max(n_win) AS BIGINT) AS n_windows, " +
+      "CAST(coalesce(sum(CASE WHEN energy > prev THEN (1::BIGINT << CAST(win - 1 AS INTEGER)) ELSE 0 END), 0) AS BIGINT) AS fingerprint " +
+      "FROM d GROUP BY doc_id)"
+  }
 
   private val multimodalOracle2: Map[String, String] = Map(
     // Same nearest-neighbor index arithmetic on whole RGB triplets, all

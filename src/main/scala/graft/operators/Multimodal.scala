@@ -290,6 +290,95 @@ object Multimodal {
       .withColumn("duration_ms", expr("n_samples * 1000 div (sample_rate * channels)"))
   }
 
+  /** Audio fingerprint geometry: PCM samples per energy window. 8
+    * samples × ≤32 windows covers the AU payload's ≤256 samples; the
+    * fingerprint is the 31-bit energy-DELTA signature (bit w−1 set when
+    * window w's energy exceeds window w−1's) — the classic
+    * shift-robust audio fingerprint primitive: level changes (volume)
+    * preserve deltas' signs far better than absolute energies, which is
+    * why every production audio-dedup fingerprints deltas.
+    */
+  val FpWinSamples = 8
+
+  /** Pairs past this Hamming distance on the delta fingerprint are not
+    * near-duplicates. Four 8-bit bands guarantee candidate recall to
+    * distance ≤ 3 by pigeonhole — the same trade [[m6PhashNeardup]] and
+    * [[graft.operators.LlmOps.d6SimhashNeardup]] make.
+    */
+  val AudioFpMaxHamming = 3
+
+  /** M7: audio content fingerprint over the REAL parsed AU payload — the
+    * audio arm of the perceptual-dedup family (m5/m6 are the image arm):
+    * data size read from the big-endian header (the m4 parse), 16-bit
+    * big-endian PCM samples sliced out of the binary, summed into
+    * [[FpWinSamples]]-sample window energies, and packed into the
+    * energy-delta bit signature. Docs under two full windows (< 32
+    * payload chars) carry no delta and are excluded — mirrored exactly
+    * by the twin.
+    *
+    * Plan shape: ONE generator explode per WINDOW (≤ 32 rows per doc,
+    * not per sample — the window's 8-sample energy is a single codegen'd
+    * expression inside the explode projection), then a doc_id-keyed lag
+    * + pack. At 100 TB the explode factor is the window count, the
+    * payload bytes never leave the scan stage's executors, and the
+    * output is one (id, long) row per clip — the same narrow hash-table
+    * shape the image family feeds the banded join.
+    */
+  def m7AudioFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // One window's energy: 8 big-endian uint16 samples read straight out
+    // of the binary (data starts at byte 25; sample s occupies bytes
+    // 25+2s .. 26+2s).
+    val energy = (0 until FpWinSamples)
+      .map(j => s"cast(conv(hex(substring(media, 25 + 2 * (win * $FpWinSamples + $j), 2)), 16, 10) as bigint)")
+      .mkString("(", " + ", ")")
+    val w = Window.partitionBy("doc_id").orderBy("win")
+    auTable(spark, dir)
+      .withColumn("data_size", expr("cast(conv(hex(substring(media, 9, 4)), 16, 10) as bigint)"))
+      .withColumn("n_win", expr(s"(data_size div 2) div $FpWinSamples"))
+      .filter(col("n_win") >= 2)
+      .select(col("doc_id"), col("media"), col("n_win"),
+        posexplode(expr("sequence(0L, n_win - 1)")).as(Seq("p", "win")))
+      .select(col("doc_id"), col("n_win"), col("win"), expr(energy).as("energy"))
+      .withColumn("prev", lag("energy", 1).over(w))
+      .groupBy("doc_id")
+      .agg(
+        max("n_win").as("n_windows"),
+        coalesce(
+          sum(when(col("energy") > col("prev"),
+            expr("shiftleft(1L, cast(win - 1 as int))")).otherwise(0L)),
+          lit(0L)).as("fingerprint"))
+      .select(col("doc_id"), col("n_windows"), col("fingerprint"))
+  }
+
+  /** M8: audio near-duplicate pairs — [[m7AudioFingerprint]]'s delta
+    * signature through the SAME banded-candidate machinery as the image
+    * and text arms (four 8-bit bands, [[LlmOps.capBandBuckets]] skew
+    * cap, [[LlmOps.d6Candidates]] — shared verbatim, never all-pairs),
+    * verified by one codegen'd `bit_count(xor)` per candidate. This is
+    * the re-encoded/re-hosted CLIP detector: same audio content at a
+    * different volume or container byte layout keeps its energy-delta
+    * signs, lands in a shared band, and verifies within
+    * [[AudioFpMaxHamming]] bits.
+    */
+  def m8AudioNeardup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.PersistScope
+    val fp = PersistScope.persisted(
+      m7AudioFingerprint(spark, dir).select(col("doc_id"), col("fingerprint")))
+    val bands = LlmOps.capBandBuckets(fp.select(
+      col("doc_id"),
+      posexplode(expr(
+        "array(fingerprint % 256, (fingerprint div 256) % 256, " +
+          "(fingerprint div 65536) % 256, (fingerprint div 16777216) % 256)"))
+        .as(Seq("band", "bkey"))))
+    LlmOps.d6Candidates(bands)
+      .join(fp.select(col("doc_id").as("doc_a"), col("fingerprint").as("fa")), "doc_a")
+      .join(fp.select(col("doc_id").as("doc_b"), col("fingerprint").as("fb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        expr("cast(bit_count(fa ^ fb) as bigint)").as("hamming"))
+      .filter(col("hamming") <= AudioFpMaxHamming)
+  }
+
   /** Header of a parsed P6 payload: geometry + offset of the RGB bytes. */
   private[operators] final case class PpmHeader(width: Int, height: Int, maxval: Int, pixelOffset: Int)
 

@@ -81,4 +81,61 @@ class MultimodalSpec extends SparkTestBase {
     assert(out(4L).width === 1 && out(4L).height === 1 && out(4L).channels === 3)
     assert(out(4L).embedding(0) === 'R'.toFloat / 255.0f)
   }
+
+  /** Brute-force reference for the audio fingerprint: parse the AU
+    * payload bytes directly (big-endian data size at offset 8, PCM from
+    * offset 24), window energies, delta bits.
+    */
+  private def refFingerprint(media: Array[Byte]): Option[(Long, Long)] = {
+    def be32(off: Int): Long =
+      (0 until 4).foldLeft(0L)((acc, k) => (acc << 8) | (media(off + k) & 0xff))
+    val nSamples = (be32(8) / 2).toInt
+    val nWin = nSamples / Multimodal.FpWinSamples
+    if (nWin < 2) return None
+    val energies = Array.tabulate(nWin) { w =>
+      (0 until Multimodal.FpWinSamples).map { j =>
+        val s = 24 + 2 * (w * Multimodal.FpWinSamples + j)
+        ((media(s) & 0xff) << 8) | (media(s + 1) & 0xff)
+      }.sum.toLong
+    }
+    val fp = (1 until nWin).foldLeft(0L)((acc, w) =>
+      if (energies(w) > energies(w - 1)) acc | (1L << (w - 1)) else acc)
+    Some((nWin.toLong, fp))
+  }
+
+  test("m7 fingerprint equals the byte-level brute-force recompute") {
+    val expected = Multimodal.auTable(spark, Sf)
+      .select("doc_id", "media").as[(Long, Array[Byte])].collect()
+      .flatMap { case (id, m) => refFingerprint(m).map(id -> _) }.toMap
+    assert(expected.nonEmpty)
+    val got = Multimodal.m7AudioFingerprint(spark, Sf)
+      .select("doc_id", "n_windows", "fingerprint")
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got === expected,
+      s"fingerprints diverge: ${(got.toSet -- expected.toSet).take(3)}")
+  }
+
+  test("m8 equals brute-force banding + hamming over m7's fingerprints") {
+    val fp = Multimodal.m7AudioFingerprint(spark, Sf)
+      .select("doc_id", "fingerprint").as[(Long, Long)].collect().toMap
+    def bands(f: Long) = Seq(f & 255, (f >> 8) & 255, (f >> 16) & 255, (f >> 24) & 255)
+    // Brute-force: band buckets (with the shared cap), candidate pairs,
+    // full-hamming verify.
+    val byBucket = fp.toSeq.flatMap { case (id, f) =>
+      bands(f).zipWithIndex.map { case (k, b) => (b, k) -> id }
+    }.groupBy(_._1).filter(_._2.size <= graft.operators.LlmOps.LshBucketCap)
+    val cand = byBucket.values.flatMap { ids =>
+      val v = ids.map(_._2).sorted
+      for (i <- v.indices; j <- i + 1 until v.size) yield (v(i), v(j))
+    }.toSet
+    val expected = cand.flatMap { case (a, b) =>
+      val ham = java.lang.Long.bitCount(fp(a) ^ fp(b)).toLong
+      if (ham <= Multimodal.AudioFpMaxHamming) Some((a, b, ham)) else None
+    }
+    val got = Multimodal.m8AudioNeardup(spark, Sf)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === expected)
+    assert(got.nonEmpty, "fixture must exercise the near-dup branch")
+  }
 }
