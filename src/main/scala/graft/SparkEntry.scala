@@ -1381,7 +1381,8 @@ object SparkEntry {
           "exn AS (SELECT count(*) AS n_expected FROM exact)"
       val parts = Similarity.IvfProbeSweep.map { p =>
         s"SELECT CAST($p AS BIGINT) AS probes, h.n_hits, exn.n_expected, " +
-          "(2000 * h.n_hits + exn.n_expected) // (2 * exn.n_expected) AS recall_milli " +
+          "CASE WHEN exn.n_expected = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE (2000 * h.n_hits + exn.n_expected) // (2 * exn.n_expected) END AS recall_milli " +
           "FROM (SELECT count(*) AS n_hits FROM (SELECT query_id, vec_id FROM " +
           "(SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id ORDER BY cm DESC, vec_id) AS rk " +
           s"FROM cand WHERE pr <= $p) WHERE rk <= $k) t " +
@@ -1402,17 +1403,23 @@ object SparkEntry {
           "dots AS (SELECT e.vec_id, pl.p, list_dot_product(e.emb, pl.pe) AS d FROM e CROSS JOIN pl), " +
           s"buck AS (SELECT vec_id, $bcols FROM dots GROUP BY vec_id), " +
           "be AS (SELECT buck.*, e.emb FROM buck JOIN e USING (vec_id)), " +
+          // Coarse-bucket cap mirror (Similarity.LshSweepBucketCap):
+          // over-cap coarse buckets are dropped and counted.
+          s"bek AS (SELECT be.* FROM be JOIN (SELECT b$coarse FROM be GROUP BY b$coarse " +
+          s"HAVING count(*) <= ${Similarity.LshSweepBucketCap}) k USING (b$coarse)), " +
+          "drp AS (SELECT (SELECT count(*) FROM be) - count(*) AS n_dropped_vecs FROM bek), " +
           s"cand AS (SELECT ${ns.map(n => s"a.b$n = b.b$n AS coll$n").mkString(", ")}, " +
           s"${cosOf("a.emb", "b.emb")} AS cm " +
-          s"FROM be a JOIN be b ON a.b$coarse = b.b$coarse AND a.vec_id < b.vec_id), " +
+          s"FROM bek a JOIN bek b ON a.b$coarse = b.b$coarse AND a.vec_id < b.vec_id), " +
           s"base AS (SELECT count(*) AS n_base FROM cand WHERE coll$coarse AND cm >= $thr)"
       val parts = ns.map { n =>
         s"SELECT CAST($n AS BIGINT) AS n_planes, c.n_candidates, c.n_pairs, " +
           "CASE WHEN base.n_base = 0 THEN CAST(0 AS BIGINT) " +
-          "ELSE (2000 * c.n_pairs + base.n_base) // (2 * base.n_base) END AS retention_milli " +
+          "ELSE (2000 * c.n_pairs + base.n_base) // (2 * base.n_base) END AS retention_milli, " +
+          "drp.n_dropped_vecs " +
           "FROM (SELECT count(*) AS n_candidates, " +
           s"CAST(coalesce(sum(CASE WHEN cm >= $thr THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_pairs " +
-          s"FROM cand WHERE coll$n) c CROSS JOIN base"
+          s"FROM cand WHERE coll$n) c CROSS JOIN base CROSS JOIN drp"
       }
       head + " " + parts.mkString(" UNION ALL ")
     },
@@ -1562,7 +1569,9 @@ object SparkEntry {
     "WITH g AS (SELECT doc_id, CAST(2 * least(n_chars // 2, 256) AS INTEGER) AS dsz, text FROM documents), " +
       s"p AS (SELECT doc_id, (dsz // 2) // $ws AS n_win, rpad(substr(text, 1, dsz), dsz, 'x') AS pcm " +
       s"FROM g WHERE (dsz // 2) // $ws >= 2), " +
-      "wrows AS (SELECT doc_id, n_win, pcm, unnest(range(0, n_win)) AS win FROM p), " +
+      // Window budget mirror (Multimodal.FpMaxWindows): the fingerprint
+      // covers the first 32 windows only; n_windows reports the full count.
+      s"wrows AS (SELECT doc_id, n_win, pcm, unnest(range(0, least(n_win, ${graft.operators.Multimodal.FpMaxWindows}))) AS win FROM p), " +
       s"e AS (SELECT doc_id, n_win, win, $energy AS energy FROM wrows), " +
       "d AS (SELECT doc_id, n_win, win, energy, lag(energy) OVER (PARTITION BY doc_id ORDER BY win) AS prev FROM e), " +
       "fp AS (SELECT doc_id, CAST(max(n_win) AS BIGINT) AS n_windows, " +

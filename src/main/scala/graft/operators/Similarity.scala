@@ -531,7 +531,13 @@ object Similarity {
         .groupBy().agg(count(lit(1)).as("n_hits"))
         .crossJoin(expected)
         .select(lit(pCnt.toLong).as("probes"), col("n_hits"), col("n_expected"),
-          expr("(2000 * n_hits + n_expected) div (2 * n_expected)").as("recall_milli"))
+          // Zero guard (advisor finding): a degenerate corpus (≈1 vector,
+          // or no candidates at all) yields n_expected = 0 — the ratio
+          // must read 0, not null (RecallCurve getLong's NPE), same CASE
+          // in the DuckDB twin and in simLshSweep's n_base guard.
+          when(col("n_expected") === 0L, 0L)
+            .otherwise(expr("(2000 * n_hits + n_expected) div (2 * n_expected)"))
+            .as("recall_milli"))
     }.reduce(_ unionAll _)
   }
 
@@ -542,6 +548,18 @@ object Similarity {
     * over it, never new joins.
     */
   val LshPlaneSweep: Seq[Int] = Seq(4, 6, 8, 10, 12)
+
+  /** Max vectors per COARSEST-width bucket admitted into the sweep's
+    * candidate join (advisor finding: this was the one banded family
+    * without a join-product cap — at 4 planes the join is ~n²/16 on a
+    * non-sampled corpus). Vectors in over-cap coarse buckets are dropped
+    * from the sweep and COUNTED (`n_dropped_vecs` on every output row —
+    * the winnowOversized discipline: a silent cap reads as full
+    * coverage). The cap never binds on a healthy audit sample (16 coarse
+    * buckets × cap = 16k vectors); when it binds, the sweep is telling
+    * you to sample, which is the documented contract.
+    */
+  val LshSweepBucketCap = 1000
 
   /** Signature-width sweep for [[simLshPairs]]: one row per entry of
     * [[LshPlaneSweep]] — (n_planes, n_candidates, n_pairs,
@@ -572,11 +590,26 @@ object Similarity {
       sum(when(col("d") > 0 && col("p") < n, expr("shiftleft(1L, p)"))
         .otherwise(0L)).as(s"b$n")
     }
-    val buckets = e.crossJoin(broadcast(planes))
-      .select(col("vec_id"), col("emb"), col("p"),
-        expr("dot_double(emb, pe)").as("d"))
-      .groupBy("vec_id", "emb")
-      .agg(bucketCols.head, bucketCols.tail: _*)
+    val buckets0 = graft.PersistScope.persisted(
+      e.crossJoin(broadcast(planes))
+        .select(col("vec_id"), col("emb"), col("p"),
+          expr("dot_double(emb, pe)").as("d"))
+        .groupBy("vec_id", "emb")
+        .agg(bucketCols.head, bucketCols.tail: _*))
+    // Coarse-bucket skew cap (see LshSweepBucketCap): the candidate join
+    // keys on the COARSEST bucket, so the cap lives there — at most 2^4
+    // coarse buckets exist, so the population count is a broadcast-sized
+    // aggregate. Dropped vectors surface on every output row.
+    val coarseKey = s"b${LshPlaneSweep.min}"
+    val keepKeys = broadcast(buckets0.groupBy(coarseKey)
+      .agg(count(lit(1)).as("nvec"))
+      .filter(col("nvec") <= LshSweepBucketCap)
+      .select(coarseKey))
+    val buckets = buckets0.join(keepKeys, Seq(coarseKey))
+    val nDropped = broadcast(
+      buckets0.groupBy().agg(count(lit(1)).as("n_all"))
+        .crossJoin(buckets.groupBy().agg(count(lit(1)).as("n_kept")))
+        .select((col("n_all") - col("n_kept")).as("n_dropped_vecs")))
     def side(tag: String) = buckets.select(
       col("vec_id").as(s"vec_$tag") +: col("emb").as(s"emb_$tag") +:
         LshPlaneSweep.map(n => col(s"b$n").as(s"b${n}_$tag")): _*)
@@ -602,10 +635,12 @@ object Similarity {
           coalesce(sum(when(col("cm") >= LshThreshold, 1L).otherwise(0L)), lit(0L))
             .as("n_pairs"))
         .crossJoin(base)
+        .crossJoin(nDropped)
         .select(lit(n.toLong).as("n_planes"), col("n_candidates"), col("n_pairs"),
           when(col("n_base") === 0L, 0L)
             .otherwise(expr("(2000 * n_pairs + n_base) div (2 * n_base)"))
-            .as("retention_milli"))
+            .as("retention_milli"),
+          col("n_dropped_vecs"))
     }.reduce(_ unionAll _)
   }
 }

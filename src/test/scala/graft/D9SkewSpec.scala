@@ -21,9 +21,10 @@ class D9SkewSpec extends SparkTestBase {
     // A template dump: CliqueSize docs with IDENTICAL 20-token text
     // (shingle sets equal, pairwise Jaccard = 1, every pair qualifies at
     // t = 0.8) — each clique doc's candidate degree is CliqueSize-1 >
-    // D9DegreeCap. Plus one organic near-dup pair (one trailing-token
-    // swap: 12 of 14 shingles shared, J = 12/16... sized to qualify) and
-    // singleton fillers whose shingles are unique.
+    // D9DegreeCap. Plus one organic near-dup pair (14 tokens each, one
+    // trailing-token swap: 11 of each doc's 12 3-shingles shared,
+    // J = 11/13 ≈ 0.846 ≥ 4/5 — qualifies) and singleton fillers whose
+    // shingles are unique.
     val template = (1 to 20).map(i => s"tmpl$i").mkString(" ")
     val clique = (0 until CliqueSize).map(i => (1000L + i, template))
     val organic = Seq(

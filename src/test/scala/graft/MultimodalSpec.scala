@@ -92,13 +92,16 @@ class MultimodalSpec extends SparkTestBase {
     val nSamples = (be32(8) / 2).toInt
     val nWin = nSamples / Multimodal.FpWinSamples
     if (nWin < 2) return None
-    val energies = Array.tabulate(nWin) { w =>
+    // The fingerprint covers the first FpMaxWindows windows only (the
+    // 31-bit contract); n_windows reports the full count.
+    val nFp = math.min(nWin, Multimodal.FpMaxWindows)
+    val energies = Array.tabulate(nFp) { w =>
       (0 until Multimodal.FpWinSamples).map { j =>
         val s = 24 + 2 * (w * Multimodal.FpWinSamples + j)
         ((media(s) & 0xff) << 8) | (media(s + 1) & 0xff)
       }.sum.toLong
     }
-    val fp = (1 until nWin).foldLeft(0L)((acc, w) =>
+    val fp = (1 until nFp).foldLeft(0L)((acc, w) =>
       if (energies(w) > energies(w - 1)) acc | (1L << (w - 1)) else acc)
     Some((nWin.toLong, fp))
   }
@@ -114,6 +117,39 @@ class MultimodalSpec extends SparkTestBase {
       .map(r => r._1 -> ((r._2, r._3))).toMap
     assert(got === expected,
       s"fingerprints diverge: ${(got.toSet -- expected.toSet).take(3)}")
+  }
+
+  test("m7 clamps the packing to FpMaxWindows on a 70-window clip") {
+    // The fixture constructor caps payloads at 512 bytes (≤ 32 windows),
+    // so the bound is exercised with a hand-built AU clip: 70 windows of
+    // strictly increasing energy. Unclamped, windows 33..64 would shift
+    // into bits 32..63 and window 65 would WRAP onto bit 0 and carry —
+    // the r12 verdict's silent-aliasing defect. Clamped, the signature
+    // is exactly bits 0..30 set and n_windows still reports 70.
+    val nWin = 70
+    val pcm = Array.tabulate(nWin * Multimodal.FpWinSamples * 2) { i =>
+      val sample = i / (Multimodal.FpWinSamples * 2) // = window index
+      if (i % 2 == 0) 0.toByte else sample.toByte    // BE uint16 = window idx
+    }
+    def be32(v: Int): Array[Byte] =
+      Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    val media: Array[Byte] =
+      ".snd".getBytes("US-ASCII") ++ be32(24) ++ be32(pcm.length) ++
+        be32(3) ++ be32(8000) ++ be32(1) ++ pcm
+    val au = Seq((99L, media)).toDF("doc_id", "media")
+    val got = Multimodal.audioFingerprintOf(au)
+      .select("doc_id", "n_windows", "fingerprint")
+      .as[(Long, Long, Long)].collect()
+    assert(got.length === 1)
+    val (_, nWindows, fp) = got.head
+    assert(nWindows === nWin.toLong, "n_windows must report the FULL count")
+    assert(fp === (1L << (Multimodal.FpMaxWindows - 1)) - 1,
+      "strictly increasing energies ⇒ bits 0..30 all set, nothing above")
+    assert((fp >>> (Multimodal.FpMaxWindows - 1)) === 0L, "31-bit contract")
+    // And the brute-force reference (which carries the same budget)
+    // agrees byte-for-byte.
+    assert(refFingerprint(media) === Some((nWin.toLong, fp)))
   }
 
   test("m8 equals brute-force banding + hamming over m7's fingerprints") {

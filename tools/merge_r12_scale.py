@@ -53,12 +53,16 @@ def main():
             "ratio": round(s[0] / b[0], 2) if b[0] else None,
             "out_rows": s[1], "out_rows_base": b[1]}
         added.append(name)
-    qm["what"] += (" r12 extension: the late-r11 queries "
-                   "(t29/t30/m6/st14/d13) plus the r12 families (label "
-                   "index, span index, d9 guard, ANN recall, post-swap "
-                   "d5/d5b) measured with the same protocol (6-query "
-                   "chunks; noisy entries re-measured in single-query "
-                   "JVMs).")
+    qm_note = (" r12 extension: the late-r11 queries "
+               "(t29/t30/m6/st14/d13) plus the r12 families (label "
+               "index, span index, d9 guard, ANN recall, post-swap "
+               "d5/d5b) measured with the same protocol (6-query "
+               "chunks; noisy entries re-measured in single-query "
+               "JVMs).")
+    # Idempotent (advisor finding): append the provenance sentence only
+    # on a run that actually added entries, and only once.
+    if added and qm_note not in qm["what"]:
+        qm["what"] += qm_note
     json.dump(qm, open("QUIET_MEDIANS_sf1.json", "w"), indent=1)
     print("QUIET_MEDIANS_sf1.json +", len(added), added)
 
@@ -83,11 +87,13 @@ def main():
         }
         sc["queries"][name] = e
         added.append(name)
-    sc["what"] += (" r12 additions: label-index family (d7b/d12b/d13b/"
-                   "curation_idx/d7c), span-index ingest (t29b), d9 clique "
-                   "guard (d9b/degree_stats), ANN recall instrumentation, "
-                   "post-sorted-intersect d5/d5b; same corpora, same "
-                   "min-of-reps estimator, 6-query chunks.")
+    sc_note = (" r12 additions: label-index family (d7b/d12b/d13b/"
+               "curation_idx/d7c), span-index ingest (t29b), d9 clique "
+               "guard (d9b/degree_stats), ANN recall instrumentation, "
+               "post-sorted-intersect d5/d5b; same corpora, same "
+               "min-of-reps estimator, 6-query chunks.")
+    if added and sc_note not in sc["what"]:
+        sc["what"] += sc_note
     json.dump(sc, open("SCALE_CURVE.json", "w"), indent=1)
     print("SCALE_CURVE.json +", len(added), added)
 
