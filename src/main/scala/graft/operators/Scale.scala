@@ -125,15 +125,30 @@ object Scale {
     * to place partition boundaries. One wide sort (the unavoidable
     * cost of a total order) + one metadata aggregate — no stage ever
     * sees more than its partition.
+    *
+    * The range-partitioned frame is PERSISTED before fan-out — a
+    * correctness requirement, not a perf tweak (r13 finding): the
+    * offsets aggregate and the main pass are two plan subtrees, and
+    * RangePartitioner seeds its reservoir sample from the RDD id, so two
+    * separate evaluations of the same repartitionByRange can draw
+    * DIFFERENT partition bounds whenever the sample is a true subsample
+    * of the data (at 4 shuffle partitions over 1.5k rows: observed
+    * duplicate/gap rns and nondeterministic q_fuzzy_match_name output;
+    * at 32 partitions the sample happened to cover every row, which is
+    * why this never fired before). The cache (MEMORY_AND_DISK — spilled,
+    * never recomputed) pins ONE materialized partitioning that both
+    * subtrees read; exchange reuse alone is not guaranteed across the
+    * aggregate/window boundary.
     */
   def globalRowNumbers(df: DataFrame, sortCols: Seq[String],
                        numPartitions: Int = 0): DataFrame = {
     val n = if (numPartitions > 0) numPartitions
       else df.sparkSession.sessionState.conf.numShufflePartitions
     val keys = sortCols.map(col)
-    val parted = df.repartitionByRange(n, keys: _*)
-      .sortWithinPartitions(keys: _*)
-      .withColumn("__pid", spark_partition_id())
+    val parted = graft.PersistScope.persisted(
+      df.repartitionByRange(n, keys: _*)
+        .sortWithinPartitions(keys: _*)
+        .withColumn("__pid", spark_partition_id()))
     val offsets = parted.groupBy("__pid").count()
       .withColumn("__offset",
         coalesce(sum("count").over(

@@ -71,6 +71,33 @@ class ScaleSpec extends SparkTestBase {
     assert(plan.contains("rangepartitioning"), s"expected range partitioning:\n$plan")
   }
 
+  test("global row numbers: dense and unique when the range sample subsamples") {
+    import spark.implicits._
+    // r13 regression: the offsets aggregate and the main pass are two
+    // subtrees over the same repartitionByRange, and RangePartitioner
+    // seeds its reservoir from the RDD id — at LOW partition counts the
+    // sample is a true subsample, so two separate evaluations could draw
+    // different bounds and desync __pid↔offset (observed as duplicate
+    // and gap rns, and nondeterministic q_fuzzy_match_name output, at 4
+    // shuffle partitions). globalRowNumbers now pins ONE materialized
+    // partitioning; this asserts the contract where it used to break:
+    // few partitions, many rows per bound, several repeated evaluations.
+    val df = (0L until 20000L).map(i => (i * 2654435761L) % 1000000007L)
+      .toDF("k").distinct()
+    (1 to 3).foreach { _ =>
+      val rn = Scale.globalRowNumbers(df, Seq("k"), numPartitions = 3)
+      val agg = rn.agg(
+        org.apache.spark.sql.functions.count(col("rn")),
+        org.apache.spark.sql.functions.countDistinct(col("rn")),
+        org.apache.spark.sql.functions.min(col("rn")),
+        org.apache.spark.sql.functions.max(col("rn"))).collect()(0)
+      val n = agg.getLong(0)
+      assert(agg.getLong(1) === n, "rn must be unique")
+      assert(agg.getLong(2) === 1L && agg.getLong(3) === n, "rn must be dense 1..n")
+      PersistScope.releaseAll()
+    }
+  }
+
   test("intervalJoin emits each overlapping pair exactly once, incl. negative coords") {
     import spark.implicits._
     // Overlaps spanning many shared buckets (the duplicate trap), an
