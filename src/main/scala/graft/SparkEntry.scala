@@ -226,6 +226,11 @@ object SparkEntry {
     "d8_embed_neardup" -> Similarity.d8EmbedNeardup _,
     "sim_ivf_recall" -> Similarity.simIvfRecall _,
     "sim_lsh_sweep"  -> Similarity.simLshSweep _,
+    // Materialized inverted-list forms (r13): same oracles as their
+    // recompute twins — the stored index is a pure optimization.
+    "sim_ivf_idx"        -> Similarity.simIvfTopkIdx _,
+    "sim_ivf_recall_idx" -> Similarity.simIvfRecallIdx _,
+    "sim_ivf_ingest"     -> Similarity.simIvfIngest _,
   )
 
   private val streamingQueries: Map[String, Query] = Map(
@@ -1285,6 +1290,62 @@ object SparkEntry {
   private def cosOf(a: String, b: String): String =
     s"CAST(floor(1000 * (list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))) + 0.5) AS BIGINT)"
 
+  /** One IVF top-k twin, two physical forms (sim_ivf_topk recomputes the
+    * assignment, sim_ivf_idx reads the stored inverted lists) — the
+    * triangle lesson: never paste an oracle pipeline twice.
+    */
+  private lazy val duckIvfTopkSql: String =
+    "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings), " +
+      s"pv AS (SELECT vec_id AS p, emb AS pe FROM e WHERE vec_id < ${Similarity.NumIvfPivots}), " +
+      // inverted lists: nearest pivot per vector (max cos, ties to lowest p)
+      s"asg AS (SELECT vec_id, emb, pvt FROM (SELECT e.vec_id, e.emb, pv.p AS pvt, " +
+      s"row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosOf("e.emb", "pv.pe")} DESC, pv.p) AS rn " +
+      "FROM e CROSS JOIN pv) WHERE rn = 1), " +
+      // queries probe their 2 nearest pivots
+      s"pr AS (SELECT query_id, qe, pvt FROM (SELECT e.vec_id AS query_id, e.emb AS qe, pv.p AS pvt, " +
+      s"row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosOf("e.emb", "pv.pe")} DESC, pv.p) AS rn " +
+      s"FROM e CROSS JOIN pv WHERE e.vec_id < ${Similarity.IvfQueries}) WHERE rn <= ${Similarity.IvfProbes}) " +
+      "SELECT query_id, rank, vec_id AS neighbor_id, cos_milli FROM (" +
+      s"SELECT pr.query_id, asg.vec_id, ${cosOf("pr.qe", "asg.emb")} AS cos_milli, " +
+      s"row_number() OVER (PARTITION BY pr.query_id ORDER BY ${cosOf("pr.qe", "asg.emb")} DESC, asg.vec_id) AS rank " +
+      "FROM pr JOIN asg ON pr.pvt = asg.pvt WHERE asg.vec_id != pr.query_id) " +
+      s"WHERE rank <= ${Similarity.IvfTopK}"
+
+  /** One recall-curve twin for both sim_ivf_recall forms: the SAME
+    * candidate pipeline as sim_ivf_topk (df-for-df), then each sweep
+    * point is a filter over the shared candidate CTE — the nesting /
+    * one-list arguments that make the Spark side a single build hold
+    * identically in SQL.
+    */
+  private lazy val duckIvfRecallSql: String = {
+    import Similarity.{NumIvfPivots => npv, IvfQueries => nq, IvfTopK => k}
+    val head =
+      "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings), " +
+        s"pv AS (SELECT vec_id AS p, emb AS pe FROM e WHERE vec_id < $npv), " +
+        s"asg AS (SELECT vec_id, emb, pvt FROM (SELECT e.vec_id, e.emb, pv.p AS pvt, " +
+        s"row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosOf("e.emb", "pv.pe")} DESC, pv.p) AS rn " +
+        "FROM e CROSS JOIN pv) WHERE rn = 1), " +
+        s"prq AS (SELECT e.vec_id AS query_id, e.emb AS qe, pv.p AS pvt, " +
+        s"row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosOf("e.emb", "pv.pe")} DESC, pv.p) AS pr " +
+        s"FROM e CROSS JOIN pv WHERE e.vec_id < $nq), " +
+        s"cand AS (SELECT prq.query_id, asg.vec_id, ${cosOf("prq.qe", "asg.emb")} AS cm, prq.pr " +
+        "FROM prq JOIN asg ON prq.pvt = asg.pvt WHERE asg.vec_id != prq.query_id), " +
+        "exact AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id, " +
+        "row_number() OVER (PARTITION BY query_id ORDER BY cm DESC, vec_id) AS rk FROM cand) " +
+        s"WHERE rk <= $k), " +
+        "exn AS (SELECT count(*) AS n_expected FROM exact)"
+    val parts = Similarity.IvfProbeSweep.map { p =>
+      s"SELECT CAST($p AS BIGINT) AS probes, h.n_hits, exn.n_expected, " +
+        "CASE WHEN exn.n_expected = 0 THEN CAST(0 AS BIGINT) " +
+        "ELSE (2000 * h.n_hits + exn.n_expected) // (2 * exn.n_expected) END AS recall_milli " +
+        "FROM (SELECT count(*) AS n_hits FROM (SELECT query_id, vec_id FROM " +
+        "(SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id ORDER BY cm DESC, vec_id) AS rk " +
+        s"FROM cand WHERE pr <= $p) WHERE rk <= $k) t " +
+        "JOIN exact USING (query_id, vec_id)) h CROSS JOIN exn"
+    }
+    head + " " + parts.mkString(" UNION ALL ")
+  }
+
   private val simOracle: Map[String, String] = Map(
     "sim_topk" ->
       ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings), " +
@@ -1301,22 +1362,19 @@ object SparkEntry {
         s"SELECT a.bucket AS bucket, a.vec_id AS vec_a, b.vec_id AS vec_b, ${cosOf("a.emb", "b.emb")} AS cos_milli " +
         "FROM be a JOIN be b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) " +
         s"WHERE cos_milli >= ${Similarity.LshThreshold}"),
-    "sim_ivf_topk" ->
+    "sim_ivf_topk" -> duckIvfTopkSql,
+    // Stored-index twins (r13): IDENTICAL SQL — the index changes where
+    // the assignment work happens, never the answer.
+    "sim_ivf_idx" -> duckIvfTopkSql,
+    // Ingest twin: the same nearest-pivot assignment, restricted to the
+    // batch (vec_id ≡ mod−1) — exactly the rows an index append adds.
+    "sim_ivf_ingest" ->
       ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings), " +
         s"pv AS (SELECT vec_id AS p, emb AS pe FROM e WHERE vec_id < ${Similarity.NumIvfPivots}), " +
-        // inverted lists: nearest pivot per vector (max cos, ties to lowest p)
-        s"asg AS (SELECT vec_id, emb, pvt FROM (SELECT e.vec_id, e.emb, pv.p AS pvt, " +
+        s"asg AS (SELECT vec_id, pvt FROM (SELECT e.vec_id, pv.p AS pvt, " +
         s"row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosOf("e.emb", "pv.pe")} DESC, pv.p) AS rn " +
-        "FROM e CROSS JOIN pv) WHERE rn = 1), " +
-        // queries probe their 2 nearest pivots
-        s"pr AS (SELECT query_id, qe, pvt FROM (SELECT e.vec_id AS query_id, e.emb AS qe, pv.p AS pvt, " +
-        s"row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosOf("e.emb", "pv.pe")} DESC, pv.p) AS rn " +
-        s"FROM e CROSS JOIN pv WHERE e.vec_id < ${Similarity.IvfQueries}) WHERE rn <= ${Similarity.IvfProbes}) " +
-        "SELECT query_id, rank, vec_id AS neighbor_id, cos_milli FROM (" +
-        s"SELECT pr.query_id, asg.vec_id, ${cosOf("pr.qe", "asg.emb")} AS cos_milli, " +
-        s"row_number() OVER (PARTITION BY pr.query_id ORDER BY ${cosOf("pr.qe", "asg.emb")} DESC, asg.vec_id) AS rank " +
-        "FROM pr JOIN asg ON pr.pvt = asg.pvt WHERE asg.vec_id != pr.query_id) " +
-        s"WHERE rank <= ${Similarity.IvfTopK}"),
+        s"FROM e CROSS JOIN pv WHERE e.vec_id % ${Similarity.IvfIngestMod} = ${Similarity.IvfIngestMod - 1}) WHERE rn = 1) " +
+        "SELECT vec_id, pvt AS pivot FROM asg"),
     // Same bucketed-pair CTE as sim_lsh_pairs at the dedup threshold,
     // then the one-hop canonical election over ALL documents.
     "d8_embed_neardup" ->
@@ -1362,34 +1420,8 @@ object SparkEntry {
     // sim_lsh_pairs (df-for-df), then each sweep point is a filter over
     // the shared candidate CTE — the nesting/one-list arguments that make
     // the Spark side a single build hold identically in SQL.
-    "sim_ivf_recall" -> {
-      import Similarity.{NumIvfPivots => npv, IvfQueries => nq, IvfTopK => k}
-      val head =
-        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings), " +
-          s"pv AS (SELECT vec_id AS p, emb AS pe FROM e WHERE vec_id < $npv), " +
-          s"asg AS (SELECT vec_id, emb, pvt FROM (SELECT e.vec_id, e.emb, pv.p AS pvt, " +
-          s"row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosOf("e.emb", "pv.pe")} DESC, pv.p) AS rn " +
-          "FROM e CROSS JOIN pv) WHERE rn = 1), " +
-          s"prq AS (SELECT e.vec_id AS query_id, e.emb AS qe, pv.p AS pvt, " +
-          s"row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosOf("e.emb", "pv.pe")} DESC, pv.p) AS pr " +
-          s"FROM e CROSS JOIN pv WHERE e.vec_id < $nq), " +
-          s"cand AS (SELECT prq.query_id, asg.vec_id, ${cosOf("prq.qe", "asg.emb")} AS cm, prq.pr " +
-          "FROM prq JOIN asg ON prq.pvt = asg.pvt WHERE asg.vec_id != prq.query_id), " +
-          "exact AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id, " +
-          "row_number() OVER (PARTITION BY query_id ORDER BY cm DESC, vec_id) AS rk FROM cand) " +
-          s"WHERE rk <= $k), " +
-          "exn AS (SELECT count(*) AS n_expected FROM exact)"
-      val parts = Similarity.IvfProbeSweep.map { p =>
-        s"SELECT CAST($p AS BIGINT) AS probes, h.n_hits, exn.n_expected, " +
-          "CASE WHEN exn.n_expected = 0 THEN CAST(0 AS BIGINT) " +
-          "ELSE (2000 * h.n_hits + exn.n_expected) // (2 * exn.n_expected) END AS recall_milli " +
-          "FROM (SELECT count(*) AS n_hits FROM (SELECT query_id, vec_id FROM " +
-          "(SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id ORDER BY cm DESC, vec_id) AS rk " +
-          s"FROM cand WHERE pr <= $p) WHERE rk <= $k) t " +
-          "JOIN exact USING (query_id, vec_id)) h CROSS JOIN exn"
-      }
-      head + " " + parts.mkString(" UNION ALL ")
-    },
+    "sim_ivf_recall" -> duckIvfRecallSql,
+    "sim_ivf_recall_idx" -> duckIvfRecallSql,
     "sim_lsh_sweep" -> {
       val ns = Similarity.LshPlaneSweep
       val coarse = ns.min

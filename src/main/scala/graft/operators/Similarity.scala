@@ -107,33 +107,50 @@ object Similarity {
     * corpus partitioned by pivot); a query touches probes/pivots of the
     * data. Recall < 1 by design — the exact baseline is [[simTopk]].
     */
-  def simIvfTopk(spark: SparkSession, dir: String): DataFrame = {
-    def pivots = Tables.embeddings(spark, dir)
+  /** Pivot table: the first [[NumIvfPivots]] vectors (pushed-down
+    * `vec_id < k` scan — metadata-sized however big the corpus is).
+    */
+  private def ivfPivots(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
       .filter(col("vec_id") < NumIvfPivots)
       .select(col("vec_id").as("p"), expr(embExpr).as("pe"))
-    def corpus = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), expr(embExpr).as("emb"))
-    // Inverted lists: assign every vector to its nearest pivot (argmax
-    // cosine, ties to the lowest pivot id) — order-independent max(struct).
-    val assigned = corpus.crossJoin(broadcast(pivots))
+
+  /** Inverted-list assignment: every vector to its nearest pivot (argmax
+    * cosine, ties to the lowest pivot id) — order-independent
+    * max(struct). Shared by the recompute forms, the index build, and
+    * the ingest path (which runs it over the batch only).
+    */
+  private def ivfAssign(vectors: DataFrame, pivots: DataFrame): DataFrame =
+    vectors.crossJoin(broadcast(pivots))
       .select(col("vec_id"), col("emb"), col("p"),
         expr(cosMilli("emb", "pe")).as("cm"))
       .groupBy("vec_id", "emb")
       .agg(max(struct(col("cm"), (-col("p")).as("np"))).as("best"))
       .select(col("vec_id"), col("emb"), (-col("best.np")).as("pivot"))
-    // Queries probe their IvfProbes nearest pivots.
+
+  /** Probe table: each query's [[IvfProbes]] nearest pivots, carrying the
+    * probe rank `pr` (1 = nearest). `maxPr` widens the rank bound for the
+    * recall sweep (probe-all = exhaustive).
+    */
+  private def ivfProbes(spark: SparkSession, dir: String, maxPr: Int): DataFrame = {
     val wProbe = Window.partitionBy("query_id").orderBy(col("qcm").desc, col("p"))
-    val probes = corpus.filter(col("vec_id") < IvfQueries)
-      .select(col("vec_id").as("query_id"), col("emb").as("qe"))
-      .crossJoin(broadcast(pivots))
+    Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < IvfQueries)
+      .select(col("vec_id").as("query_id"), expr(embExpr).as("qe"))
+      .crossJoin(broadcast(ivfPivots(spark, dir)))
       .select(col("query_id"), col("qe"), col("p"),
         expr(cosMilli("qe", "pe")).as("qcm"))
       .withColumn("pr", row_number().over(wProbe))
-      .filter(col("pr") <= IvfProbes)
-      .select(col("query_id"), col("qe"), col("p").as("pivot"))
-    // Exact search within the probed lists only.
+      .filter(col("pr") <= maxPr)
+      .select(col("query_id"), col("qe"), col("p").as("pivot"), col("pr"))
+  }
+
+  /** Ranked exact search over a (query, candidate) pool — the shared tail
+    * of every IVF top-k form.
+    */
+  private def ivfRank(cands: DataFrame): DataFrame = {
     val wRank = Window.partitionBy("query_id").orderBy(col("cos_milli").desc, col("vec_id"))
-    probes.join(assigned, "pivot")
+    cands
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         expr(cosMilli("qe", "emb")).as("cos_milli"))
@@ -141,6 +158,81 @@ object Similarity {
       .filter(col("rank") <= IvfTopK)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("vec_id").as("neighbor_id"), col("cos_milli"))
+  }
+
+  def simIvfTopk(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), expr(embExpr).as("emb"))
+    val assigned = ivfAssign(corpus, ivfPivots(spark, dir))
+    ivfRank(ivfProbes(spark, dir, IvfProbes).join(assigned, "pivot"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Materialized IVF index — the d5b/d7b build-once pattern applied to
+  // the similarity family (r12 verdict #3): the corpus×pivots assignment
+  // is the ONE heavy step of every IVF query, and it only changes when
+  // the corpus snapshot does, so it is written ONCE as a stored table
+  // and every probe reads it.
+  // ---------------------------------------------------------------------
+
+  /** Build the inverted lists once per corpus snapshot:
+    * `<prefix>_lists(vec_id, emb, pivot)` PARTITIONED by pivot — a probe
+    * touching [[IvfProbes]] of [[NumIvfPivots]] lists prunes the scan to
+    * those partitions (the partition layout IS the index; at 100 TB the
+    * pivot count scales with the corpus so each list stays
+    * executor-sized, and this table is exactly the layout the corpus
+    * would be stored in anyway). The assignment never re-runs per query.
+    */
+  def buildIvfIndex(spark: SparkSession, dir: String, prefix: String): Unit = {
+    val corpus = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), expr(embExpr).as("emb"))
+    ivfAssign(corpus, ivfPivots(spark, dir))
+      .write.partitionBy("pivot").format("parquet")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .saveAsTable(s"${prefix}_lists")
+  }
+
+  /** Build-if-absent gate, keyed on the corpus dir like d5b/d7b — the
+    * corpus is an immutable snapshot; a new snapshot is a new index.
+    */
+  private[graft] def ensureIvfIndex(spark: SparkSession, dir: String): String = {
+    val prefix = "ivf_idx_" + java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    if (!spark.catalog.tableExists(s"${prefix}_lists"))
+      buildIvfIndex(spark, dir, prefix)
+    prefix
+  }
+
+  /** [[simIvfTopk]] over the stored inverted lists: per-query work is the
+    * probe ranking (queries × pivots, broadcast) plus an exact scan of
+    * the PROBED partitions only — the assignment is never recomputed.
+    * Same output contract and the SAME oracle as sim_ivf_topk: the index
+    * is a pure optimization, never a semantics change.
+    */
+  def simIvfTopkIdx(spark: SparkSession, dir: String): DataFrame = {
+    val lists = spark.table(s"${ensureIvfIndex(spark, dir)}_lists")
+    ivfRank(ivfProbes(spark, dir, IvfProbes).join(lists, "pivot"))
+  }
+
+  /** Batch ingest against the stored index: assign ONLY the new vectors
+    * (the fixture batch: vec_id ≡ [[IvfIngestMod]]−1 mod [[IvfIngestMod]])
+    * to their nearest pivots — the exact rows an append to
+    * `<prefix>_lists` would add, at batch-proportional cost (batch scan ×
+    * broadcast pivots; the pivot read is a pushed-down vec_id < k scan).
+    * Emits (vec_id, pivot) for the batch.
+    */
+  val IvfIngestMod = 10
+
+  def simIvfIngest(spark: SparkSession, dir: String): DataFrame = {
+    // ensureIvfIndex: the ingest's contract is "the index exists and the
+    // batch is the only new work" — building here keeps the entry
+    // self-contained (first call per corpus pays the build, like d5b).
+    ensureIvfIndex(spark, dir)
+    val batch = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") % IvfIngestMod === IvfIngestMod - 1)
+      .select(col("vec_id"), expr(embExpr).as("emb"))
+    ivfAssign(batch, ivfPivots(spark, dir))
+      .select(col("vec_id"), col("pivot"))
   }
 
   // ---------------------------------------------------------------------
@@ -491,27 +583,22 @@ object Similarity {
     * ANN_RECALL.json).
     */
   def simIvfRecall(spark: SparkSession, dir: String): DataFrame = {
-    def pivots = Tables.embeddings(spark, dir)
-      .filter(col("vec_id") < NumIvfPivots)
-      .select(col("vec_id").as("p"), expr(embExpr).as("pe"))
-    def corpus = Tables.embeddings(spark, dir)
+    val corpus = Tables.embeddings(spark, dir)
       .select(col("vec_id"), expr(embExpr).as("emb"))
-    // Inverted lists, exactly as in simIvfTopk.
-    val assigned = corpus.crossJoin(broadcast(pivots))
-      .select(col("vec_id"), col("emb"), col("p"),
-        expr(cosMilli("emb", "pe")).as("cm"))
-      .groupBy("vec_id", "emb")
-      .agg(max(struct(col("cm"), (-col("p")).as("np"))).as("best"))
-      .select(col("vec_id"), col("emb"), (-col("best.np")).as("pivot"))
+    ivfRecallOver(ivfAssign(corpus, ivfPivots(spark, dir)), spark, dir)
+  }
+
+  /** [[simIvfRecall]] over the stored inverted lists — the recall curve a
+    * production corpus actually measures (against the layout it serves
+    * queries from). Same oracle as sim_ivf_recall: pure optimization.
+    */
+  def simIvfRecallIdx(spark: SparkSession, dir: String): DataFrame =
+    ivfRecallOver(spark.table(s"${ensureIvfIndex(spark, dir)}_lists"), spark, dir)
+
+  private def ivfRecallOver(assigned: DataFrame,
+                            spark: SparkSession, dir: String): DataFrame = {
     // Every query × every pivot, ranked: pr = probe order (best first).
-    val wProbe = Window.partitionBy("query_id").orderBy(col("qcm").desc, col("p"))
-    val probes = corpus.filter(col("vec_id") < IvfQueries)
-      .select(col("vec_id").as("query_id"), col("emb").as("qe"))
-      .crossJoin(broadcast(pivots))
-      .select(col("query_id"), col("qe"), col("p"),
-        expr(cosMilli("qe", "pe")).as("qcm"))
-      .withColumn("pr", row_number().over(wProbe))
-      .select(col("query_id"), col("qe"), col("p").as("pivot"), col("pr"))
+    val probes = ivfProbes(spark, dir, NumIvfPivots)
     // Candidate pool: each corpus vector reachable at probe depth `pr`.
     val cand = graft.PersistScope.persisted(
       probes.join(assigned, "pivot")

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/** Round-13 additions: the materialized IVF inverted-list index
+  * (sim_ivf_idx / sim_ivf_recall_idx / sim_ivf_ingest).
+  *
+  * The index contract is the d7b one — "pure optimization": every stored
+  * form must return EXACTLY its recompute twin's rows, the lists table
+  * must be laid out partitioned by pivot (the probe's pruning key), and
+  * the ingest must touch only batch-proportional work.
+  */
+class Round13Spec extends SparkTestBase {
+
+  private def assertSameRows(a: DataFrame, b: DataFrame): Unit = {
+    assert(a.columns.toSeq === b.columns.toSeq)
+    assert(a.exceptAll(b).count() === 0)
+    assert(b.exceptAll(a).count() === 0)
+  }
+
+  test("sim_ivf_idx: the stored inverted lists equal the full recompute") {
+    val viaIndex = Similarity.simIvfTopkIdx(spark, Sf)
+    val recompute = Similarity.simIvfTopk(spark, Sf)
+    assertSameRows(viaIndex, recompute)
+    assert(viaIndex.count() > 0)
+  }
+
+  test("sim_ivf_recall_idx equals the recomputed recall curve") {
+    assertSameRows(
+      Similarity.simIvfRecallIdx(spark, Sf),
+      Similarity.simIvfRecall(spark, Sf))
+  }
+
+  test("the lists table is partitioned by pivot — the probe's pruning key") {
+    val prefix = Similarity.ensureIvfIndex(spark, Sf)
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(s"${prefix}_lists"))
+    assert(meta.partitionColumnNames === Seq("pivot"),
+      s"lists must be partitioned by pivot; got ${meta.partitionColumnNames}")
+    // A probe of IvfProbes lists must not need every partition: the
+    // stored layout exposes one directory per pivot, and the fixture
+    // corpus populates several of them (a single-partition table would
+    // make the pruning claim vacuous).
+    val nLists = spark.table(s"${prefix}_lists")
+      .select("pivot").distinct().count()
+    assert(nLists > Similarity.IvfProbes,
+      s"fixture must populate more lists than a probe touches; got $nLists")
+  }
+
+  test("sim_ivf_ingest assigns exactly the batch, matching the full assignment") {
+    import spark.implicits._
+    val ingest = Similarity.simIvfIngest(spark, Sf)
+      .as[(Long, Long)].collect().toMap
+    // Batch membership: vec_id ≡ mod−1 (and nothing else).
+    assert(ingest.nonEmpty)
+    assert(ingest.keys.forall(_ % Similarity.IvfIngestMod == Similarity.IvfIngestMod - 1))
+    // Each batch vector's pivot equals what the FULL corpus assignment
+    // (the stored index) holds for it — ingest is the same math over
+    // fewer rows, never a different answer.
+    val prefix = Similarity.ensureIvfIndex(spark, Sf)
+    val stored = spark.table(s"${prefix}_lists")
+      .select(col("vec_id"), col("pivot"))
+      .as[(Long, Long)].collect().toMap
+    ingest.foreach { case (vec, piv) =>
+      assert(stored(vec) === piv, s"vec $vec: ingest pivot $piv != stored ${stored(vec)}")
+    }
+    PersistScope.releaseAll()
+  }
+}
