@@ -146,6 +146,7 @@ object Bench {
       b += "d7b_resolve_idx"
     if (names.contains("d7c_resolve_ingest")) b += "d7c_resolve_ingest"
     if (names.contains("t29b_winnow_ingest")) b += "t29b_winnow_ingest"
+    if (names.contains("q_triangles_adj_ingest")) b += "q_triangles_adj_ingest"
     // The stored-inverted-list consumers: one warm-up builds the
     // partitioned lists table so their timed entries measure the probe /
     // batch assignment, not the snapshot build.

@@ -157,6 +157,7 @@ object SparkEntry {
     "q_triangles_idx"      -> Graph.qTrianglesIndexed _,
     "q_triangles_adj"      -> Graph.qTrianglesAdj _,
     "q_triangles_adj_idx"  -> Graph.qTrianglesAdjIdx _,
+    "q_triangles_adj_ingest" -> Graph.qTrianglesAdjIngest _,
   )
 
   private val llmQueries: Map[String, Query] = Map(
@@ -1935,6 +1936,11 @@ object SparkEntry {
     // Bucketed-snapshot adjacency twin: same SQL a fourth time — the
     // stored layout moves the build cost, never the answer.
     "q_triangles_adj_idx" -> duckTriangleSql,
+    // Incremental-maintenance twin (r13): same SQL a FIFTH time — the
+    // ingest folds the batch orders' edges into the stored snapshot, and
+    // corpus ∪ batch pairs IS the full co-purchase edge set, so the
+    // maintained totals must equal the full rebuild exactly.
+    "q_triangles_adj_ingest" -> duckTriangleSql,
     // t23 twin: same bigram construction as t20's; the head set is the
     // df-threshold filter, rare = total − frequent by subtraction.
     "t23_rare_bigrams" ->

@@ -160,8 +160,11 @@ object Graph {
     * `o.count()` re-runs the lineitem self-join ~6×.
     */
   private def orientedEdges(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) =
+    orientedEdgesOf(Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey")))
+
+  private def orientedEdgesOf(li: DataFrame)
       : (DataFrame, DataFrame, DataFrame) = {
-    val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey"))
     val e0 = PersistScope.persisted(
       li.as("a").join(li.as("b"), Seq("l_orderkey"))
         .filter(col("a.l_partkey") < col("b.l_partkey"))
@@ -321,6 +324,184 @@ object Graph {
       .crossJoin(broadcast(nNodes))
       .crossJoin(broadcast(o.agg(count(lit(1)).as("n_edges"))))
       .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Incremental edge-index maintenance (r12 verdict #4) — the d7c
+  // pattern for the graph family: a batch of NEW orders arrives, its
+  // co-purchase edges fold into the stored snapshot at batch-
+  // proportional cost, and the maintained triangle count equals the
+  // full rebuild (same oracle).
+  // ---------------------------------------------------------------------
+
+  /** Batch split for the ingest form: lineitem rows with
+    * `l_orderkey % TriBatchMod == 0` are the "new orders" batch
+    * (~1/16 of orders); everything else is the stored corpus snapshot.
+    */
+  val TriBatchMod = 16
+
+  /** Build the corpus-side graph snapshot (batch orders EXCLUDED) as
+    * bucketed tables under `prefix`:
+    *
+    *  - `<prefix>_edges(src, dst)` bucketed by src — the oriented edges;
+    *  - `<prefix>_adj(node, nbrs)` bucketed by node — sorted out-
+    *    adjacency (both ingest attach joins key on `node`, so the stored
+    *    side never re-shuffles);
+    *  - `<prefix>_deg(node, d)` bucketed by node — the degrees the
+    *    snapshot's orientation used. Ingest re-orients BATCH edges by
+    *    these same stored degrees (unseen nodes default to 0), so stored
+    *    and new edges share ONE strict total order on vertices —
+    *    the correctness requirement for counting each triangle exactly
+    *    once; degrees drift as batches land, and a periodic snapshot
+    *    rebuild re-optimizes the orientation without changing any count
+    *    (the count is orientation-invariant).
+    *  - `<prefix>_stats` — one row (n_nodes, n_edges, n_triangles), the
+    *    running totals ingest extends.
+    */
+  def buildTriIngestIndex(spark: SparkSession, dir: String, prefix: String,
+                          numBuckets: Int = -1): Unit = {
+    val buckets = if (numBuckets > 0) numBuckets else defaultEdgeBuckets(spark)
+    val corpusLi = Tables.lineitem(spark, dir)
+      .filter(col("l_orderkey") % TriBatchMod =!= 0)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val (e0, deg, o) = orientedEdgesOf(corpusLi)
+    Scale.writeBucketed(o.select(col("src"), col("dst")),
+      s"${prefix}_edges", "src", buckets)
+    Scale.writeBucketed(deg, s"${prefix}_deg", "node", buckets)
+    val edges = spark.table(s"${prefix}_edges")
+    Scale.writeBucketed(
+      edges.groupBy(col("src").as("node"))
+        .agg(sort_array(collect_list(col("dst"))).as("nbrs")),
+      s"${prefix}_adj", "node", buckets)
+    // Snapshot totals via the adjacency-intersect count (the
+    // qTrianglesAdj tail) over the just-written layout.
+    val adj = spark.table(s"${prefix}_adj")
+    val perEdge = edges
+      .join(adj.select(col("node").as("src"), col("nbrs").as("nbrs_u")), "src")
+      .join(adj.select(col("node").as("dst"), col("nbrs").as("nbrs_v")), "dst")
+      .select(expr("sorted_intersect_count(nbrs_u, nbrs_v)").as("t"))
+    perEdge.agg(coalesce(sum(col("t")), lit(0L)).as("n_triangles"))
+      .crossJoin(broadcast(deg.agg(count(lit(1)).as("n_nodes"))))
+      .crossJoin(broadcast(e0.agg(count(lit(1)).as("n_edges"))))
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
+      .write.format("parquet").mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .saveAsTable(s"${prefix}_stats")
+    PersistScope.releaseAll()
+  }
+
+  /** Build-if-absent gate (all four tables — the half-built-index lesson
+    * from ensureCorpusIndex); keyed on the corpus dir.
+    */
+  private[graft] def ensureTriIngestIndex(spark: SparkSession, dir: String): String = {
+    val prefix = "tri_ing_" + java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    if (Seq("edges", "adj", "deg", "stats")
+        .exists(t => !spark.catalog.tableExists(s"${prefix}_$t")))
+      buildTriIngestIndex(spark, dir, prefix)
+    prefix
+  }
+
+  /** Q_TRIANGLES_ADJ_INGEST: fold the batch orders' co-purchase edges
+    * into the stored snapshot and emit the maintained totals — SAME
+    * oracle as q_triangles on the full data (corpus ∪ batch pairs IS the
+    * full co-purchase edge set), so the maintenance is provably a pure
+    * optimization.
+    *
+    * The triangle delta is exact by the orientation decomposition: with
+    * every edge oriented by one total order, T = Σ_edges |N⁺(u)∩N⁺(v)|;
+    * splitting edges into stored ∪ new,
+    *
+    *   T = T_stored                                   (the stats row)
+    *     + Σ_new  |N⁺_full(u) ∩ N⁺_full(v)|           (term A)
+    *     + Σ_old  |N⁺_full ∩ N⁺_full| − |N⁺_st ∩ N⁺_st|  (term B),
+    *
+    * and term B is nonzero ONLY for old edges with an endpoint in S =
+    * {sources of new edges} — so per-ingest work is the batch pair build
+    * + joins of batch-sized frames against the bucketed adj/edges tables
+    * (stored side never re-shuffles; the S filter on stored edges is a
+    * broadcast semi-join inside the scan). At 100 TB: work ∝ batch ×
+    * O(√m) adjacency lengths, never the corpus.
+    */
+  def qTrianglesAdjIngest(spark: SparkSession, dir: String): DataFrame = {
+    val prefix = ensureTriIngestIndex(spark, dir)
+    val edges = spark.table(s"${prefix}_edges")
+    val adj = spark.table(s"${prefix}_adj")
+    val deg = spark.table(s"${prefix}_deg")
+    val stats = spark.table(s"${prefix}_stats")
+
+    // Batch pairs: per-order self-join over the batch lineitems only.
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_orderkey") % TriBatchMod === 0)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val pairs = li.as("a").join(li.as("b"), Seq("l_orderkey"))
+      .filter(col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .distinct()
+    // Orient by the SNAPSHOT's (degree, id) key — unseen nodes at 0.
+    val smallerU = col("du0") < col("dv0") ||
+      (col("du0") === col("dv0") && col("u") < col("v"))
+    val oriented = pairs
+      .join(deg.select(col("node").as("u"), col("d").as("du")), Seq("u"), "left")
+      .join(deg.select(col("node").as("v"), col("d").as("dv")), Seq("v"), "left")
+      .select(col("u"), col("v"),
+        coalesce(col("du"), lit(0L)).as("du0"),
+        coalesce(col("dv"), lit(0L)).as("dv0"))
+      .select(
+        when(smallerU, col("u")).otherwise(col("v")).as("src"),
+        when(smallerU, col("v")).otherwise(col("u")).as("dst"))
+    // Only genuinely NEW edges count (a batch order can re-ship a pair
+    // the corpus already has) — read several times below, so pinned.
+    val newE = PersistScope.persisted(
+      oriented.join(edges, Seq("src", "dst"), "left_anti"))
+    // Batch-side adjacency: S = sources of new edges (batch-sized, so
+    // its joins below broadcast).
+    val adjNew = PersistScope.persisted(
+      newE.groupBy(col("src").as("node"))
+        .agg(sort_array(collect_list(col("dst"))).as("nbrs_new")))
+    // Attach stored and FULL (= stored ∪ new, merged sorted) adjacency
+    // for one endpoint column. Elements never collide: new edges were
+    // anti-joined against stored, so concat + sort is a clean merge.
+    val emptyArr = "cast(array() as array<bigint>)"
+    def attach(df: DataFrame, keyCol: String, tag: String): DataFrame =
+      df.join(adj.select(col("node").as(keyCol), col("nbrs").as(s"__s_$tag")),
+          Seq(keyCol), "left")
+        .join(broadcast(adjNew.select(col("node").as(keyCol), col("nbrs_new").as(s"__n_$tag"))),
+          Seq(keyCol), "left")
+        .withColumn(s"stored_$tag", expr(s"coalesce(__s_$tag, $emptyArr)"))
+        .withColumn(s"full_$tag",
+          expr(s"array_sort(concat(coalesce(__s_$tag, $emptyArr), coalesce(__n_$tag, $emptyArr)))"))
+        .drop(s"__s_$tag", s"__n_$tag")
+    // Term A: new edges against the full adjacency.
+    val termA = attach(attach(newE, "src", "u"), "dst", "v")
+      .select(expr("sorted_intersect_count(full_u, full_v)").as("t"))
+      .agg(coalesce(sum(col("t")), lit(0L)).as("ta"))
+    // Term B: stored edges with an endpoint in S — intersect growth.
+    val sNodes = adjNew.select("node")
+    val touched = edges
+      .join(broadcast(sNodes.select(col("node").as("src"))), Seq("src"), "left_semi")
+      .select(col("src"), col("dst"))
+      .unionByName(edges
+        .join(broadcast(sNodes.select(col("node").as("dst"))), Seq("dst"), "left_semi")
+        .select(col("src"), col("dst")))
+      .distinct()
+    val termB = attach(attach(touched, "src", "u"), "dst", "v")
+      .select((expr("sorted_intersect_count(full_u, full_v)") -
+        expr("sorted_intersect_count(stored_u, stored_v)")).as("t"))
+      .agg(coalesce(sum(col("t")), lit(0L)).as("tb"))
+    // Maintained totals.
+    val newNodeCnt = newE.select(col("src").as("node"))
+      .unionAll(newE.select(col("dst").as("node")))
+      .distinct()
+      .join(deg, Seq("node"), "left_anti")
+      .agg(count(lit(1)).as("n_new_nodes"))
+    val newEdgeCnt = newE.agg(count(lit(1)).as("n_new_edges"))
+    stats
+      .crossJoin(broadcast(termA)).crossJoin(broadcast(termB))
+      .crossJoin(broadcast(newNodeCnt)).crossJoin(broadcast(newEdgeCnt))
+      .select(
+        (col("n_nodes") + col("n_new_nodes")).as("n_nodes"),
+        (col("n_edges") + col("n_new_edges")).as("n_edges"),
+        (col("n_triangles") + col("ta") + col("tb")).as("n_triangles"))
   }
 
   def qTrianglesAdj(spark: SparkSession, dir: String): DataFrame = {

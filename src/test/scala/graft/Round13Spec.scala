@@ -50,6 +50,44 @@ class Round13Spec extends SparkTestBase {
       s"fixture must populate more lists than a probe touches; got $nLists")
   }
 
+  test("q_triangles_adj_ingest equals the full rebuild on corpus ∪ batch") {
+    import graft.operators.Graph
+    // The maintained totals (stored stats + term A + term B) must equal
+    // the from-scratch count over ALL lineitem — the same contract the
+    // DuckDB oracle enforces at sf0.01; here it is pinned in-process so
+    // a future refactor cannot drift between verify runs.
+    val maintained = Graph.qTrianglesAdjIngest(spark, Sf)
+    val rebuilt = graft.operators.Graph.qTriangles(spark, Sf)
+    assertSameRows(maintained, rebuilt)
+    // The fixture must actually exercise the delta terms: the batch has
+    // to add edges (otherwise the test pins only the stored stats row).
+    import spark.implicits._
+    val storedEdges = {
+      val prefix = Graph.ensureTriIngestIndex(spark, Sf)
+      spark.table(s"${prefix}_stats").select("n_edges").as[Long].head()
+    }
+    val totalEdges = rebuilt.select("n_edges").as[Long].head()
+    assert(totalEdges > storedEdges,
+      s"batch must add edges: stored $storedEdges vs total $totalEdges")
+    PersistScope.releaseAll()
+  }
+
+  test("the ingest's stored tables are bucketed on their probe keys") {
+    import graft.operators.Graph
+    val prefix = Graph.ensureTriIngestIndex(spark, Sf)
+    // Both attach joins key on `node`; the adjacency scan must satisfy
+    // a node-keyed aggregate with no exchange in front (the Round12
+    // label-index assertion, applied to the graph snapshot).
+    val agged = spark.table(s"${prefix}_adj")
+      .groupBy("node").agg(count(lit(1)).as("n"))
+    agged.count()
+    val plan = agged.queryExecution.executedPlan.toString
+    assert(plan.contains("Bucketed: true"),
+      s"adjacency should scan bucketed under a node aggregate; plan:\n$plan")
+    assert(!plan.contains("Exchange"),
+      s"the node aggregate must reuse the bucket distribution; plan:\n$plan")
+  }
+
   test("sim_ivf_ingest assigns exactly the batch, matching the full assignment") {
     import spark.implicits._
     val ingest = Similarity.simIvfIngest(spark, Sf)
