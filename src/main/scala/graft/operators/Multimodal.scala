@@ -452,6 +452,148 @@ object Multimodal {
     } yield PpmHeader(w, h, m, i + 1)
   }
 
+  // ---------------------------------------------------------------------
+  // M9: PNG chunk walk — the TLV-container arm of the header-parse
+  // family. P6 and AU both have FIXED-offset headers; PNG is a
+  // length-type-value chunk LIST (len(4 BE) · type(4) · data(len) ·
+  // crc(4) after an 8-byte signature), so every field offset after the
+  // first chunk depends on the lengths before it. The walk is a bounded
+  // UNROLL of offset recurrences (off_{i+1} = off_i + 12 + len_i) —
+  // pure codegen'd integer expressions, no UDF, payload never leaves
+  // the scan stage — proving the expression-level parse approach
+  // generalizes past fixed layouts (r12 verdict stretch #8).
+  // ---------------------------------------------------------------------
+
+  /** Max chunks the unrolled walk visits. Real files can hold more; a
+    * deeper file reports the first PngMaxChunks and iend_found = false —
+    * visible truncation, the FpMaxWindows discipline.
+    */
+  val PngMaxChunks = 8
+
+  /** Documents rendered as structural PNG payloads: real signature, a
+    * spec-shaped IHDR (geometry derived from the doc like [[ppmTable]]),
+    * a VARIABLE-length tEXt chunk carrying the document's leading bytes
+    * (what makes the IEND offset data-dependent — the walk cannot
+    * cheat with a fixed slice), and IEND. Chunk CRCs are filler bytes:
+    * the parse contract here is the container WALK (lengths, types,
+    * IHDR fields), not CRC verification — noted honestly; the
+    * spec-level proof against REAL byte-exact PNGs (valid CRCs, zlib
+    * IDAT) is MultimodalSpec's checked-in fixture through the same
+    * pipeline.
+    */
+  def pngTable(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"),
+        expr("cast(1 + n_chars % 16 as int)").as("w"),
+        expr("cast(1 + n_chars % 12 as int)").as("h"),
+        expr("cast(1 + n_chars % 64 as int)").as("tlen"))
+      .select(
+        col("doc_id"),
+        expr("to_binary(concat(" +
+          "'89504E470D0A1A0A', " +                    // signature
+          "'0000000D', '49484452', " +                // IHDR: len 13, type
+          "lpad(hex(w), 8, '0'), lpad(hex(h), 8, '0'), " +
+          "'08', '00', '00', '00', '00', " +          // depth 8, gray, std
+          "'DEADBEEF', " +                            // filler CRC
+          "lpad(hex(tlen), 8, '0'), '74455874', " +   // tEXt: len, type
+          "upper(hex(encode(rpad(substring(text, 1, tlen), tlen, 'x'), 'UTF-8'))), " +
+          "'DEADBEEF', " +                            // filler CRC
+          "'00000000', '49454E44', 'AE426082'" +      // IEND (real CRC)
+          "), 'hex')").as("media"),
+        lit("image/png").as("media_type"))
+
+  /** M9 over any (doc_id, media) frame — factored like
+    * [[audioFingerprintOf]] so the spec can feed REAL checked-in PNG
+    * bytes through the identical expressions.
+    */
+  private[graft] def pngMetaOf(png: DataFrame): DataFrame = {
+    def be32(off: String) = s"cast(conv(hex(substring(media, $off, 4)), 16, 10) as bigint)"
+    // Unrolled chunk walk: chunk i's offset column feeds chunk i+1's.
+    // Each step is 3 narrow integer/string expressions, all inside one
+    // whole-stage-codegen'd projection chain.
+    val walked = (0 until PngMaxChunks).foldLeft(
+      png.withColumn("sig_ok",
+          expr("upper(hex(substring(media, 1, 8))) = '89504E470D0A1A0A'"))
+        .withColumn("off0", lit(9L))
+        .withColumn("n_chunks", lit(0L))
+        .withColumn("iend_found", lit(false))
+    ) { (df, i) =>
+      df
+        .withColumn(s"len$i",
+          when(col("sig_ok") && !col("iend_found") &&
+            col(s"off$i") + 8L <= octet_length(col("media")) + 1L,
+            expr(be32(s"off$i"))).otherwise(lit(null)))
+        .withColumn(s"type$i",
+          when(col(s"len$i").isNotNull,
+            expr(s"decode(substring(media, off$i + 4, 4), 'UTF-8')")))
+        .withColumn("n_chunks",
+          when(col(s"len$i").isNotNull, col("n_chunks") + 1L).otherwise(col("n_chunks")))
+        .withColumn("iend_found",
+          // coalesce: a null type (walk already stopped) must keep the
+          // flag boolean — `false || null` is null in SQL and would
+          // poison every later step's guard.
+          col("iend_found") || coalesce(col(s"type$i") === "IEND", lit(false)))
+        .withColumn(s"off${i + 1}", col(s"off$i") + 12L + coalesce(col(s"len$i"), lit(0L)))
+    }
+    walked.select(
+      col("doc_id"),
+      octet_length(col("media")).cast("long").as("n_bytes"),
+      expr("md5(upper(hex(media)))").as("checksum"),
+      col("sig_ok"),
+      // IHDR is the mandatory first chunk; geometry reads through the
+      // walk's own offsets, not hardcoded positions.
+      when(col("type0") === "IHDR", expr(be32("off0 + 8"))).otherwise(-1L).as("width"),
+      when(col("type0") === "IHDR", expr(be32("off0 + 12"))).otherwise(-1L).as("height"),
+      when(col("type0") === "IHDR",
+        expr("cast(conv(hex(substring(media, off0 + 16, 1)), 16, 10) as bigint)"))
+        .otherwise(-1L).as("bit_depth"),
+      when(col("type0") === "IHDR",
+        expr("cast(conv(hex(substring(media, off0 + 17, 1)), 16, 10) as bigint)"))
+        .otherwise(-1L).as("color_type"),
+      col("n_chunks"),
+      col("iend_found"))
+  }
+
+  /** M9: PNG metadata via the chunk walk over the synthesized corpus.
+    * The DuckDB twin rebuilds the identical payload hex (pinning the
+    * construction via checksum) and STATES the fields the engine must
+    * walk back out of the binary.
+    */
+  def m9PngMeta(spark: SparkSession, dir: String): DataFrame =
+    pngMetaOf(pngTable(spark, dir))
+
+  /** Parsed PNG header + chunk inventory (the Scala-side reference). */
+  private[graft] final case class PngHeader(
+      width: Int, height: Int, bitDepth: Int, colorType: Int,
+      nChunks: Int, iendFound: Boolean)
+
+  /** Minimal REAL PNG chunk walker over raw bytes — the [[parseP6]]
+    * sibling for the batched decode path and the spec's reference.
+    * Returns None for anything without the signature or a leading IHDR;
+    * never throws on hostile bytes. CRCs are not verified (the walk
+    * contract), and the walk stops at [[PngMaxChunks]] like the
+    * expression form.
+    */
+  private[graft] def parsePng(bytes: Array[Byte]): Option[PngHeader] = {
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    if (bytes.length < 8 + 25 || !bytes.take(8).sameElements(sig)) return None
+    def be32(off: Int): Long =
+      (0 until 4).foldLeft(0L)((acc, k) => (acc << 8) | (bytes(off + k) & 0xff))
+    def typeAt(off: Int): String = new String(bytes, off + 4, 4, "US-ASCII")
+    if (typeAt(8) != "IHDR" || be32(8) != 13L) return None
+    var off = 8L
+    var n = 0
+    var iend = false
+    while (n < PngMaxChunks && !iend && off + 8 <= bytes.length) {
+      val len = be32(off.toInt)
+      iend = typeAt(off.toInt) == "IEND"
+      n += 1
+      off += 12 + len
+    }
+    Some(PngHeader(be32(16).toInt, be32(20).toInt, bytes(24) & 0xff,
+      bytes(25) & 0xff, n, iend))
+  }
+
   /** Batched decode path (the mapInPandas analog in Scala): one
     * partition's records per call, iterator-in/iterator-out so a real
     * implementation can batch onto an accelerator. The decode is a REAL

@@ -82,6 +82,38 @@ class MultimodalSpec extends SparkTestBase {
     assert(out(4L).embedding(0) === 'R'.toFloat / 255.0f)
   }
 
+  test("m9 chunk walk is byte-exact on a REAL checked-in PNG (valid CRCs, zlib IDAT)") {
+    // img7.png: genuine 3x2 grayscale PNG — signature, IHDR, one
+    // deflate-compressed IDAT (variable length: the walk must derive
+    // IEND's offset from IDAT's length field), IEND; all CRCs valid.
+    val url = getClass.getResource("/fixtures/img7.png")
+    assert(url != null, "fixture /fixtures/img7.png missing from test resources")
+    val dir = new java.io.File(url.toURI).getParent
+    // The expression-level walk over the real bytes (mediaFromFiles →
+    // pngMetaOf — the exact m9 pipeline, different source).
+    val got = Multimodal.pngMetaOf(
+        Multimodal.mediaFromFiles(spark, dir, "*.png"))
+      .select("doc_id", "sig_ok", "width", "height", "bit_depth",
+        "color_type", "n_chunks", "iend_found")
+      .collect()
+    assert(got.length === 1)
+    val r = got.head
+    assert(r.getLong(0) === 7L)
+    assert(r.getBoolean(1), "signature must verify")
+    assert((r.getLong(2), r.getLong(3)) === ((3L, 2L)), "IHDR geometry")
+    assert((r.getLong(4), r.getLong(5)) === ((8L, 0L)), "depth 8, grayscale")
+    assert(r.getLong(6) === 3L, "IHDR + IDAT + IEND")
+    assert(r.getBoolean(7), "walk must reach IEND")
+    // And the Scala reference parser agrees with the expression walk.
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(new java.io.File(url.toURI).getPath))
+    assert(Multimodal.parsePng(bytes) ===
+      Some(Multimodal.PngHeader(3, 2, 8, 0, 3, iendFound = true)))
+    // Hostile-bytes discipline: truncation and a foreign format never throw.
+    assert(Multimodal.parsePng(bytes.take(20)) === None)
+    assert(Multimodal.parsePng("P6\n1 1\n255\nRGB".getBytes("US-ASCII")) === None)
+  }
+
   /** Brute-force reference for the audio fingerprint: parse the AU
     * payload bytes directly (big-endian data size at offset 8, PCM from
     * offset 24), window energies, delta bits.
