@@ -107,7 +107,10 @@ object Bench {
     "st2_sliding_window", "st3_session_window",
     "t17_inverted_index", "q_fuzzy_match_name",
     "q_triangles", "q_triangles_idx", "q_triangles_adj", "q_triangles_adj_idx",
-    "q_triangles_adj_ingest", "sim_ivf_idx")
+    "q_triangles_adj_ingest", "sim_ivf_idx",
+    // r13 sweep data: chunked 18.4 s vs single-JVM 5.8 s (3.2×) — the
+    // d12 election after the d* family is the same pollution class.
+    "d12_quality_resolve")
 
   /** Calibration query prepended to every audit rerun chunk: cheap,
     * quiet-median-stable, exercises scan+join+shuffle. If ITS rerun

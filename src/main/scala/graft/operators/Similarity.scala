@@ -683,20 +683,22 @@ object Similarity {
           expr("dot_double(emb, pe)").as("d"))
         .groupBy("vec_id", "emb")
         .agg(bucketCols.head, bucketCols.tail: _*))
+    buckets0.count()
     // Coarse-bucket skew cap (see LshSweepBucketCap): the candidate join
     // keys on the COARSEST bucket, so the cap lives there — at most 2^4
-    // coarse buckets exist, so the population count is a broadcast-sized
-    // aggregate. Dropped vectors surface on every output row.
+    // coarse buckets exist, so the population table is a 16-row
+    // aggregate, persisted because it feeds both the keep-set and the
+    // dropped count (each extra broadcast subquery otherwise re-runs
+    // the bucket aggregate — measured as a whole-query 2× r13).
     val coarseKey = s"b${LshPlaneSweep.min}"
-    val keepKeys = broadcast(buckets0.groupBy(coarseKey)
-      .agg(count(lit(1)).as("nvec"))
-      .filter(col("nvec") <= LshSweepBucketCap)
-      .select(coarseKey))
+    val bCnt = graft.PersistScope.persisted(
+      buckets0.groupBy(coarseKey).agg(count(lit(1)).as("nvec")))
+    val keepKeys = broadcast(
+      bCnt.filter(col("nvec") <= LshSweepBucketCap).select(coarseKey))
     val buckets = buckets0.join(keepKeys, Seq(coarseKey))
-    val nDropped = broadcast(
-      buckets0.groupBy().agg(count(lit(1)).as("n_all"))
-        .crossJoin(buckets.groupBy().agg(count(lit(1)).as("n_kept")))
-        .select((col("n_all") - col("n_kept")).as("n_dropped_vecs")))
+    val nDropped = bCnt.groupBy().agg(
+      coalesce(sum(when(col("nvec") > LshSweepBucketCap, col("nvec"))), lit(0L))
+        .as("n_dropped_vecs"))
     def side(tag: String) = buckets.select(
       col("vec_id").as(s"vec_$tag") +: col("emb").as(s"emb_$tag") +:
         LshPlaneSweep.map(n => col(s"b$n").as(s"b${n}_$tag")): _*)
@@ -709,9 +711,13 @@ object Similarity {
           expr(cosMilli("emb_a", "emb_b")).as("cm") +:
           LshPlaneSweep.map(n =>
             (col(s"b${n}_a") === col(s"b${n}_b")).as(s"coll$n")): _*))
-    val base = broadcast(
+    // ONE single-row broadcast carries both per-row constants (the base
+    // pair count and the dropped-vector count) — five separate subquery
+    // trees would each spin their own broadcast job.
+    val meta = broadcast(
       cand.filter(col(s"coll$coarse") && col("cm") >= LshThreshold)
-        .groupBy().agg(count(lit(1)).as("n_base")))
+        .groupBy().agg(count(lit(1)).as("n_base"))
+        .crossJoin(nDropped))
     LshPlaneSweep.map { n =>
       cand.filter(col(s"coll$n"))
         .groupBy().agg(
@@ -721,8 +727,7 @@ object Similarity {
           // count must too (oracle parity).
           coalesce(sum(when(col("cm") >= LshThreshold, 1L).otherwise(0L)), lit(0L))
             .as("n_pairs"))
-        .crossJoin(base)
-        .crossJoin(nDropped)
+        .crossJoin(meta)
         .select(lit(n.toLong).as("n_planes"), col("n_candidates"), col("n_pairs"),
           when(col("n_base") === 0L, 0L)
             .otherwise(expr("(2000 * n_pairs + n_base) div (2 * n_base)"))
