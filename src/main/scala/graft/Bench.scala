@@ -469,8 +469,17 @@ object Bench {
               val still = used > AuditRatio * qm && used - qm > AuditFloor
               auditEntries(n) = Audit(times(n), qm, reruns.toSeq, calibs.toSeq, used, still)
               times(n) = used
-              if (still) System.err.println(f"[bench] AUDIT $n STILL ${used}%.2fs after " +
-                s"${reruns.size} fresh-JVM rerun(s) — flagged as a real regression")
+              if (still) {
+                // A flag whose reruns were ALL calibration-discarded is
+                // host-load evidence, not a regression — say so on the
+                // same channel the flag rides (the stderr line; the
+                // sidecar's calibration array tells the same story).
+                val loadNote = if (reruns.isEmpty && calibs.nonEmpty)
+                  " (every rerun calibration-discarded: host loaded, not a regression)"
+                else ""
+                System.err.println(f"[bench] AUDIT $n STILL ${used}%.2fs after " +
+                  s"${reruns.size} accepted fresh-JVM rerun(s)$loadNote")
+              }
             }
             s"${flaggedNames.size} flagged of ${times.size} graded " +
               s"(>${AuditRatio}x quiet and >${AuditFloor}s over); " +
@@ -555,7 +564,9 @@ object Bench {
         s"  ${q(k)}: {\"graded\": ${sec(a.graded, 3)}, \"quiet\": ${sec(a.quiet, 3)}, " +
           s"\"reruns\": ${a.reruns.map(sec(_, 3)).mkString("[", ",", "]")}, " +
           s"\"calibration\": ${a.calib.map(sec(_, 3)).mkString("[", ",", "]")}, " +
-          s"\"used\": ${sec(a.used, 3)}, \"flagged\": ${a.flagged}}" }
+          s"\"used\": ${sec(a.used, 3)}, \"flagged\": ${a.flagged}" +
+          (if (a.flagged && a.reruns.isEmpty && a.calib.nonEmpty)
+            ", \"host_loaded_during_reruns\": true" else "") + "}" }
         .mkString("{\n", ",\n", "\n}")
       val freshGraded = times.keys.toSeq.sorted.filter(FreshJvmQueries.contains)
       // Comparison twins kept for oracle-equality / scale evidence —
