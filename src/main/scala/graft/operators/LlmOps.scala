@@ -149,13 +149,30 @@ object LlmOps {
   /** (doc_id, band, bkey) — one row per (doc, band).
     *
     * Wide-column, explode-free construction: the 8 seeded hashes
-    * h_k = md5('k|' || shingle) are 8 plain projected columns per shingle
-    * row (whole-stage codegen, row count stays at |shingles|), the
-    * signature is ONE map-combinable groupBy(doc_id) with 8 min()s, and
-    * each band key md5(concat_ws('|', m_{2b}, m_{2b+1})) is a plain
-    * projection — byte-identical output to the seed-exploded formulation
-    * (min over a multiset of per-seed hashes == min of the per-seed
-    * column), so the DuckDB oracle is unchanged.
+    * h_k = hash60(md5('k|' || shingle)) are 8 plain projected BIGINT
+    * columns per shingle row (whole-stage codegen, row count stays at
+    * |shingles|), the signature is ONE map-combinable groupBy(doc_id)
+    * with 8 min()s, and each band key
+    * md5(concat_ws('|', m_{2b}, m_{2b+1})) over the longs' decimal
+    * renderings is a plain projection. The DuckDB twins compute the
+    * identical hash60 (the [[shingleHash60]] nibble encoding), so the
+    * int64 signature is part of the oracle-checked semantics.
+    *
+    * r13 hash-width change: the per-seed value used to be the full md5
+    * HEX STRING, which made the signature aggregate a SortAggregate —
+    * min(string) has no fixed-width buffer, so Spark can never
+    * hash-aggregate it, and the r11 plan read measured that chain as the
+    * dedup family's single most expensive operator (~50 CPU-s per
+    * execution at 30× rows, twice per uncached materialization). Taking
+    * min over the 60-bit md5 prefix instead is still a uniform MinHash
+    * family (a different member of it — candidate sets shift the way any
+    * re-seeding shifts them, and every twin re-derives them identically),
+    * but min(bigint) runs in a HashAggregate with map-side partial
+    * aggregation and the signature shuffle carries 8 longs per doc
+    * instead of 8×32-char strings. Measured same-host A/B at 10× corpus
+    * (/tmp/sf1, one query per JVM, median of 3): d2 4.44 → 3.48 s
+    * (−22%), d7 14.97 → 11.38 s (−24%); flat at sf0.1, where per-query
+    * fixed costs dominate — the win is the scale path.
     *
     * Two prior formulations measured at sf0.1: nested HOF lambdas were
     * 30× slower (interpreted, re-inlined by projection collapse), and an
@@ -168,14 +185,16 @@ object LlmOps {
     * partial aggregation map-side — unchanged at 100 TB.
     */
   private[graft] def minhashBandsOf(shingles: DataFrame): DataFrame = {
-    val hashCols = (0 until NumHashes).map(k => expr(s"md5(concat('$k|', shingle))").as(s"h$k"))
+    val hashCols = (0 until NumHashes).map(k =>
+      expr(shingleHash60(s"concat('$k|', shingle)")).as(s"h$k"))
     val minCols = (0 until NumHashes).map(k => min(col(s"h$k")).as(s"m$k"))
     val sig = shingles
       .select(col("doc_id") +: hashCols: _*)
       .groupBy("doc_id")
       .agg(minCols.head, minCols.tail: _*)
     val bandKeys = (0 until NumBands).map { b =>
-      val slice = (b * RowsPerBand until (b + 1) * RowsPerBand).map(k => s"m$k")
+      val slice = (b * RowsPerBand until (b + 1) * RowsPerBand)
+        .map(k => s"cast(m$k as string)")
       expr(s"md5(concat_ws('|', ${slice.mkString(", ")}))")
     }
     sig.select(
@@ -305,12 +324,12 @@ object LlmOps {
     val shingles = PersistScope.persisted(shingles0)
     // Persist the UNCAPPED band table too: capBandBuckets reads its
     // argument on both sides (band rows + the bucket-size aggregate),
-    // and with only the capped OUTPUT cached the signature aggregation —
-    // the family's single most expensive operator (a SortAggregate:
-    // min(string) has no fixed-width buffer, so it can never
-    // hash-aggregate) — executed twice per materialization (r11 plan
-    // read: two full min(h0..h7) chains in the executed plan, ~50 CPU-s
-    // each at 30× rows).
+    // and with only the capped OUTPUT cached the signature aggregation
+    // executed twice per materialization (r11 plan read: two full
+    // min(h0..h7) chains in the executed plan — then ~50 CPU-s each at
+    // 30× rows as a min(string) SortAggregate; cheaper since the r13
+    // int64 signature made it a HashAggregate, but the 8-md5s-per-
+    // shingle scan beneath it still dominates and must run once).
     val rawBands = PersistScope.persisted(minhashBandsOf(shingles))
     val bands = PersistScope.persisted(capBandBuckets(rawBands))
     val bandsA = bands.toDF("doc_a", "band_a", "bkey_a")
@@ -566,7 +585,8 @@ object LlmOps {
     // enter the stored band table, so every future ingest inherits the
     // skew guard for free (and the cap is amortized like the index).
     // Persisted for the same two-sided capBandBuckets read as in d2 —
-    // without it the signature SortAggregate runs twice in the build.
+    // without it the signature aggregate (and the 8-md5 shingle scan
+    // beneath it) runs twice in the build.
     val rawBands = minhashBandsOf(shingles).persist()
     Scale.writeBucketed(capBandBuckets(rawBands),
       s"${prefix}_bands", "bkey", buckets)
