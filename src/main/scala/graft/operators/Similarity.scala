@@ -116,17 +116,29 @@ object Similarity {
       .select(col("vec_id").as("p"), expr(embExpr).as("pe"))
 
   /** Inverted-list assignment: every vector to its nearest pivot (argmax
-    * cosine, ties to the lowest pivot id) — order-independent
-    * max(struct). Shared by the recompute forms, the index build, and
-    * the ingest path (which runs it over the batch only).
+    * cosine, ties to the lowest pivot id). Shared by the recompute forms,
+    * the index build, and the ingest path (which runs it over the batch
+    * only).
+    *
+    * The argmax rides ONE max() over a packed long — (cm + 1000) · 2¹⁶ +
+    * (2¹⁶ − 1 − p) — instead of max(struct(cm, −p)): a struct aggregation
+    * buffer is not fixed-width, so the struct form ran the corpus × pivots
+    * aggregate as a SortAggregate (r13 plan audit); the packed form
+    * hash-aggregates with map-side combine. Exact, not approximate:
+    * cm ∈ [−1000, 1000] (cosine milli) and p < [[NumIvfPivots]] ≪ 2¹⁶, so
+    * the lexicographic (cm desc, p asc) order is preserved bit-for-bit
+    * and the elected pivot — the only consumed output — is unchanged
+    * (oracle twins untouched).
     */
   private def ivfAssign(vectors: DataFrame, pivots: DataFrame): DataFrame =
     vectors.crossJoin(broadcast(pivots))
-      .select(col("vec_id"), col("emb"), col("p"),
-        expr(cosMilli("emb", "pe")).as("cm"))
+      .select(col("vec_id"), col("emb"),
+        ((expr(cosMilli("emb", "pe")) + 1000L) * 65536L +
+          (lit(65535L) - col("p"))).as("packed"))
       .groupBy("vec_id", "emb")
-      .agg(max(struct(col("cm"), (-col("p")).as("np"))).as("best"))
-      .select(col("vec_id"), col("emb"), (-col("best.np")).as("pivot"))
+      .agg(max("packed").as("best"))
+      .select(col("vec_id"), col("emb"),
+        (lit(65535L) - col("best") % 65536L).as("pivot"))
 
   /** Probe table: each query's [[IvfProbes]] nearest pivots, carrying the
     * probe rank `pr` (1 = nearest). `maxPr` widens the rank bound for the
@@ -372,11 +384,14 @@ object Similarity {
       .join(broadcast(cent), Seq("dim"))
       .groupBy(col("vec_id"), expr(s"dim div $PqSubDim").as("m"), col("c"))
       .agg(sum((col("xm") - col("cx")) * (col("xm") - col("cx"))).as("d"))
-    // Codes: argmin distance, ties to the lowest centroid id —
-    // order-independent min(struct).
+    // Codes: argmin distance, ties to the lowest centroid id. Packed-long
+    // argmin (d · 2¹⁶ + c) rather than min(struct(d, c)) so the aggregate
+    // hash-aggregates (struct buffers force SortAggregate — the r13 plan
+    // audit / ivfAssign note). Exact: d ≤ subdim · 2000² < 2³³ (squared
+    // milli diffs) and c < PqCentroids ≪ 2¹⁶, so no field can borrow.
     val codes = dist.groupBy("vec_id", "m")
-      .agg(min(struct(col("d"), col("c"))).as("best"))
-      .select(col("vec_id"), col("m"), col("best.c").as("c"))
+      .agg(min(col("d") * 65536L + col("c")).as("best"))
+      .select(col("vec_id"), col("m"), (col("best") % 65536L).as("c"))
     // ADC: each query's distance table is its own dist rows; approximate
     // distance = Σ_m table[m][code[m]] — one integer sum per (query, vec).
     val qdist = dist.filter(col("vec_id") < PqQueries)
@@ -489,12 +504,17 @@ object Similarity {
       .select(col("cid"), col("dim"), col("val").as("c"))
     var assign: DataFrame = null
     for (i <- 1 to KmeansIters) {
+      // Packed-long argmin (dist · 2¹⁶ + cid) for the same reason as
+      // ivfAssign/simPqTopk: hash-aggregate instead of SortAggregate,
+      // and this one runs once per Lloyd iteration over every point.
+      // Exact: dist ≤ dims · 2000² < 2³⁹, cid < KmeansK ≪ 2¹⁶.
       assign = v.join(broadcast(centroids), "dim")
         .groupBy("vec_id", "cid")
         .agg(sum((col("val") - col("c")) * (col("val") - col("c"))).as("dist"))
         .groupBy("vec_id")
-        .agg(min(struct(col("dist"), col("cid"))).as("m"))
-        .select(col("vec_id"), col("m.cid").as("cid"), col("m.dist").as("dist"))
+        .agg(min(col("dist") * 65536L + col("cid")).as("m"))
+        .select(col("vec_id"), (col("m") % 65536L).as("cid"),
+          expr("m div 65536").as("dist"))
       if (i < KmeansIters)
         centroids = assign.join(v, "vec_id")
           .groupBy("cid", "dim")

@@ -17,7 +17,14 @@ object PlanAudit {
         val cart = "CartesianProduct".r.findAllIn(p).length
         val smj = "SortMergeJoin".r.findAllIn(p).length
         val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).length
-        println(f"AUDIT $name%-24s cart=$cart smj=$smj bnlj=$bnlj")
+        // Aggregates that could not hash-aggregate: SortAggregate means a
+        // non-fixed-width aggregate buffer (e.g. min/max over strings —
+        // the r13 minhash-signature finding); ObjectHashAggregate is the
+        // fallback for typed-imperative aggs (collect_set etc.) and is
+        // expected where those appear, but a count spike is worth a look.
+        val sortAgg = "SortAggregate".r.findAllIn(p).length
+        val objAgg = "ObjectHashAggregate".r.findAllIn(p).length
+        println(f"AUDIT $name%-24s cart=$cart smj=$smj bnlj=$bnlj sortAgg=$sortAgg objAgg=$objAgg")
       } catch { case e: Throwable => println(s"AUDIT $name ERROR ${e.getClass.getSimpleName}") }
     }
     spark.stop()
