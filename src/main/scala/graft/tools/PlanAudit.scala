@@ -22,6 +22,10 @@ object PlanAudit {
         // the r13 minhash-signature finding); ObjectHashAggregate is the
         // fallback for typed-imperative aggs (collect_set etc.) and is
         // expected where those appear, but a count spike is worth a look.
+        // Known-and-kept sortAgg rows: a13_mode / j4 (string/decimal in
+        // the argmin struct, tiny inputs) and the d12/curation family
+        // (quality election — the hash-shaped alternative measured
+        // slower; see d12From's scaladoc before "fixing" it again).
         val sortAgg = "SortAggregate".r.findAllIn(p).length
         val objAgg = "ObjectHashAggregate".r.findAllIn(p).length
         println(f"AUDIT $name%-24s cart=$cart smj=$smj bnlj=$bnlj sortAgg=$sortAgg objAgg=$objAgg")
