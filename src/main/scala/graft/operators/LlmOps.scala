@@ -192,18 +192,37 @@ object LlmOps {
       .select(col("doc_id") +: hashCols: _*)
       .groupBy("doc_id")
       .agg(minCols.head, minCols.tail: _*)
-    val bandKeys = (0 until NumBands).map { b =>
-      val slice = (b * RowsPerBand until (b + 1) * RowsPerBand)
-        .map(k => s"cast(m$k as string)")
-      expr(s"md5(concat_ws('|', ${slice.mkString(", ")}))")
-    }
     sig.select(
       col("doc_id"),
-      posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))
+      posexplode(array(bandKeyExprs.map(expr): _*)).as(Seq("band", "bkey")))
   }
 
   private def minhashBands(spark: SparkSession, dir: String): DataFrame =
     minhashBandsOf(shingleRows(spark, dir))
+
+  /** Per-ROW formulation of [[minhashBandsOf]]'s signature: SQL select
+    * expressions computing m0..m{NumHashes-1} from a carried shingle
+    * ARRAY column `sh` (array HOFs, no aggregation) — the shape a
+    * streaming source needs, where a groupBy signature would be a
+    * stateful aggregation. Lives HERE, next to the aggregating twin,
+    * because the two formulations must stay byte-identical or the
+    * stream side silently stops colliding with the stored corpus bands
+    * (st14); Round13Spec locks the parity.
+    */
+  private[graft] def perRowMinExprs: Seq[String] =
+    (0 until NumHashes).map(k =>
+      s"array_min(transform(sh, x -> ${shingleHash60(s"concat('$k|', x)")})) as m$k")
+
+  /** Band keys over m0.. columns — the same projection [[minhashBandsOf]]
+    * applies after its aggregate, shared with [[perRowMinExprs]]'s
+    * consumers (see its scaladoc for why these live together).
+    */
+  private[graft] def bandKeyExprs: Seq[String] =
+    (0 until NumBands).map { b =>
+      val slice = (b * RowsPerBand until (b + 1) * RowsPerBand)
+        .map(k => s"cast(m$k as string)")
+      s"md5(concat_ws('|', ${slice.mkString(", ")}))"
+    }
 
   /** 60-bit integer hash of a shingle: the first 15 hex chars of its md5
     * (big-endian nibbles), exact in a signed long — the q_table_checksum

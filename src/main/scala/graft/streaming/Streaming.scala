@@ -131,21 +131,19 @@ object Streaming {
     * m3 "bounded lambda at ingest" precedent) rather than through
     * minhashBandsOf's groupBy, which would be a stateful streaming
     * aggregation; the two formulations produce byte-identical band keys
-    * (min over the same 60-bit seeded hashes — the r13 int64 signature,
-    * see minhashBandsOf: this expression must track it exactly or the
-    * stream side stops colliding with the stored corpus bands).
+    * (min over the same 60-bit seeded hashes — the r13 int64 signature).
+    * The expressions are LlmOps.perRowMinExprs/bandKeyExprs, shared with
+    * minhashBandsOf itself, so the stream side cannot silently drift
+    * from the stored corpus bands (Round13Spec locks the parity).
     */
   def st14StreamNeardup(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.LlmOps
     val prefix = LlmOps.ensureCorpusIndex(spark, dir)
-    val nh = LlmOps.NumHashes
-    val mins = (0 until nh).map(k =>
-      s"array_min(transform(sh, x -> ${LlmOps.shingleHash60(s"concat('$k|', x)")})) as m$k")
-    val bandKeys = (0 until LlmOps.NumBands).map { b =>
-      val slice = (b * LlmOps.RowsPerBand until (b + 1) * LlmOps.RowsPerBand)
-        .map(k => s"cast(m$k as string)")
-      s"md5(concat_ws('|', ${slice.mkString(", ")}))"
-    }
+    // Shared with minhashBandsOf (single source of truth — the two
+    // formulations drifting apart would silently stop stream/corpus
+    // band collisions; Round13Spec locks the parity).
+    val mins = LlmOps.perRowMinExprs
+    val bandKeys = LlmOps.bandKeyExprs
     val incoming = docsStream(spark, dir)
       .filter(col("source") === "src0")
       .select(col("doc_id").as("new_doc"), split(col("text"), " ").as("toks"))

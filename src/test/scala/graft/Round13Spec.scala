@@ -107,4 +107,49 @@ class Round13Spec extends SparkTestBase {
     }
     PersistScope.releaseAll()
   }
+
+  test("per-row and aggregating minhash formulations produce identical bands") {
+    // st14's stream side computes the signature per row (array HOFs over
+    // the carried shingle array); minhashBandsOf computes it through a
+    // groupBy. The expressions are shared (LlmOps.perRowMinExprs /
+    // bandKeyExprs), but the parity of the two PLANS is the contract the
+    // stream gate rests on — a drift means stream docs silently stop
+    // colliding with stored corpus bands. Lock it on the real corpus.
+    import graft.operators.LlmOps
+    val docs = Tables.documents(spark, Sf)
+    val aggregated = LlmOps.minhashBandsOf(
+      docs.selectExpr("doc_id", "explode(transform(sequence(1, size(split(text, ' ')) - 2), " +
+        "i -> concat(element_at(split(text, ' '), i), ' ', " +
+        "element_at(split(text, ' '), i + 1), ' ', " +
+        "element_at(split(text, ' '), i + 2)))) AS shingle")
+        .where("size(split(text, ' ')) >= 3"))
+    val perRow = docs
+      .selectExpr("doc_id", "split(text, ' ') AS toks")
+      .where("size(toks) >= 3")
+      .selectExpr(Seq("doc_id",
+        "transform(sequence(1, size(toks) - 2), i -> concat(" +
+          "element_at(toks, i), ' ', element_at(toks, i + 1), ' ', " +
+          "element_at(toks, i + 2))) AS sh"): _*)
+      .selectExpr("doc_id" +: LlmOps.perRowMinExprs: _*)
+      .selectExpr("doc_id",
+        s"posexplode(array(${LlmOps.bandKeyExprs.mkString(", ")})) AS (band, bkey)")
+    assert(aggregated.exceptAll(perRow).count() === 0)
+    assert(perRow.exceptAll(aggregated).count() === 0)
+    assert(perRow.count() > 0)
+  }
+
+  test("the minhash signature aggregate hash-aggregates (no SortAggregate)") {
+    // The r13 int64 signature exists exactly so this aggregate stops
+    // being a SortAggregate (min over md5 hex strings has no fixed-width
+    // buffer); lock the plan so a future hash-type change can't silently
+    // regress the dedup family's dominant operator.
+    import graft.operators.LlmOps
+    val d2 = LlmOps.d2DedupMinhash(spark, Sf)
+    d2.count()
+    val plan = d2.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortAggregate"),
+      s"d2's plan should carry no SortAggregate; plan:\n${plan.take(4000)}")
+    assert(plan.contains("HashAggregate"))
+    PersistScope.releaseAll()
+  }
 }
