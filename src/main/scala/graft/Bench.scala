@@ -61,6 +61,42 @@ package graft
   *     graded in self-warmed single-query child JVMs from the start,
   *     so layer 3 has nothing left to catch for them by construction.
   *
+  * '''Wall-budget protocol''' (r14, VERDICT r13 #1 — the r13 run graded
+  * perfectly but blew the driver's wall clock and `BENCH_r13.json` came
+  * back rc=124 with NO number):
+  *
+  *  5. '''Deadline guard.''' The whole run works against a wall budget
+  *     ([[Bench.DefaultBudgetSec]] s, override via
+  *     SPARK_GRAFT_BENCH_BUDGET_SEC). The chunked pass always runs; the
+  *     expensive phases after it are FUNDED FROM THE REMAINDER:
+  *     single-query fresh JVMs degrade to one shared self-warmed chunk
+  *     (then to in-process) when the per-single estimate no longer fits,
+  *     and audit reruns are skipped once the remainder cannot fund them.
+  *     Every degradation is recorded in the sidecar under "budget" —
+  *     degraded timing is marked, never silent, and a degraded artifact
+  *     the driver can read beats a perfect one it cannot.
+  *
+  *  6. '''SIGTERM partial flush.''' A shutdown hook emits the chunked
+  *     stdout lines and a final `{"metric":"total",...,"partial":true}`
+  *     line from whatever has been timed so far, so even a hard timeout
+  *     leaves a parseable artifact (the r13 tail showed children
+  *     mid-startup and nothing else).
+  *
+  *  7. '''Baseline twins are verify-only by default''' (VERDICT r13 #5):
+  *     the [[SparkEntry.baselineTwins]] keys — deliberately-kept
+  *     full-recompute comparison baselines, ~25 s graded at sf0.1 plus
+  *     six of the sixteen fresh-JVM singles — are EXCLUDED from the
+  *     graded set (include them with SPARK_GRAFT_BENCH_TWINS=1, and any
+  *     SPARK_GRAFT_ONLY subset still times whatever it names). They stay
+  *     oracle-gated in Verify and quiet-measured in QUIET_MEDIANS.json;
+  *     the sidecar's baseline_twins block carries those quiet medians so
+  *     the recompute-vs-index comparison stays readable per round.
+  *
+  *  8. '''Per-rep process CPU''' (VERDICT r13 #6): every rep records the
+  *     JVM's process-CPU delta alongside wall, reported in the sidecar's
+  *     "cpu_reps" — wall ≫ cpu/threads separates host steal/stall from
+  *     real work in one read instead of a re-measurement session.
+  *
   * Per-query rep detail lands in the BENCH_DETAIL sidecar.
   */
 object Bench {
@@ -87,6 +123,18 @@ object Bench {
     */
   val ChunkSize = 25
 
+  /** Default wall budget (seconds) for the WHOLE bench run — chosen
+    * conservatively under the driver's observed patience (r13's ~29 min
+    * protocol timed out; r12's ~13 min run did not). Override with
+    * SPARK_GRAFT_BENCH_BUDGET_SEC.
+    */
+  val DefaultBudgetSec = 900
+
+  /** Estimated fixed wall cost of one child JVM (start + session +
+    * family warm-ups), used ONLY for budget planning — never graded.
+    */
+  val ChildOverheadSec = 25.0
+
   /** Queries graded in SINGLE-query fresh JVMs with a self-warm-up by
     * default (r12 verdict #1): the composed index-consumer / streaming /
     * multi-stage queries whose in-chunk timings inflate 2–10× from
@@ -98,8 +146,9 @@ object Bench {
     * reps). A chunk of ONE with the TimeQuery protocol (untimed self
     * warm-up, then warm reps) is the quiet-median measurement itself,
     * so these entries are comparable to QUIET_MEDIANS.json by
-    * construction. Cost: ~15 extra child JVMs per full run — paid in
-    * untimed wall clock, not in any graded number.
+    * construction. Cost: ~10 extra child JVMs per full run (16 before
+    * the r14 twin trim) — paid in untimed wall clock, not in any graded
+    * number, and funded from the wall budget (layer 5).
     */
   val FreshJvmQueries: Set[String] = Set(
     "d13_group_split", "q_curation_neardup", "q_curation_neardup_idx",
@@ -150,6 +199,9 @@ object Bench {
     if (names.contains("d7c_resolve_ingest")) b += "d7c_resolve_ingest"
     if (names.contains("t29b_winnow_ingest")) b += "t29b_winnow_ingest"
     if (names.contains("q_triangles_adj_ingest")) b += "q_triangles_adj_ingest"
+    // The span-index consumer reads the stored winnow fingerprints — one
+    // warm-up builds the snapshot so the timed probe measures the read.
+    if (names.contains("t19b_dup_spans_idx")) b += "t19b_dup_spans_idx"
     // The stored-inverted-list consumers: one warm-up builds the
     // partitioned lists table so their timed entries measure the probe /
     // batch assignment, not the snapshot build.
@@ -170,14 +222,28 @@ object Bench {
     System.gc()
   }
 
-  /** Time `names` into the three result maps (the single timing protocol
-    * both the forked children and the in-process fallback share).
+  /** Whole-process CPU seconds (all threads, user+sys) — the per-rep
+    * delta separates "host stalled" (wall ≫ cpu/threads) from "real
+    * work" without a second measurement session. -1 when the platform
+    * bean is unavailable.
+    */
+  private def processCpuSec(): Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean =>
+        val t = os.getProcessCpuTime
+        if (t < 0) -1.0 else t / 1e9
+      case _ => -1.0
+    }
+
+  /** Time `names` into the result maps (the single timing protocol both
+    * the forked children and the in-process fallback share).
     */
   private def timeInto(spark: org.apache.spark.sql.SparkSession,
                        sfDir: String, names: Seq[String],
                        times: scala.collection.mutable.Map[String, Double],
                        errors: scala.collection.mutable.Map[String, String],
-                       repsDetail: scala.collection.mutable.Map[String, Seq[Double]])
+                       repsDetail: scala.collection.mutable.Map[String, Seq[Double]],
+                       cpuDetail: scala.collection.mutable.Map[String, Seq[Double]])
                       : Unit = {
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
@@ -185,19 +251,22 @@ object Bench {
         // One rep = run + count; the PersistScope release is OUTSIDE the
         // timed window (the TimeQuery protocol, so medians here remain
         // comparable to QUIET_MEDIANS entries for persist-heavy queries).
-        def rep(): Double = {
+        def rep(): (Double, Double) = {
+          val c0 = processCpuSec()
           val t0 = System.nanoTime()
           fn(spark, sfDir).count()
           val elapsed = (System.nanoTime() - t0) / 1e9
+          val cpu = if (c0 < 0) -1.0 else processCpuSec() - c0
           PersistScope.releaseAll()
-          elapsed
+          (elapsed, cpu)
         }
         val r1 = rep()
-        val rs = if (r1 <= RepThreshold) Seq(r1) else Seq(r1, rep(), rep())
-        repsDetail(name) = rs
+        val rs = if (r1._1 <= RepThreshold) Seq(r1) else Seq(r1, rep(), rep())
+        repsDetail(name) = rs.map(_._1)
+        cpuDetail(name) = rs.map(_._2)
         // A median is recorded only once ALL reps succeeded — a query
         // that fails on rep 2 reports an error, never a partial timing.
-        times(name) = rs.sorted.apply(rs.size / 2)
+        times(name) = rs.map(_._1).sorted.apply(rs.size / 2)
       } catch { case e: Throwable =>
         errors(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
       } finally {
@@ -217,10 +286,12 @@ object Bench {
 
   /** Child-mode stdout protocol (stdout carries ONLY these lines — Spark
     * logs go to stderr, which the parent inherits): one `BENCHQ name
-    * median rep,rep,rep` per timed query, one `BENCHE name message` per
-    * failure, `BENCHDONE` last. A deliberately line-oriented format: the
-    * parent needs no JSON parser and a crashed child is detectable by
-    * the missing BENCHDONE.
+    * median rep,rep,rep cpu,cpu,cpu` per timed query, one `BENCHE name
+    * message` per failure, `BENCHDONE` last. A deliberately line-oriented
+    * format: the parent needs no JSON parser and a crashed child is
+    * detectable by the missing BENCHDONE. (The cpu field is r14; a parent
+    * reading an old child's 4-field line still parses — cpu just stays
+    * unrecorded.)
     */
   private def childMain(sfDir: String, cpus: String, names: Seq[String],
                         selfWarm: Boolean): Unit = {
@@ -240,9 +311,11 @@ object Bench {
     val times = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val reps = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
-    timeInto(spark, sfDir, names, times, errors, reps)
+    val cpu = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
+    timeInto(spark, sfDir, names, times, errors, reps, cpu)
     times.foreach { case (k, v) =>
-      println(f"BENCHQ $k $v%.4f ${reps(k).map(r => f"$r%.4f").mkString(",")}")
+      val cs = cpu.getOrElse(k, Nil).map(c => f"$c%.4f").mkString(",")
+      println(f"BENCHQ $k $v%.4f ${reps(k).map(r => f"$r%.4f").mkString(",")} $cs")
     }
     errors.foreach { case (k, v) =>
       println(s"BENCHE $k ${v.replace('\n', ' ').replace('\r', ' ')}")
@@ -254,6 +327,19 @@ object Bench {
     sys.exit(0)
   }
 
+  /** Child JVMs currently running — the SIGTERM flush hook destroys
+    * them so a driver timeout never leaves orphans burning the host
+    * while the driver moves on (the r13 timeout tail showed exactly
+    * that: children mid-startup outliving the graded run).
+    */
+  private val liveChildren =
+    new java.util.concurrent.CopyOnWriteArrayList[java.lang.Process]()
+
+  private[graft] def reapChildren(): Unit = {
+    liveChildren.forEach(p => if (p.isAlive) p.destroy())
+    liveChildren.clear()
+  }
+
   /** Fork one child JVM over `names`; returns the names it did NOT
     * account for (crash before BENCHDONE), or None if spawning itself
     * failed and the whole chunk should fall back in-process.
@@ -262,6 +348,7 @@ object Bench {
                              times: scala.collection.mutable.Map[String, Double],
                              errors: scala.collection.mutable.Map[String, String],
                              repsDetail: scala.collection.mutable.Map[String, Seq[Double]],
+                             cpuDetail: scala.collection.mutable.Map[String, Seq[Double]],
                              selfWarm: Boolean = false)
                             : Option[Seq[String]] = {
     try {
@@ -281,21 +368,24 @@ object Bench {
       val pb = new java.lang.ProcessBuilder(cmd)
       pb.redirectError(java.lang.ProcessBuilder.Redirect.INHERIT)
       val proc = pb.start()
-      val out = scala.io.Source.fromInputStream(proc.getInputStream).getLines().toList
-      val rc = proc.waitFor()
+      liveChildren.add(proc)
+      val out =
+        try scala.io.Source.fromInputStream(proc.getInputStream).getLines().toList
+        finally { proc.waitFor(); liveChildren.remove(proc) }
+      val rc = proc.exitValue()
       var done = false
       out.foreach { line =>
-        val parts = line.split(" ", 3)
+        val parts = line.split(" ")
         parts(0) match {
-          case "BENCHQ" if parts.length == 3 =>
-            val Array(med, reps) = parts(2).split(" ", 2) match {
-              case Array(m, r) => Array(m, r)
-              case Array(m)    => Array(m, m)
-            }
-            times(parts(1)) = med.toDouble
-            repsDetail(parts(1)) = reps.split(",").toSeq.map(_.toDouble)
-          case "BENCHE" if parts.length >= 2 =>
-            errors(parts(1)) = if (parts.length == 3) parts(2) else "error"
+          case "BENCHQ" if parts.length >= 4 =>
+            times(parts(1)) = parts(2).toDouble
+            repsDetail(parts(1)) = parts(3).split(",").toSeq.map(_.toDouble)
+            if (parts.length >= 5 && parts(4).nonEmpty)
+              cpuDetail(parts(1)) = parts(4).split(",").toSeq.map(_.toDouble)
+          case "BENCHE" =>
+            val p3 = line.split(" ", 3)
+            if (p3.length >= 2)
+              errors(p3(1)) = if (p3.length == 3) p3(2) else "error"
           case "BENCHDONE" => done = true
           case _ => () // stray stdout line — ignore
         }
@@ -312,6 +402,29 @@ object Bench {
     }
   }
 
+  /** Parse the flat name→seconds map out of QUIET_MEDIANS.json (our own
+    * tools/build_qm.py format — a full JSON parser would be a dependency
+    * for a file this repo generates). Left = why it's unusable.
+    */
+  private def loadQuietMedians(path: String, sfDir: String)
+      : Either[String, Map[String, Double]] = {
+    val f = new java.io.File(path)
+    if (!f.isFile) Left(s"skipped: $path not found")
+    else {
+      val txt = new String(java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val quietSf = """"sf":\s*"([^"]+)"""".r.findFirstMatchIn(txt).map(_.group(1))
+      if (!quietSf.contains(sfDir))
+        Left(s"skipped: quiet medians cover ${quietSf.getOrElse("?")}, bench ran $sfDir")
+      else {
+        val medsTxt = txt.substring(math.max(0, txt.indexOf("\"medians_sec\"")))
+        Right(""""([A-Za-z0-9_]+)":\s*([0-9][0-9.eE+-]*)""".r
+          .findAllMatchIn(medsTxt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap - "medians_sec")
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -324,6 +437,13 @@ object Bench {
       childMain(sfDir, cpus, names, selfWarm = args.contains("--selfwarm"))
       return
     }
+
+    // ---- Wall budget (layer 5) --------------------------------------
+    val benchStart = System.nanoTime()
+    def elapsedSec: Double = (System.nanoTime() - benchStart) / 1e9
+    val budgetSec: Double = sys.env.get("SPARK_GRAFT_BENCH_BUDGET_SEC")
+      .flatMap(_.toDoubleOption).filter(_ > 0).getOrElse(DefaultBudgetSec.toDouble)
+    def remainingSec: Double = budgetSec - elapsedSec
 
     // Optional subset filter (dev iteration / the sf1 sweep); the driver
     // never sets it, so the per-round gate always times the full catalog.
@@ -351,14 +471,223 @@ object Bench {
         "this is NOT a full-catalog sweep")
     }
 
-    val catalog = SparkEntry.queries.keys.toSeq.sorted
+    // Baseline twins are verify-only by default (layer 7). An explicit
+    // SPARK_GRAFT_ONLY naming a twin still times it — a dev asking for a
+    // query by name always gets it.
+    val twinsGraded = sys.env.getOrElse("SPARK_GRAFT_BENCH_TWINS", "0") == "1"
+    val catalogAll = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
+    val skippedTwins: Seq[String] =
+      if (twinsGraded || only.isDefined) Seq.empty
+      else catalogAll.filter(SparkEntry.baselineTwins.contains)
+    val catalog = catalogAll.filterNot(skippedTwins.toSet)
+    if (skippedTwins.nonEmpty)
+      System.err.println(s"[bench] baseline twins verify-only this run " +
+        s"(SPARK_GRAFT_BENCH_TWINS=1 to grade): ${skippedTwins.mkString(",")}")
+
     val forkEnabled = sys.env.getOrElse("SPARK_GRAFT_BENCH_FORK", "1") != "0"
 
-    val times = scala.collection.mutable.LinkedHashMap[String, Double]()
-    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val repsDetail = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
-    val fallbackChunks = scala.collection.mutable.ArrayBuffer[String]()
+    // Concurrent maps: the SIGTERM flush hook (layer 6) reads these while
+    // the main thread may still be writing; TrieMap iteration is safe
+    // under concurrent mutation where LinkedHashMap's is not.
+    val times = scala.collection.concurrent.TrieMap[String, Double]()
+    val errors = scala.collection.concurrent.TrieMap[String, String]()
+    val repsDetail = scala.collection.concurrent.TrieMap[String, Seq[Double]]()
+    val cpuDetail = scala.collection.concurrent.TrieMap[String, Seq[Double]]()
+    // CopyOnWrite: appended from the main thread, read by the SIGTERM
+    // flush hook — iteration must never throw mid-append.
+    val fallbackChunks = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val budgetNotes = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    @volatile var auditNote = "pending: run interrupted before the audit phase"
+    final case class Audit(graded: Double, quiet: Double,
+                           reruns: Seq[Double], calib: Seq[Double],
+                           used: Double, flagged: Boolean)
+    val auditEntries = scala.collection.concurrent.TrieMap[String, Audit]()
+
+    val auditPath = sys.env.getOrElse("SPARK_GRAFT_QUIET_MEDIANS", "QUIET_MEDIANS.json")
+    val quietOrNote = loadQuietMedians(auditPath, sfDir)
+    val quietMap: Map[String, Double] = quietOrNote.getOrElse(Map.empty)
+
+    // ---- Emission (shared by the normal exit and the SIGTERM hook) ---
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => " "
+      case c => c.toString
+    } + "\""
+    def sec(v: Double, decimals: Int): String = {
+      val pow = math.pow(10, decimals).toLong
+      val c = math.round(v * pow)
+      if (decimals == 0) c.toString
+      else s"${c / pow}.${s"%0${decimals}d".format(c % pow)}"
+    }
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
+
+    /** Print the chunked queries_part lines + the final total line (and
+      * write the sidecar). `partial` marks a SIGTERM flush — the line
+      * carries "partial":true so a grader knows the run was cut, but it
+      * still parses and its total covers everything timed so far.
+      */
+    def emit(partial: Boolean): Unit = {
+      val snapshot = times.readOnlySnapshot().toMap
+      val errSnap = errors.readOnlySnapshot().toMap
+      // Full error detail goes to stderr; the JSON line carries a
+      // truncated form so failures can never blow the line budget.
+      errSnap.toSeq.sortBy(_._1).foreach { case (k, v) =>
+        System.err.println(s"[bench] FAILED $k — $v") }
+      def errsJson(maxMsg: Int): String =
+        if (errSnap.isEmpty) ""
+        else errSnap.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"${q(k)}:${q(v.take(maxMsg))}" }
+          .mkString(""","errors":{""", ",", "}")
+      val total = snapshot.values.sum
+      val partialTag = if (partial)
+        s""","partial":true,"n_timed":${snapshot.size},"n_planned":${catalog.size}"""
+        else ""
+      def build(decimals: Int, counts: Boolean, maxMsg: Int,
+                topK: Int = Int.MaxValue): String = {
+        // When even whole-second full listings blow the budget (the query
+        // catalog keeps growing), keep only the SLOWEST topK entries —
+        // those are the ones perf grading reads; the total still covers
+        // everything and n_queries records the full count.
+        val kept =
+          if (topK >= snapshot.size) snapshot.toSeq.sortBy(_._1)
+          else snapshot.toSeq.sortBy { case (_, v) => -v }.take(topK).sortBy(_._1)
+        val qs = kept.map { case (k, v) => s"${q(k)}:${sec(v, decimals)}" }.mkString("{", ",", "}")
+        val tail =
+          if (counts || topK < snapshot.size)
+            s""","n_queries":${snapshot.size},"n_errors":${errSnap.size}""" else ""
+        val subset = if (only.isDefined)
+          s""","subset":true,"n_catalog":${SparkEntry.queries.size}""" else ""
+        s"""{"metric":"total","value":${sec(total, 2)},"unit":"sec","queries":$qs${errsJson(maxMsg)}$tail$subset$partialTag,"sf":"$sfDir"}"""
+      }
+      // Sidecar BENCH_DETAIL.json: EVERY query at millisecond precision
+      // plus errors/reps/cpu/audit/budget. The driver ignores it; judges
+      // and humans read it.
+      val protocol =
+        (if (forkEnabled) s"fresh JVM per <=$ChunkSize-query chunk (sweep protocol in-bench); " +
+          "pollution-prone composed queries (fresh_jvm_queries) each in a " +
+          "self-warmed single-query JVM — the quiet-median protocol itself; "
+         else "single JVM (SPARK_GRAFT_BENCH_FORK=0); ") +
+        s"median-of-3 for queries with first rep > ${RepThreshold}s; " +
+        "single rep below; graded medians self-audited against " +
+        "QUIET_MEDIANS.json with calibration-gated single-query fresh-JVM " +
+        s"reruns for >${AuditRatio}x outliers; all phases after the chunked " +
+        s"pass funded from a ${budgetSec.toLong}s wall budget " +
+        "(see Bench.scala scaladoc)"
+      val detailJson = {
+        val sortedTimes = snapshot.toSeq.sortBy(_._1)
+        val qs = sortedTimes.map { case (k, v) => s"  ${q(k)}: ${sec(v, 3)}" }.mkString("{\n", ",\n", "\n}")
+        val es = errSnap.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"  ${q(k)}: ${q(v)}" }.mkString("{\n", ",\n", "\n}")
+        val rd = sortedTimes.map { case (k, _) =>
+          s"  ${q(k)}: ${repsDetail.getOrElse(k, Nil).map(sec(_, 3)).mkString("[", ",", "]")}" }
+          .mkString("{\n", ",\n", "\n}")
+        val cd = sortedTimes.map { case (k, _) =>
+          s"  ${q(k)}: ${cpuDetail.getOrElse(k, Nil).map(sec(_, 3)).mkString("[", ",", "]")}" }
+          .mkString("{\n", ",\n", "\n}")
+        val au = auditEntries.readOnlySnapshot().toSeq.sortBy(_._1).map { case (k, a) =>
+          s"  ${q(k)}: {\"graded\": ${sec(a.graded, 3)}, \"quiet\": ${sec(a.quiet, 3)}, " +
+            s"\"reruns\": ${a.reruns.map(sec(_, 3)).mkString("[", ",", "]")}, " +
+            s"\"calibration\": ${a.calib.map(sec(_, 3)).mkString("[", ",", "]")}, " +
+            s"\"used\": ${sec(a.used, 3)}, \"flagged\": ${a.flagged}" +
+            (if (a.flagged && a.reruns.isEmpty && a.calib.nonEmpty)
+              ", \"host_loaded_during_reruns\": true" else "") + "}" }
+          .mkString("{\n", ",\n", "\n}")
+        val freshGraded = snapshot.keys.toSeq.sorted.filter(FreshJvmQueries.contains)
+        // Comparison twins kept for oracle-equality / scale evidence.
+        // When verify-only (the r14 default) they carry their committed
+        // QUIET medians so the recompute-vs-index comparison stays
+        // readable; when graded (SPARK_GRAFT_BENCH_TWINS=1) the graded
+        // seconds appear under "queries" like everything else.
+        val twinNames = SparkEntry.baselineTwins.keys.toSeq.sorted
+        val twins = SparkEntry.baselineTwins.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"  ${q(k)}: ${q(v)}" }
+          .mkString("{\n", ",\n", "\n}")
+        val twinQuiet = twinNames
+          .flatMap(n => quietMap.get(n).map(v => s"  ${q(n)}: ${sec(v, 3)}"))
+          .mkString("{\n", ",\n", "\n}")
+        val twinSecs =
+          if (skippedTwins.nonEmpty) skippedTwins.flatMap(quietMap.get).sum
+          else twinNames.flatMap(snapshot.get).sum
+        val budget = {
+          val notes = budgetNotes.toArray.toSeq.map(v => q(v.toString)).mkString("[", ",", "]")
+          s"""{"budget_sec": ${budgetSec.toLong}, "elapsed_sec": ${sec(elapsedSec, 1)}, "notes": $notes}"""
+        }
+        s"""{
+"metric": "total",
+"value": ${sec(total, 3)},
+"unit": "sec",
+"protocol": ${q(protocol)},
+"n_queries": ${snapshot.size},
+"n_errors": ${errSnap.size},${if (partial) s"""
+"partial": true,
+"n_catalog_planned": ${catalog.size},""" else ""}${if (only.isDefined) s"""
+"subset": true,
+"n_catalog": ${SparkEntry.queries.size},""" else ""}${if (!fallbackChunks.isEmpty) s"""
+"fork_fallback_chunks": ${fallbackChunks.toArray.toSeq.map(v => q(v.toString)).mkString("[", ",", "]")},""" else ""}
+"sf": ${q(sfDir)},
+"budget": $budget,
+"fresh_jvm_queries": ${freshGraded.map(q).mkString("[", ",", "]")},
+"baseline_twins": {"graded": $twinsGraded, "excluded_from_grading": ${skippedTwins.nonEmpty},
+  "quiet_total_sec": ${sec(twinSecs, 3)}, "quiet_sec": $twinQuiet,
+  "recommended_form": $twins,
+  "note": "full-recompute comparison baselines — oracle-gated in Verify every round; quiet_sec from QUIET_MEDIANS.json (r14: verify-only by default, VERDICT r13 #5)"},
+"quiet_audit": {"note": ${q(auditNote)}, "entries": $au},
+"queries": $qs,
+"reps": $rd,
+"cpu_reps": $cd,
+"errors": $es
+}"""
+      }
+      try {
+        java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
+          detailJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      } catch { case e: Throwable => System.err.println(s"[bench] sidecar write failed: $e") }
+      def chunkLines(maxLen: Int): Seq[String] = {
+        val entries = snapshot.toSeq.sortBy(_._1).map { case (k, v) => s"${q(k)}:${sec(v, 2)}" }
+        val chunks = scala.collection.mutable.ArrayBuffer(scala.collection.mutable.ArrayBuffer[String]())
+        var len = 0
+        entries.foreach { e =>
+          if (len + e.length + 1 > maxLen && chunks.last.nonEmpty) {
+            chunks += scala.collection.mutable.ArrayBuffer[String]()
+            len = 0
+          }
+          chunks.last += e; len += e.length + 1
+        }
+        val n = chunks.size
+        chunks.zipWithIndex.map { case (c, i) =>
+          s"""{"metric":"queries_part","part":${i + 1},"of":$n,"queries":${c.mkString("{", ",", "}")}}"""
+        }.toSeq
+      }
+      // The harness keeps a ~2000-char stdout tail and parses its last
+      // line, so the line must stay under that budget: centiseconds
+      // first, then drop the count fields, then deciseconds, then shrink
+      // error messages, then whole seconds, then slowest-K truncation —
+      // the final total-only variant always fits.
+      val line = Seq(
+        build(2, true, 120), build(2, false, 120), build(1, false, 120),
+        build(1, false, 20), build(0, false, 20),
+        build(1, false, 20, 80), build(1, false, 20, 60), build(1, false, 20, 40),
+        build(1, false, 20, 25))
+        .find(_.length <= 1960).getOrElse(build(1, false, 0, 0))
+      chunkLines(1800).foreach(println)
+      println(line)
+      System.out.flush()
+    }
+
+    // SIGTERM flush (layer 6): when the driver's wall clock expires it
+    // TERMs the process tree; this hook turns whatever was timed into a
+    // parseable partial artifact instead of the r13 nothing. The hook is
+    // a no-op once the normal path has emitted.
+    val emitted = new java.util.concurrent.atomic.AtomicBoolean(false)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      if (emitted.compareAndSet(false, true)) {
+        reapChildren()
+        budgetNotes.add(s"SIGTERM flush at ${sec(elapsedSec, 1)}s — partial artifact")
+        emit(partial = true)
+      }
+    }, "bench-partial-flush"))
 
     // In-process session, created lazily: the all-forked happy path never
     // builds a SparkSession in the parent at all.
@@ -369,65 +698,109 @@ object Bench {
     }
     var usedLocal = false
 
-    // Regular queries in ≤ChunkSize chunks first; the pollution-prone
-    // FreshJvmQueries last, each in its OWN self-warmed child JVM (the
-    // quiet-median protocol — see FreshJvmQueries). Running the singles
-    // after the bulk chunks keeps them off any host contention the big
-    // chunks' own child JVMs could cause.
+    // ---- Phase 1: bulk chunks (always run — the driver's number needs
+    // every query; the budget shapes only the phases after) ------------
     val (freshNames, regularNames) = catalog.partition(FreshJvmQueries.contains)
-    val plannedChunks: Seq[(Seq[String], Boolean)] =
-      regularNames.grouped(ChunkSize).map(c => (c, false)).toSeq ++
-        freshNames.map(n => (Seq(n), true))
-    plannedChunks.foreach { case (chunk, selfWarm) =>
+    regularNames.grouped(ChunkSize).foreach { chunk =>
       val leftover: Seq[String] =
         if (!forkEnabled) chunk
-        else runChunkForked(sfDir, chunk, times, errors, repsDetail, selfWarm) match {
+        else runChunkForked(sfDir, chunk, times, errors, repsDetail, cpuDetail) match {
           case Some(missing) => missing
           case None          => chunk
         }
       if (leftover.nonEmpty) {
-        fallbackChunks += leftover.head
+        fallbackChunks.add(leftover.head)
         usedLocal = true
-        timeInto(localSpark, sfDir, leftover, times, errors, repsDetail)
+        timeInto(localSpark, sfDir, leftover, times, errors, repsDetail, cpuDetail)
       }
     }
+
+    // ---- Phase 2: fresh-JVM singles, funded from the remaining budget.
+    // Estimated wall for one single: child overhead + self-warm + up to
+    // 3 reps ≈ overhead + 4×quiet (60 s when the quiet median is
+    // unknown). When the remainder can no longer fund a single, the REST
+    // run together in one shared self-warmed chunk (one JVM start, still
+    // fresh vs the bulk pass); if even that estimate doesn't fit, they
+    // run in-process — timed either way, the driver always gets a full
+    // catalog, and the sidecar names the degraded entries.
+    def singleEstimate(n: String): Double =
+      ChildOverheadSec + quietMap.get(n).map(_ * 4).getOrElse(35.0)
+    val emitReserve = 15.0
+    var degradePos = 0
+    val freshOrdered = freshNames // already sorted (catalog order)
+    while (degradePos < freshOrdered.size &&
+           (!forkEnabled ||
+            remainingSec > singleEstimate(freshOrdered(degradePos)) + emitReserve)) {
+      val n = freshOrdered(degradePos)
+      val leftover: Seq[String] =
+        if (!forkEnabled) Seq(n)
+        else runChunkForked(sfDir, Seq(n), times, errors, repsDetail, cpuDetail,
+          selfWarm = true) match {
+          case Some(missing) => missing
+          case None          => Seq(n)
+        }
+      if (leftover.nonEmpty) {
+        fallbackChunks.add(leftover.head)
+        usedLocal = true
+        timeInto(localSpark, sfDir, leftover, times, errors, repsDetail, cpuDetail)
+      }
+      degradePos += 1
+    }
+    val degraded = freshOrdered.drop(degradePos)
+    if (degraded.nonEmpty) {
+      val sharedEstimate = ChildOverheadSec +
+        degraded.map(n => quietMap.get(n).map(_ * 4).getOrElse(35.0)).sum
+      if (forkEnabled && remainingSec > sharedEstimate + emitReserve) {
+        budgetNotes.add(s"budget_degraded: shared self-warmed chunk for ${degraded.mkString(",")}")
+        System.err.println(s"[bench] BUDGET degrading ${degraded.size} fresh-JVM " +
+          s"singles to one shared chunk (${sec(remainingSec, 0)}s left of ${budgetSec.toLong}s)")
+        degraded.grouped(ChunkSize).foreach { chunk =>
+          runChunkForked(sfDir, chunk, times, errors, repsDetail, cpuDetail,
+            selfWarm = true) match {
+            case Some(missing) if missing.nonEmpty =>
+              fallbackChunks.add(missing.head); usedLocal = true
+              timeInto(localSpark, sfDir, missing, times, errors, repsDetail, cpuDetail)
+            case None =>
+              fallbackChunks.add(chunk.head); usedLocal = true
+              timeInto(localSpark, sfDir, chunk, times, errors, repsDetail, cpuDetail)
+            case _ => ()
+          }
+        }
+      } else {
+        budgetNotes.add(s"budget_degraded: in-process timing for ${degraded.mkString(",")}")
+        System.err.println(s"[bench] BUDGET degrading ${degraded.size} fresh-JVM " +
+          s"singles to in-process (${sec(remainingSec, 0)}s left of ${budgetSec.toLong}s)")
+        usedLocal = true
+        timeInto(localSpark, sfDir, degraded, times, errors, repsDetail, cpuDetail)
+      }
+    }
+
     // Serialize everything BEFORE the audit (r12 verdict: an audit rerun
     // that shares the host with the parent's in-process session measures
     // load, not the query): the fallback session is stopped here, so
     // rerun children run against an idle parent.
     if (usedLocal) localSpark.stop()
 
-    // --- Quiet-median self-audit (layer 3; see scaladoc) -------------
-    final case class Audit(graded: Double, quiet: Double,
-                           reruns: Seq[Double], calib: Seq[Double],
-                           used: Double, flagged: Boolean)
-    val auditEntries = scala.collection.mutable.LinkedHashMap[String, Audit]()
-    val auditPath = sys.env.getOrElse("SPARK_GRAFT_QUIET_MEDIANS", "QUIET_MEDIANS.json")
-    val auditNote =
+    // ---- Phase 3: quiet-median self-audit (layer 3), budget-funded ---
+    auditNote =
       if (!forkEnabled) "skipped: forking disabled, fresh-JVM reruns unavailable"
-      else {
-        val f = new java.io.File(auditPath)
-        if (!f.isFile) s"skipped: $auditPath not found"
-        else {
-          val txt = new String(java.nio.file.Files.readAllBytes(f.toPath),
-            java.nio.charset.StandardCharsets.UTF_8)
-          val quietSf = """"sf":\s*"([^"]+)"""".r.findFirstMatchIn(txt).map(_.group(1))
-          if (!quietSf.contains(sfDir))
-            s"skipped: quiet medians cover ${quietSf.getOrElse("?")}, bench ran $sfDir"
-          else {
-            // Flat name→seconds map under "medians_sec" (our own
-            // tools/build_qm.py format — a full JSON parser would be a
-            // dependency for a file this repo generates).
-            val medsTxt = txt.substring(math.max(0, txt.indexOf("\"medians_sec\"")))
-            val quiet = """"([A-Za-z0-9_]+)":\s*([0-9][0-9.eE+-]*)""".r
-              .findAllMatchIn(medsTxt)
-              .map(m => m.group(1) -> m.group(2).toDouble).toMap - "medians_sec"
-            val flaggedNames = times.keys.toSeq.sorted.filter { n =>
-              quiet.get(n).exists(qm =>
-                times(n) > AuditRatio * qm && times(n) - qm > AuditFloor)
-            }
-            flaggedNames.foreach { n =>
-              val qm = quiet(n)
+      else quietOrNote match {
+        case Left(note) => note
+        case Right(quiet) =>
+          val flaggedNames = times.keys.toSeq.sorted.filter { n =>
+            quiet.get(n).exists(qm =>
+              times(n) > AuditRatio * qm && times(n) - qm > AuditFloor)
+          }
+          var budgetSkipped = 0
+          flaggedNames.foreach { n =>
+            val qm = quiet(n)
+            val rerunEstimate = ChildOverheadSec + qm * 4 * AuditAttempts + 5
+            if (remainingSec < rerunEstimate + emitReserve) {
+              budgetSkipped += 1
+              auditEntries(n) = Audit(times(n), qm, Nil, Nil, times(n), flagged = true)
+              System.err.println(f"[bench] AUDIT $n graded ${times(n)}%.2fs vs quiet " +
+                f"$qm%.2fs — rerun SKIPPED (wall budget: ${remainingSec}%.0fs left)")
+            } else {
               System.err.println(f"[bench] AUDIT $n graded ${times(n)}%.2fs vs quiet " +
                 f"$qm%.2fs — re-running in a fresh JVM")
               // Rerun protocol (r12 verdict: r12's reruns came back WORSE
@@ -442,12 +815,14 @@ object Bench {
               val calibs = scala.collection.mutable.ArrayBuffer[Double]()
               var attempts = 0
               while (attempts < AuditAttempts &&
-                     (reruns.isEmpty || reruns.min > AuditRatio * qm)) {
+                     (reruns.isEmpty || reruns.min > AuditRatio * qm) &&
+                     remainingSec > ChildOverheadSec + qm * 4 + emitReserve) {
                 val t2 = scala.collection.mutable.LinkedHashMap[String, Double]()
                 val e2 = scala.collection.mutable.LinkedHashMap[String, String]()
                 val r2 = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
+                val c2 = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
                 val chunk = if (n == CalibrationQuery) Seq(n) else Seq(CalibrationQuery, n)
-                runChunkForked(sfDir, chunk, t2, e2, r2, selfWarm = true)
+                runChunkForked(sfDir, chunk, t2, e2, r2, c2, selfWarm = true)
                 val calib = t2.get(CalibrationQuery)
                 calib.foreach(calibs += _)
                 val hostLoaded = (for (c <- calib; cq <- calibQuiet)
@@ -457,7 +832,11 @@ object Bench {
                     f"$CalibrationQuery read ${calib.get}%.2fs vs quiet ${calibQuiet.get}%.2fs " +
                     "(host loaded during rerun)")
                 else
-                  t2.get(n).foreach { v => reruns += v; repsDetail(n) = r2.getOrElse(n, Seq(v)) }
+                  t2.get(n).foreach { v =>
+                    reruns += v
+                    repsDetail(n) = r2.getOrElse(n, Seq(v))
+                    c2.get(n).foreach(cpuDetail(n) = _)
+                  }
                 e2.get(n).foreach(msg => System.err.println(
                   s"[bench] AUDIT rerun of $n failed ($msg) — keeping graded value"))
                 attempts += 1
@@ -481,154 +860,16 @@ object Bench {
                   s"${reruns.size} accepted fresh-JVM rerun(s)$loadNote")
               }
             }
-            s"${flaggedNames.size} flagged of ${times.size} graded " +
-              s"(>${AuditRatio}x quiet and >${AuditFloor}s over); " +
-              s"${auditEntries.count(_._2.flagged)} still flagged after reruns"
           }
-        }
+          if (budgetSkipped > 0)
+            budgetNotes.add(s"audit: $budgetSkipped rerun(s) skipped for wall budget")
+          s"${flaggedNames.size} flagged of ${times.size} graded " +
+            s"(>${AuditRatio}x quiet and >${AuditFloor}s over); " +
+            s"${auditEntries.count(_._2.flagged)} still flagged after reruns" +
+            (if (budgetSkipped > 0) s"; $budgetSkipped rerun(s) budget-skipped" else "")
       }
 
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => " "
-      case c => c.toString
-    } + "\""
-    // Centisecond precision and no empty-errors object: the external
-    // harness captures only the tail of stdout and JSON-parses the LAST
-    // line — rounds 1-3 all came back `parsed: false` because
-    // full-precision doubles pushed the line past the capture window and
-    // sbt's "[success]" trailer (now suppressed in build.sbt) displaced
-    // the last line. Keep this line compact (<~1900 chars) and final.
-    def sec(v: Double, decimals: Int): String = {
-      val pow = math.pow(10, decimals).toLong
-      val c = math.round(v * pow)
-      if (decimals == 0) c.toString
-      else s"${c / pow}.${s"%0${decimals}d".format(c % pow)}"
-    }
-    // Full error detail goes to stderr; the JSON line carries a
-    // truncated form so failures can never blow the line budget.
-    errors.foreach { case (k, v) => System.err.println(s"[bench] FAILED $k — $v") }
-    def errsJson(maxMsg: Int): String =
-      if (errors.isEmpty) ""
-      else errors.map { case (k, v) => s"${q(k)}:${q(v.take(maxMsg))}" }
-        .mkString(""","errors":{""", ",", "}")
-    val total = times.values.sum
-    def build(decimals: Int, counts: Boolean, maxMsg: Int,
-              topK: Int = Int.MaxValue): String = {
-      // When even whole-second full listings blow the budget (the query
-      // catalog keeps growing), keep only the SLOWEST topK entries —
-      // those are the ones perf grading reads; the total still covers
-      // everything and n_queries records the full count.
-      val kept =
-        if (topK >= times.size) times.toSeq
-        else times.toSeq.sortBy { case (_, v) => -v }.take(topK).sortBy(_._1)
-      val qs = kept.map { case (k, v) => s"${q(k)}:${sec(v, decimals)}" }.mkString("{", ",", "}")
-      val tail =
-        if (counts || topK < times.size)
-          s""","n_queries":${times.size},"n_errors":${errors.size}""" else ""
-      val subset = if (only.isDefined)
-        s""","subset":true,"n_catalog":${SparkEntry.queries.size}""" else ""
-      s"""{"metric":"total","value":${sec(total, 2)},"unit":"sec","queries":$qs${errsJson(maxMsg)}$tail$subset,"sf":"$sfDir"}"""
-    }
-    // Round-5 verdict: at 107 queries the single-line budget forced the
-    // graded fallback and 25 sub-second queries became invisible to
-    // regression grading. Two recovery channels, both deterministic:
-    //
-    // (1) Sidecar file BENCH_DETAIL.json (cwd, override via
-    //     SPARK_GRAFT_BENCH_DETAIL): EVERY query at millisecond
-    //     precision plus errors/total. The driver ignores it; judges and
-    //     humans read it.
-    // (2) Chunked tagged stdout lines `{"metric":"queries_part",...}`
-    //     emitted BEFORE the final total line — each under the line
-    //     budget, keys sorted, so any capture window wide enough to hold
-    //     them yields the full map; the parseable total line stays LAST.
-    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
-    val protocol =
-      (if (forkEnabled) s"fresh JVM per <=$ChunkSize-query chunk (sweep protocol in-bench); " +
-        "pollution-prone composed queries (fresh_jvm_queries) each in a " +
-        "self-warmed single-query JVM — the quiet-median protocol itself; "
-       else "single JVM (SPARK_GRAFT_BENCH_FORK=0); ") +
-      s"median-of-3 for queries with first rep > ${RepThreshold}s; " +
-      "single rep below; graded medians self-audited against " +
-      "QUIET_MEDIANS.json with calibration-gated single-query fresh-JVM " +
-      s"reruns for >${AuditRatio}x outliers (see Bench.scala scaladoc)"
-    val detailJson = {
-      val sortedTimes = times.toSeq.sortBy(_._1)
-      val qs = sortedTimes.map { case (k, v) => s"  ${q(k)}: ${sec(v, 3)}" }.mkString("{\n", ",\n", "\n}")
-      val es = errors.map { case (k, v) => s"  ${q(k)}: ${q(v)}" }.mkString("{\n", ",\n", "\n}")
-      val rd = sortedTimes.map { case (k, _) =>
-        s"  ${q(k)}: ${repsDetail.getOrElse(k, Nil).map(sec(_, 3)).mkString("[", ",", "]")}" }
-        .mkString("{\n", ",\n", "\n}")
-      val au = auditEntries.map { case (k, a) =>
-        s"  ${q(k)}: {\"graded\": ${sec(a.graded, 3)}, \"quiet\": ${sec(a.quiet, 3)}, " +
-          s"\"reruns\": ${a.reruns.map(sec(_, 3)).mkString("[", ",", "]")}, " +
-          s"\"calibration\": ${a.calib.map(sec(_, 3)).mkString("[", ",", "]")}, " +
-          s"\"used\": ${sec(a.used, 3)}, \"flagged\": ${a.flagged}" +
-          (if (a.flagged && a.reruns.isEmpty && a.calib.nonEmpty)
-            ", \"host_loaded_during_reruns\": true" else "") + "}" }
-        .mkString("{\n", ",\n", "\n}")
-      val freshGraded = times.keys.toSeq.sorted.filter(FreshJvmQueries.contains)
-      // Comparison twins kept for oracle-equality / scale evidence —
-      // their graded seconds are baseline cost, not user-facing cost.
-      val twins = SparkEntry.baselineTwins.toSeq
-        .filter { case (k, _) => times.contains(k) }.sortBy(_._1)
-        .map { case (k, v) => s"  ${q(k)}: ${q(v)}" }
-        .mkString("{\n", ",\n", "\n}")
-      val twinSecs = SparkEntry.baselineTwins.keys
-        .flatMap(times.get).sum
-      s"""{
-"metric": "total",
-"value": ${sec(total, 3)},
-"unit": "sec",
-"protocol": ${q(protocol)},
-"n_queries": ${times.size},
-"n_errors": ${errors.size},${if (only.isDefined) s"""
-"subset": true,
-"n_catalog": ${SparkEntry.queries.size},""" else ""}${if (fallbackChunks.nonEmpty) s"""
-"fork_fallback_chunks": ${fallbackChunks.map(q).mkString("[", ",", "]")},""" else ""}
-"sf": ${q(sfDir)},
-"fresh_jvm_queries": ${freshGraded.map(q).mkString("[", ",", "]")},
-"baseline_twins": {"total_sec": ${sec(twinSecs, 3)}, "recommended_form": $twins},
-"quiet_audit": {"note": ${q(auditNote)}, "entries": $au},
-"queries": $qs,
-"reps": $rd,
-"errors": $es
-}"""
-    }
-    try {
-      java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
-        detailJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    } catch { case e: Throwable => System.err.println(s"[bench] sidecar write failed: $e") }
-    def chunkLines(maxLen: Int): Seq[String] = {
-      val entries = times.toSeq.sortBy(_._1).map { case (k, v) => s"${q(k)}:${sec(v, 2)}" }
-      val chunks = scala.collection.mutable.ArrayBuffer(scala.collection.mutable.ArrayBuffer[String]())
-      var len = 0
-      entries.foreach { e =>
-        if (len + e.length + 1 > maxLen && chunks.last.nonEmpty) {
-          chunks += scala.collection.mutable.ArrayBuffer[String]()
-          len = 0
-        }
-        chunks.last += e; len += e.length + 1
-      }
-      val n = chunks.size
-      chunks.zipWithIndex.map { case (c, i) =>
-        s"""{"metric":"queries_part","part":${i + 1},"of":$n,"queries":${c.mkString("{", ",", "}")}}"""
-      }.toSeq
-    }
-    // The harness keeps a ~2000-char stdout tail and parses its last
-    // line, so the line must stay under that budget: centiseconds
-    // first, then drop the count fields, then deciseconds, then shrink
-    // error messages, then whole seconds, then slowest-K truncation —
-    // the final total-only variant always fits.
-    val line = Seq(
-      build(2, true, 120), build(2, false, 120), build(1, false, 120),
-      build(1, false, 20), build(0, false, 20),
-      build(1, false, 20, 80), build(1, false, 20, 60), build(1, false, 20, 40),
-      build(1, false, 20, 25))
-      .find(_.length <= 1960).getOrElse(build(1, false, 0, 0))
-    chunkLines(1800).foreach(println)
-    println(line)
+    if (emitted.compareAndSet(false, true)) emit(partial = false)
     if (errors.nonEmpty) sys.exit(1)
   }
 }

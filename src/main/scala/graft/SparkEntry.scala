@@ -210,6 +210,7 @@ object SparkEntry {
     "t28_bpe_encode"   -> LlmOps.t28BpeEncode _,
     "t29_winnow_dups"  -> LlmOps.t29WinnowDups _,
     "t29b_winnow_ingest" -> LlmOps.t29bWinnowIngest _,
+    "t19b_dup_spans_idx" -> LlmOps.t19bDupSpansIdx _,
     "t30_bpe_learn"    -> LlmOps.t30BpeLearn _,
     "t25_classifier"   -> LlmOps.t25Classifier _,
     "t26_bigram_lm"    -> LlmOps.t26BigramLm _,
@@ -285,7 +286,10 @@ object SparkEntry {
     "d13_group_split"      -> "d13b_split_idx",
     "q_curation_neardup"   -> "q_curation_neardup_idx",
     "d9_prefix_join"       -> "d9b_prefix_guarded",
-    "t29_winnow_dups"      -> "t29b_winnow_ingest",
+    // r14: the recommended full-corpus READ path is the stored-index
+    // consumer (t29b stays the recommended INGEST form; both are
+    // non-twin catalog entries).
+    "t29_winnow_dups"      -> "t19b_dup_spans_idx",
     "q_triangles"          -> "q_triangles_adj_idx",
     "q_triangles_idx"      -> "q_triangles_adj_idx",
     "q_triangles_adj"      -> "q_triangles_adj_idx",
@@ -1185,6 +1189,9 @@ object SparkEntry {
     // Span-index ingest: pure optimization, identical twin (winnowing is
     // per-document, so stored ∪ batch fingerprints = full recompute's).
     "t29b_winnow_ingest" -> winnowDupSql,
+    // Stored-index read path (r14): the whole-corpus fingerprint table
+    // IS the recompute's fingerprint set — same oracle again.
+    "t19b_dup_spans_idx" -> winnowDupSql,
     "t30_bpe_learn" -> t30LearnSql,
     "st14_stream_neardup" -> st14NeardupSql,
     // Inverted-index twin: distinct (shingle, doc) rows, df band filter,
@@ -1617,7 +1624,13 @@ object SparkEntry {
         "SELECT doc_id, CAST(length(payload_hex) // 2 AS BIGINT) AS n_bytes, md5(payload_hex) AS checksum, " +
         "TRUE AS sig_ok, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height, " +
         "CAST(8 AS BIGINT) AS bit_depth, CAST(0 AS BIGINT) AS color_type, " +
-        "CAST(3 AS BIGINT) AS n_chunks, TRUE AS iend_found FROM p"),
+        // crc_ok: DuckDB has no crc32 built-in, so the twin states the
+        // expectation from its own construction — it wrote the spec
+        // constant crc32('IEND') = 0xAE426082 into the IEND chunk, so
+        // the engine's real crc32-over-walked-span check must read TRUE
+        // (corrupted-CRC rejection is spec-gated on the real PNG
+        // fixture, where every chunk carries a genuine CRC).
+        "CAST(3 AS BIGINT) AS n_chunks, TRUE AS iend_found, TRUE AS crc_ok FROM p"),
     "m8_audio_neardup" -> {
       import graft.operators.Multimodal.{AudioFpMaxHamming => maxHam}
       duckAudioFpCte + ", " +

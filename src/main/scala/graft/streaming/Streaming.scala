@@ -148,10 +148,7 @@ object Streaming {
       .filter(col("source") === "src0")
       .select(col("doc_id").as("new_doc"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 3)
-      .select(col("new_doc"), expr(
-        "transform(sequence(1, size(toks) - 2), i -> concat(" +
-          "element_at(toks, i), ' ', element_at(toks, i + 1), ' ', element_at(toks, i + 2)))")
-        .as("sh"))
+      .select(col("new_doc"), expr(LlmOps.shingleArrayExpr("toks")).as("sh"))
       .select(Seq(col("new_doc"),
         expr("array_sort(transform(array_distinct(sh), x -> " +
           LlmOps.shingleHash60("x") + "))").as("sa")) ++

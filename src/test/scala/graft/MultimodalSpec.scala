@@ -94,7 +94,7 @@ class MultimodalSpec extends SparkTestBase {
     val got = Multimodal.pngMetaOf(
         Multimodal.mediaFromFiles(spark, dir, "*.png"))
       .select("doc_id", "sig_ok", "width", "height", "bit_depth",
-        "color_type", "n_chunks", "iend_found")
+        "color_type", "n_chunks", "iend_found", "crc_ok")
       .collect()
     assert(got.length === 1)
     val r = got.head
@@ -104,6 +104,7 @@ class MultimodalSpec extends SparkTestBase {
     assert((r.getLong(4), r.getLong(5)) === ((8L, 0L)), "depth 8, grayscale")
     assert(r.getLong(6) === 3L, "IHDR + IDAT + IEND")
     assert(r.getBoolean(7), "walk must reach IEND")
+    assert(r.getBoolean(8), "genuine CRC at the walked IEND offset must verify")
     // And the Scala reference parser agrees with the expression walk.
     val bytes = java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(new java.io.File(url.toURI).getPath))
@@ -112,6 +113,22 @@ class MultimodalSpec extends SparkTestBase {
     // Hostile-bytes discipline: truncation and a foreign format never throw.
     assert(Multimodal.parsePng(bytes.take(20)) === None)
     assert(Multimodal.parsePng("P6\n1 1\n255\nRGB".getBytes("US-ASCII")) === None)
+    // Corrupted-CRC rejection (r14): flip the file's last byte — inside
+    // IEND's stored CRC. The walk still reaches IEND (lengths/types are
+    // untouched), but the crc32-over-walked-span check must now fail.
+    val corrupted = bytes.clone()
+    corrupted(corrupted.length - 1) = (corrupted(corrupted.length - 1) ^ 0xff).toByte
+    import spark.implicits._
+    val bad = Multimodal.pngMetaOf(
+        Seq((7L, corrupted)).toDF("doc_id", "media"))
+      .select("iend_found", "crc_ok").collect().head
+    assert(bad.getBoolean(0), "corrupted CRC must not stop the walk")
+    assert(!bad.getBoolean(1), "corrupted CRC must be rejected")
+    // A truncated file (CRC field cut off) reads false, never throws.
+    val truncated = Multimodal.pngMetaOf(
+        Seq((7L, bytes.dropRight(2))).toDF("doc_id", "media"))
+      .select("crc_ok").collect().head
+    assert(!truncated.getBoolean(0), "truncated CRC field must read false")
   }
 
   /** Brute-force reference for the audio fingerprint: parse the AU

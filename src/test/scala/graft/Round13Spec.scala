@@ -117,19 +117,18 @@ class Round13Spec extends SparkTestBase {
     // colliding with stored corpus bands. Lock it on the real corpus.
     import graft.operators.LlmOps
     val docs = Tables.documents(spark, Sf)
+    // Both sides shingle through the SHARED LlmOps.shingleArrayExpr
+    // (advisor finding r13: an inline copy here let the shingle layer
+    // drift while this test still passed).
     val aggregated = LlmOps.minhashBandsOf(
-      docs.selectExpr("doc_id", "explode(transform(sequence(1, size(split(text, ' ')) - 2), " +
-        "i -> concat(element_at(split(text, ' '), i), ' ', " +
-        "element_at(split(text, ' '), i + 1), ' ', " +
-        "element_at(split(text, ' '), i + 2)))) AS shingle")
-        .where("size(split(text, ' ')) >= 3"))
+      docs.selectExpr("doc_id", "split(text, ' ') AS toks")
+        .where("size(toks) >= 3")
+        .selectExpr("doc_id",
+          s"explode(${LlmOps.shingleArrayExpr("toks")}) AS shingle"))
     val perRow = docs
       .selectExpr("doc_id", "split(text, ' ') AS toks")
       .where("size(toks) >= 3")
-      .selectExpr(Seq("doc_id",
-        "transform(sequence(1, size(toks) - 2), i -> concat(" +
-          "element_at(toks, i), ' ', element_at(toks, i + 1), ' ', " +
-          "element_at(toks, i + 2))) AS sh"): _*)
+      .selectExpr("doc_id", s"${LlmOps.shingleArrayExpr("toks")} AS sh")
       .selectExpr("doc_id" +: LlmOps.perRowMinExprs: _*)
       .selectExpr("doc_id",
         s"posexplode(array(${LlmOps.bandKeyExprs.mkString(", ")})) AS (band, bkey)")
