@@ -417,7 +417,12 @@ object Bench {
       if (!quietSf.contains(sfDir))
         Left(s"skipped: quiet medians cover ${quietSf.getOrElse("?")}, bench ran $sfDir")
       else {
-        val medsTxt = txt.substring(math.max(0, txt.indexOf("\"medians_sec\"")))
+        // Slice ONLY the medians_sec object (to its closing brace):
+        // build_qm.py may append sibling maps (cpu_medians_sec, r14)
+        // whose same-named keys would otherwise overwrite wall medians.
+        val from = math.max(0, txt.indexOf("\"medians_sec\""))
+        val to = txt.indexOf("}", from) match { case -1 => txt.length; case i => i }
+        val medsTxt = txt.substring(from, to)
         Right(""""([A-Za-z0-9_]+)":\s*([0-9][0-9.eE+-]*)""".r
           .findAllMatchIn(medsTxt)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap - "medians_sec")
@@ -524,16 +529,25 @@ object Bench {
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
 
     /** Print the chunked queries_part lines + the final total line (and
-      * write the sidecar). `partial` marks a SIGTERM flush — the line
-      * carries "partial":true so a grader knows the run was cut, but it
-      * still parses and its total covers everything timed so far.
+      * write the sidecar). `partial` marks an incomplete snapshot — the
+      * line carries "partial":true so a grader knows the run was cut,
+      * but it still parses and its total covers everything timed so far.
+      * `provisional` (progressive mode, r14): total line + sidecar only,
+      * no queries_part lines and no stderr error replay — called after
+      * EVERY chunk/phase so the harness's last-line parse finds a fresh
+      * parseable total no matter where a driver timeout lands. The
+      * SIGTERM hook alone is NOT enough: when the driver TERMs the sbt
+      * wrapper, sbt's output pump dies with it and the hook's last-moment
+      * stdout never reaches the capture (observed: hook wrote a full
+      * partial sidecar, stdout came back empty) — lines already pumped
+      * BEFORE the kill are the only ones guaranteed captured.
       */
-    def emit(partial: Boolean): Unit = {
+    def emit(partial: Boolean, provisional: Boolean = false): Unit = {
       val snapshot = times.readOnlySnapshot().toMap
       val errSnap = errors.readOnlySnapshot().toMap
       // Full error detail goes to stderr; the JSON line carries a
       // truncated form so failures can never blow the line budget.
-      errSnap.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      if (!provisional) errSnap.toSeq.sortBy(_._1).foreach { case (k, v) =>
         System.err.println(s"[bench] FAILED $k — $v") }
       def errsJson(maxMsg: Int): String =
         if (errSnap.isEmpty) ""
@@ -671,10 +685,16 @@ object Bench {
         build(1, false, 20, 80), build(1, false, 20, 60), build(1, false, 20, 40),
         build(1, false, 20, 25))
         .find(_.length <= 1960).getOrElse(build(1, false, 0, 0))
-      chunkLines(1800).foreach(println)
+      if (!provisional) chunkLines(1800).foreach(println)
       println(line)
       System.out.flush()
     }
+    /** Progressive safety net: a fresh parseable (partial) total line +
+      * sidecar after each completed chunk/phase. No-op once the final
+      * emission happened (it never should be called after, but a hook
+      * race must not double-print).
+      */
+    def emitProgress(): Unit = emit(partial = true, provisional = true)
 
     // SIGTERM flush (layer 6): when the driver's wall clock expires it
     // TERMs the process tree; this hook turns whatever was timed into a
@@ -713,6 +733,7 @@ object Bench {
         usedLocal = true
         timeInto(localSpark, sfDir, leftover, times, errors, repsDetail, cpuDetail)
       }
+      emitProgress()
     }
 
     // ---- Phase 2: fresh-JVM singles, funded from the remaining budget.
@@ -744,6 +765,7 @@ object Bench {
         usedLocal = true
         timeInto(localSpark, sfDir, leftover, times, errors, repsDetail, cpuDetail)
       }
+      emitProgress()
       degradePos += 1
     }
     val degraded = freshOrdered.drop(degradePos)
@@ -765,13 +787,20 @@ object Bench {
               timeInto(localSpark, sfDir, chunk, times, errors, repsDetail, cpuDetail)
             case _ => ()
           }
+          emitProgress()
         }
       } else {
         budgetNotes.add(s"budget_degraded: in-process timing for ${degraded.mkString(",")}")
         System.err.println(s"[bench] BUDGET degrading ${degraded.size} fresh-JVM " +
           s"singles to in-process (${sec(remainingSec, 0)}s left of ${budgetSec.toLong}s)")
         usedLocal = true
-        timeInto(localSpark, sfDir, degraded, times, errors, repsDetail, cpuDetail)
+        // One query per call with a provisional line between: the driver
+        // may kill at any moment past the budget, and only ALREADY-pumped
+        // stdout survives the sbt wrapper's death.
+        degraded.foreach { n =>
+          timeInto(localSpark, sfDir, Seq(n), times, errors, repsDetail, cpuDetail)
+          emitProgress()
+        }
       }
     }
 
@@ -859,6 +888,7 @@ object Bench {
                 System.err.println(f"[bench] AUDIT $n STILL ${used}%.2fs after " +
                   s"${reruns.size} accepted fresh-JVM rerun(s)$loadNote")
               }
+              emitProgress()
             }
           }
           if (budgetSkipped > 0)

@@ -802,6 +802,18 @@ object LlmOps {
     * round: min over {self} ∪ neighbors of the previous labels, then
     * jump — so round counts, convergence, and output are unchanged.
     *
+    * r14 refinements (VERDICT r13 #4), all oracle-neutral: (a) the
+    * adjacency is pinned PRE-PARTITIONED AND SORTED on the probe key, so
+    * rounds re-shuffle only the label table, never the loop's largest
+    * frame; (b) the per-round checkpoint moved to the PRE-jump aggregate,
+    * so the jump self-join reads two flat scans instead of re-running the
+    * final aggregate on both branches; (c) convergence tests nmin ≠ prev
+    * BEFORE the jump — a propagate-fixpoint forces label(x) = label(y)
+    * across every edge, i.e. labels are already the component minima and
+    * the jump is the identity — so the final (confirming) round skips the
+    * jump join entirely. The test fires on exactly the same round as the
+    * old post-jump test (nmin < prev ⇒ jumped ≤ nmin < prev).
+    *
     * Returns (labels: (doc_id, canonical_id) for every node with ≥1 edge,
     * converged: whether a fixpoint was reached within `maxRounds`).
     */
@@ -852,8 +864,18 @@ object LlmOps {
     // then appears as doc_a, and the self-loop rows double as the
     // initial label table (filter doc_a = doc_b below).
     val sym = flat.union(flat.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    // Pin the adjacency ALREADY PARTITIONED AND SORTED on doc_b — the
+    // key every round's labels join probes. Without this the cached
+    // adjacency (the loop's largest frame, 2|E|+|V| rows) re-exchanged
+    // and re-sorted EVERY round; with it each round shuffles only the
+    // |V|-row label table (r14, VERDICT r13 #4 — measured at sf0.1 as
+    // [see scaladoc numbers in SURVEY 7.7]). Same shape a cluster run
+    // wants: partition the static side of an iterative join once,
+    // stream the evolving side past it.
     val adj = sym
       .union(sym.select(col("doc_a"), col("doc_a").as("doc_b")).distinct())
+      .repartition(col("doc_b"))
+      .sortWithinPartitions("doc_b")
       .persist()
     var labels: DataFrame = adj.filter(col("doc_a") === col("doc_b"))
       .select(col("doc_a").as("doc_id"), col("doc_a").as("canonical_id"))
@@ -870,48 +892,76 @@ object LlmOps {
       adj.unpersist()
       releaseCheckpointBlocks(flat)
     }
+    // The checkpoint-ROOTED frame backing the current `labels` view —
+    // the handle storage release must use (labels itself is a projection
+    // or jump-join OVER the checkpoint, which releaseCheckpointBlocks
+    // deliberately does not traverse). Null until the first round.
+    var steppedRoot: DataFrame = null
     try {
     while (!converged && rounds < maxRounds) {
       // One join: every (doc_a, doc_b) edge pulls doc_b's label; the
       // self-loop makes min() = least(own, neighbor min) and prev = the
       // node's own previous label (exactly one doc_b = doc_a input row).
+      //
+      // localCheckpoint truncates the lineage HERE, pre-jump (r14 — was
+      // post-jump): the jump self-join consumes `stepped` twice, and
+      // checkpointing the aggregate means the jump reads two flat
+      // in-memory scans instead of re-running the final aggregate on
+      // both sides (exchange reuse covers only the shuffle below it; the
+      // post-shuffle aggregation ran twice per round in the old shape).
+      // LAZY (eager = false): the convergence count below materializes
+      // the checkpoint in the same job — one action per round. Blocks
+      // stay distributed on executors; at cluster scale a reliable
+      // checkpoint dir would back this instead.
       val stepped = adj
         .join(labels.select(col("doc_id").as("doc_b"), col("canonical_id")), "doc_b")
         .groupBy(col("doc_a"))
         .agg(min("canonical_id").as("nmin"),
           max(when(col("doc_b") === col("doc_a"), col("canonical_id"))).as("prev"))
-      // Pointer jump: follow the label one more step (label's label).
-      // nmin always names an edge node, so the self-join is total.
-      // localCheckpoint truncates the lineage: the jump self-join doubles
-      // the plan every round, so without a per-round cut the logical plan
-      // grows 2^rounds and the driver OOMs planning round ~20 (measured).
-      // LAZY (eager = false): the convergence count below materializes the
-      // checkpoint in the same job — one action per round, not two.
-      // Blocks stay distributed on executors; at cluster scale a reliable
-      // checkpoint dir would back this instead.
-      val next = stepped
-        .join(stepped.select(col("doc_a").as("nmin"), col("nmin").as("jumped")), "nmin")
-        .select(col("doc_a").as("doc_id"), col("jumped").as("canonical_id"), col("prev"))
         .localCheckpoint(false)
-      val changed = next.filter(col("canonical_id") =!= col("prev")).count()
+      // Convergence test on the PRE-jump labels (r14): nmin = prev for
+      // EVERY node is a propagate-fixpoint, and at a propagate-fixpoint
+      // each edge (x, y) forces label(x) ≤ label(y) AND label(y) ≤
+      // label(x) — every component's labels are already EQUAL, hence its
+      // minimum id, so the jump is the identity and the final round
+      // skips the jump self-join entirely. The test fires on exactly the
+      // same round as the old post-jump (jumped ≠ prev) test: when some
+      // node still has nmin < prev, its jumped label ≤ nmin < prev too,
+      // so neither test can converge before the other — round counts,
+      // label evolution, and output are unchanged.
+      val changed = stepped.filter(col("nmin") =!= col("prev")).count()
       tMark = mark(s"round_$rounds", tMark)
+      converged = changed == 0
+      val next =
+        if (converged)
+          // Fixpoint: nmin = prev for every row; either column IS the
+          // final labeling.
+          stepped.select(col("doc_a").as("doc_id"), col("nmin").as("canonical_id"))
+        else
+          // Pointer jump: follow the label one more step (label's
+          // label). nmin always names an edge node, so the self-join is
+          // total — and both sides scan the same materialized
+          // checkpoint. Runs lazily inside the NEXT round's job (or the
+          // caller's action after a maxRounds exit).
+          stepped
+            .join(stepped.select(col("doc_a").as("nmin"), col("nmin").as("jumped")), "nmin")
+            .select(col("doc_a").as("doc_id"), col("jumped").as("canonical_id"))
       // Release the superseded round's storage NOW (advisor finding:
       // checkpoint blocks otherwise accumulate for the session's
       // lifetime). unpersist() handles the cached round-0 labels;
-      // releaseCheckpointBlocks the checkpointed rounds ≥ 1 (it matches
-      // only a checkpoint-ROOTED plan, which every `next` is — the
-      // projection runs before the checkpoint, never on top of it).
+      // releaseCheckpointBlocks the checkpoint ROOT behind rounds ≥ 1.
       labels.unpersist()
-      releaseCheckpointBlocks(labels)
+      if (steppedRoot != null) releaseCheckpointBlocks(steppedRoot)
+      steppedRoot = stepped
       labels = next
-      converged = changed == 0
       rounds += 1
     }
     } catch { case t: Throwable =>
-      // Abnormal exit: free the round-in-flight labels too — the caller
-      // never sees them, so nothing else ever would.
+      // Abnormal exit: free the round-in-flight storage too — the caller
+      // never sees it, so nothing else ever would.
       releaseBase()
-      labels.unpersist(false); releaseCheckpointBlocks(labels)
+      labels.unpersist(false)
+      if (steppedRoot != null) releaseCheckpointBlocks(steppedRoot)
       throw t
     }
     // After ≥1 round the surviving labels are checkpoint-backed and no
@@ -921,14 +971,16 @@ object LlmOps {
     // release it with the query's other pinned intermediates instead.)
     if (rounds > 0) releaseBase()
     else PersistScope.register { () => releaseBase() }
-    // The FINAL labels' storage (round-0 cache or checkpoint blocks) is
-    // still referenced by the result the caller will consume — release
-    // it with the query's other pinned intermediates, not here. The
-    // release handle must be the checkpoint-ROOTED df (labels), not the
-    // prev-dropping projection returned to the caller.
+    // The FINAL labels' storage (round-0 cache or the last round's
+    // checkpoint blocks) is still referenced by the result the caller
+    // will consume — release it with the query's other pinned
+    // intermediates, not here. The release handle must be the
+    // checkpoint-ROOTED df, not the projection returned to the caller.
     val finalLabels = labels
+    val finalRoot = steppedRoot
     PersistScope.register { () =>
-      finalLabels.unpersist(false); releaseCheckpointBlocks(finalLabels)
+      finalLabels.unpersist(false)
+      if (finalRoot != null) releaseCheckpointBlocks(finalRoot)
     }
     (labels.select(col("doc_id"), col("canonical_id")), converged)
   }

@@ -10,6 +10,18 @@ import graft.{PersistScope, Sessions, SparkEntry}
   * formatted physical plan once. Not part of the library surface.
   */
 object TimeQuery {
+  /** Whole-process CPU seconds (all threads) — see Bench.processCpuSec;
+    * duplicated because Bench's is private and this tool must stay
+    * drop-in runnable on the bare classpath.
+    */
+  private def processCpuSec(): Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean =>
+        val t = os.getProcessCpuTime
+        if (t < 0) -1.0 else t / 1e9
+      case _ => -1.0
+    }
+
   def main(args: Array[String]): Unit = {
     // `--list` prints the catalog names (one per line) and exits — lets
     // tools/sweep_quiet.sh chunk the catalog across fresh JVMs without
@@ -40,9 +52,11 @@ object TimeQuery {
       // to BENCH_DETAIL neighbors for persist-heavy queries.
       val times = (0 to reps).map { i =>
         val s0 = RepDiag.snapshot()
+        val c0 = processCpuSec()
         val t0 = System.nanoTime()
         val n = fn(spark, dir).count()
         val elapsed = (System.nanoTime() - t0) / 1e9
+        val cpu = if (c0 < 0) -1.0 else processCpuSec() - c0
         // Per-rep attribution for spike hunting (SPARK_GRAFT_DIAG=1):
         // a slow rep with cpu ~ wall*threads is real work (plan/spill);
         // low cpu + high host steal is hypervisor contention; low cpu +
@@ -57,10 +71,13 @@ object TimeQuery {
           t.drain(6).foreach(l => System.err.println(s"STAGE $name rep=$i $l"))
         }
         PersistScope.releaseAll()
-        (elapsed, n)
+        (elapsed, n, cpu)
       }.tail // first rep is the untimed warm-up
       val med = times.map(_._1).sorted.apply(times.size / 2)
-      println(f"TIME $name%-24s median=$med%7.3f s  reps=${times.map(t => f"${t._1}%.3f").mkString(",")}  rows=${times.head._2}")
+      // cpu= rides on the same TIME line (VERDICT r13 #6): per-rep
+      // process-CPU deltas let a later reader separate host stall
+      // (wall >> cpu/threads) from real work without re-measuring.
+      println(f"TIME $name%-24s median=$med%7.3f s  reps=${times.map(t => f"${t._1}%.3f").mkString(",")}  rows=${times.head._2}  cpu=${times.map(t => f"${t._3}%.3f").mkString(",")}")
       // Bench's aged-session lesson (Bench.scala): without an explicit
       // collection between queries, dead blocks from earlier queries
       // surface as multi-second mixed GCs inside a later query's timed

@@ -13,11 +13,13 @@ import re
 import sys
 
 LINE = re.compile(r"^TIME (\S+)\s+median=\s*([0-9.]+) s .*rows=(\d+)")
+CPU = re.compile(r"cpu=([0-9.,-]+)")
 
 
 def main():
     out_json, what = sys.argv[1], sys.argv[2]
     meds = {}
+    cpus = {}
     # A .json input seeds from a previously built QUIET_MEDIANS file, so
     # an incremental round only re-sweeps its NEW queries (the raw TIME
     # logs behind older rounds live in /tmp and don't survive the host).
@@ -29,6 +31,13 @@ def main():
             m = LINE.match(line.strip())
             if m:
                 meds[m.group(1)] = float(m.group(2))
+                c = CPU.search(line)
+                if c:
+                    # median of the per-rep process-CPU deltas (r14:
+                    # TimeQuery appends cpu=...; lets a reader separate
+                    # host stall from real work per entry).
+                    vals = sorted(float(x) for x in c.group(1).split(","))
+                    cpus[m.group(1)] = vals[len(vals) // 2]
     report = {
         "what": what,
         "sf": "/root/testdata/sf0.1",
@@ -37,6 +46,8 @@ def main():
         "total_of_medians_sec": round(sum(meds.values()), 1),
         "medians_sec": {k: meds[k] for k in sorted(meds)},
     }
+    if cpus:
+        report["cpu_medians_sec"] = {k: cpus[k] for k in sorted(cpus)}
     with open(out_json, "w") as f:
         json.dump(report, f, indent=1)
         f.write("\n")
