@@ -345,7 +345,17 @@ object LlmOps {
     * label ingest ([[d7cResolveIngest]]'s batch-internal edges) use to
     * run the same oracle-checked pipeline on a document SUBSET.
     */
-  private[graft] def d2DedupMinhashOf(shingles0: DataFrame): DataFrame = {
+  /** `keepZeroOverlap = false` (r14, the ≥-threshold consumers' form):
+    * an i = 0 candidate pair can never pass any positive Jaccard
+    * threshold, so d7/d7c edge generation takes the INNER verify join —
+    * the candidate set is then consumed exactly once (by the
+    * intersection build), needs no cache, and the final left join's
+    * second candidate scan disappears. Catalog d2 keeps the left form:
+    * its output contract includes the guaranteed-but-disjoint
+    * candidates at jaccard 0 (and its oracle states them).
+    */
+  private[graft] def d2DedupMinhashOf(shingles0: DataFrame,
+                                      keepZeroOverlap: Boolean = true): DataFrame = {
     // The bands and shingle-set tables are each used on BOTH sides of a
     // self-join; exchange reuse does not fire across the renamed join
     // branches (verified in the physical plan), so each would compute
@@ -370,12 +380,15 @@ object LlmOps {
     val bandsA = bands.toDF("doc_a", "band_a", "bkey_a")
     val bandsB = bands.toDF("doc_b", "band_b", "bkey_b")
     // Candidates feed both the intersection build and the final
-    // left join below — pin so the banded self-join runs once.
-    val candidates = PersistScope.persisted(bandsA
+    // left join below — pin so the banded self-join runs once (left
+    // form only; the inner form consumes them exactly once).
+    val candidates0 = bandsA
       .join(bandsB, col("band_a") === col("band_b") && col("bkey_a") === col("bkey_b"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
-      .distinct())
+      .distinct()
+    val candidates =
+      if (keepZeroOverlap) PersistScope.persisted(candidates0) else candidates0
     // Exact-Jaccard verify, RELATIONALLY (the d4/d9 lesson, applied here
     // in round 9): per-pair array_intersect over collected shingle sets
     // is interpreted per row and scales with |candidates|·|set| — the
@@ -393,8 +406,10 @@ object LlmOps {
       .join(toks.toDF("doc_a", "shingle"), "doc_a")
       .join(toks.toDF("doc_b", "shingle"), Seq("doc_b", "shingle"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
-    candidates
-      .join(inter, Seq("doc_a", "doc_b"), "left")
+    val withZero =
+      if (keepZeroOverlap) candidates.join(inter, Seq("doc_a", "doc_b"), "left")
+      else inter
+    withZero
       .join(sizes.toDF("doc_a", "na"), "doc_a")
       .join(sizes.toDF("doc_b", "nb"), "doc_b")
       .select(
@@ -749,7 +764,7 @@ object LlmOps {
     // runs exactly once either way and a cache layer would only add a
     // write it never reads back (r11 — the persist predated the
     // edge-level checkpoint).
-    val edges = d2DedupMinhashOf(shingleRowsOf(docs))
+    val edges = d2DedupMinhashOf(shingleRowsOf(docs), keepZeroOverlap = false)
       .filter(col("jaccard_milli") >= ResolveThreshold)
       .select(col("doc_a"), col("doc_b"))
     val identity = docs
@@ -1185,7 +1200,7 @@ object LlmOps {
       .select(col("new_doc").as("doc_a"), col("existing_doc").as("doc_b"))
     val batchDocs = Tables.documentsSpread(spark, dir)
       .filter(col("source") === newSource)
-    val batchInternal = d2DedupMinhashOf(shingleRowsOf(batchDocs))
+    val batchInternal = d2DedupMinhashOf(shingleRowsOf(batchDocs), keepZeroOverlap = false)
       .filter(col("jaccard_milli") >= ResolveThreshold)
       .select(col("doc_a"), col("doc_b"))
     // Contract corpus endpoints to their stored representative (3.);
