@@ -211,6 +211,7 @@ object SparkEntry {
     "t29_winnow_dups"  -> LlmOps.t29WinnowDups _,
     "t29b_winnow_ingest" -> LlmOps.t29bWinnowIngest _,
     "t19b_dup_spans_idx" -> LlmOps.t19bDupSpansIdx _,
+    "t31_span_coverage" -> LlmOps.t31SpanCoverage _,
     "t30_bpe_learn"    -> LlmOps.t30BpeLearn _,
     "t25_classifier"   -> LlmOps.t25Classifier _,
     "t26_bigram_lm"    -> LlmOps.t26BigramLm _,
@@ -1181,10 +1182,33 @@ object SparkEntry {
       "SELECT span_md5, CAST(count(*) AS BIGINT) AS n_docs FROM ver GROUP BY 1 HAVING count(*) >= 2"
   }
 
+  // Coverage twin: the same per-position polynomial, then the engine's
+  // pipeline replayed — per-doc window count, distinct-(doc,hash)
+  // cross-doc gate, position-counting dup join — so hash-collision
+  // behavior is mirrored exactly.
+  private lazy val spanCoverageSql: String = {
+    import graft.functions.RollingMinHash.{Base, Mod}
+    val w = LlmOps.SpanWindow
+    val pows = (0 until w).map { j =>
+      (0 until (w - 1 - j)).foldLeft(1L)((p, _) => p * Base % Mod)
+    }
+    val terms = pows.zipWithIndex
+      .map { case (p, j) => s"CAST(ord(substr(text, i + $j, 1)) AS BIGINT) * $p" }.mkString(" + ")
+    s"WITH hs AS (SELECT doc_id, i, ($terms) % $Mod AS hash FROM " +
+      s"(SELECT doc_id, text, unnest(range(1, length(text) - ${w - 2})) AS i FROM documents WHERE length(text) >= $w)), " +
+      "pw AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows FROM hs GROUP BY 1), " +
+      "xd AS (SELECT hash FROM (SELECT DISTINCT doc_id, hash FROM hs) GROUP BY hash HAVING count(*) >= 2), " +
+      "dw AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_windows FROM hs JOIN xd USING (hash) GROUP BY 1) " +
+      "SELECT pw.doc_id, pw.n_windows, CAST(coalesce(dw.n_dup_windows, 0) AS BIGINT) AS n_dup_windows, " +
+      "(2000 * coalesce(dw.n_dup_windows, 0) + pw.n_windows) // (2 * pw.n_windows) AS dup_coverage_milli " +
+      "FROM pw LEFT JOIN dw USING (doc_id)"
+  }
+
   private val llmOracle2: Map[String, String] = Map(
     "t13_rolling_fp" -> rkSql,
     "t18_cdc_chunks" -> cdcSql,
     "t19_dup_spans" -> dupSpanSql,
+    "t31_span_coverage" -> spanCoverageSql,
     "t29_winnow_dups" -> winnowDupSql,
     // Span-index ingest: pure optimization, identical twin (winnowing is
     // per-document, so stored ∪ batch fingerprints = full recompute's).

@@ -1573,6 +1573,49 @@ object LlmOps {
       .filter(col("n_docs") >= 2)
   }
 
+  /** T31: per-document duplicated-span COVERAGE — the fraction of a
+    * document's [[SpanWindow]]-char windows whose rolling hash also
+    * appears in ≥ 1 OTHER document (r14). [[t19DupSpans]] answers "which
+    * spans are duplicated"; production curation additionally needs the
+    * per-document view — "how much of THIS doc is copied text" — because
+    * the drop rule is a coverage ceiling (a doc that is mostly license
+    * boilerplate / mirrored paragraphs gets removed even when no single
+    * whole-doc duplicate exists). Output: (doc_id, n_windows,
+    * n_dup_windows, dup_coverage_milli) for every doc long enough to
+    * hold one window.
+    *
+    * Coverage counts POSITIONS (a hash repeated at 5 positions in a doc
+    * contributes 5 covered windows), while the cross-doc gate counts
+    * each doc once per hash (distinct (doc, hash)) — same gate rule as
+    * t19. Collision behavior mirrors the twin exactly: both engines
+    * gate on the same rolling-hash values, so a rare collision inflates
+    * both identically (the md5 byte-verify stays t19's refinement; a
+    * coverage METRIC tolerates the hash-level approximation, which is
+    * what makes it one scan cheaper).
+    *
+    * Scale shape: rows ∝ corpus characters from the streaming
+    * `rolling_hashes` generator, one (doc, hash) distinct + one
+    * map-combinable hash-count gate + one per-doc count — no joins wider
+    * than the qualifying-hash probe; no all-pairs anywhere.
+    */
+  def t31SpanCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val rolled = PersistScope.persisted(
+      Tables.documentsSpread(spark, dir)
+        .filter(length(col("text")) >= SpanWindow)
+        .select(col("doc_id"), expr(s"rolling_hashes(text, $SpanWindow)")))
+    val perDoc = rolled.groupBy("doc_id").agg(count(lit(1)).as("n_windows"))
+    val crossDoc = rolled.select("doc_id", "hash").distinct()
+      .groupBy("hash").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select("hash")
+    val dupWin = rolled.join(crossDoc, "hash")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup_windows"))
+    perDoc.join(dupWin, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        expr(milli("coalesce(n_dup_windows, 0)", "n_windows"))
+          .as("dup_coverage_milli"))
+  }
+
   /** Winnowing window: every [[WinnowWindow]] consecutive span hashes
     * contribute one selected fingerprint, so ~2/w of positions survive
     * (the MOSS density bound) and any shared substring of length ≥
