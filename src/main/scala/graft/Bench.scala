@@ -796,11 +796,31 @@ object Bench {
         usedLocal = true
         // One query per call with a provisional line between: the driver
         // may kill at any moment past the budget, and only ALREADY-pumped
-        // stdout survives the sbt wrapper's death.
-        degraded.foreach { n =>
-          timeInto(localSpark, sfDir, Seq(n), times, errors, repsDetail, cpuDetail)
-          emitProgress()
+        // stdout survives the sbt wrapper's death. The phase itself is
+        // bounded by a grace window past the budget (r14: the first rc=0
+        // run overran by ~200 s here) — a query skipped for wall reads as
+        // a named note, never a silent absence.
+        val grace = 120.0
+        val (timed, skipped) = {
+          var cut = degraded.size
+          degraded.zipWithIndex.foreach { case (n, i) =>
+            if (i < cut) {
+              if (elapsedSec > budgetSec + grace) cut = i
+              else {
+                timeInto(localSpark, sfDir, Seq(n), times, errors, repsDetail, cpuDetail)
+                emitProgress()
+              }
+            }
+          }
+          (degraded.take(cut), degraded.drop(cut))
         }
+        if (skipped.nonEmpty) {
+          budgetNotes.add(s"budget_skipped (untimed, wall ${grace.toLong}s past " +
+            s"budget): ${skipped.mkString(",")}")
+          System.err.println(s"[bench] BUDGET skipping ${skipped.size} remaining " +
+            s"in-process queries at ${sec(elapsedSec, 0)}s: ${skipped.mkString(",")}")
+        }
+        val _ = timed
       }
     }
 
