@@ -152,6 +152,9 @@ object Bench {
     */
   val FreshJvmQueries: Set[String] = Set(
     "d13_group_split", "q_curation_neardup", "q_curation_neardup_idx",
+    // Same composed index-consumer class as q_curation_neardup_idx,
+    // plus the t31 span scan (r15).
+    "q_curation_coverage",
     "d7c_resolve_ingest", "t29b_winnow_ingest",
     "st2_sliding_window", "st3_session_window",
     "t17_inverted_index", "q_fuzzy_match_name",
@@ -194,7 +197,8 @@ object Bench {
     // snapshot so their timed entries measure steady-state reads, and
     // d7c additionally builds its corpus-minus-batch snapshot pair.
     if (names.exists(n => n == "d7b_resolve_idx" || n == "d12b_quality_idx"
-        || n == "d13b_split_idx" || n == "q_curation_neardup_idx"))
+        || n == "d13b_split_idx" || n == "q_curation_neardup_idx"
+        || n == "q_curation_coverage"))
       b += "d7b_resolve_idx"
     if (names.contains("d7c_resolve_ingest")) b += "d7c_resolve_ingest"
     if (names.contains("t29b_winnow_ingest")) b += "t29b_winnow_ingest"
@@ -243,7 +247,8 @@ object Bench {
                        times: scala.collection.mutable.Map[String, Double],
                        errors: scala.collection.mutable.Map[String, String],
                        repsDetail: scala.collection.mutable.Map[String, Seq[Double]],
-                       cpuDetail: scala.collection.mutable.Map[String, Seq[Double]])
+                       cpuDetail: scala.collection.mutable.Map[String, Seq[Double]],
+                       maxReps: Int = 3)
                       : Unit = {
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
@@ -261,7 +266,11 @@ object Bench {
           (elapsed, cpu)
         }
         val r1 = rep()
-        val rs = if (r1._1 <= RepThreshold) Seq(r1) else Seq(r1, rep(), rep())
+        // maxReps == 1 is the budget-planner's degraded bulk mode (r15):
+        // one warm rep per query — the audit layer catches and re-measures
+        // any resulting outlier under the full quiet protocol.
+        val rs = if (r1._1 <= RepThreshold || maxReps <= 1) Seq(r1)
+                 else Seq(r1, rep(), rep())
         repsDetail(name) = rs.map(_._1)
         cpuDetail(name) = rs.map(_._2)
         // A median is recorded only once ALL reps succeeded — a query
@@ -294,7 +303,7 @@ object Bench {
     * unrecorded.)
     */
   private def childMain(sfDir: String, cpus: String, names: Seq[String],
-                        selfWarm: Boolean): Unit = {
+                        selfWarm: Boolean, maxReps: Int): Unit = {
     val spark = Sessions.local(cpus)
     runWarmups(spark, sfDir, names)
     // Self-warm-up (FreshJvmQueries / audit reruns): run each named query
@@ -312,7 +321,7 @@ object Bench {
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val reps = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     val cpu = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
-    timeInto(spark, sfDir, names, times, errors, reps, cpu)
+    timeInto(spark, sfDir, names, times, errors, reps, cpu, maxReps)
     times.foreach { case (k, v) =>
       val cs = cpu.getOrElse(k, Nil).map(c => f"$c%.4f").mkString(",")
       println(f"BENCHQ $k $v%.4f ${reps(k).map(r => f"$r%.4f").mkString(",")} $cs")
@@ -326,6 +335,33 @@ object Bench {
     // a child that reported them cleanly did its job.
     sys.exit(0)
   }
+
+  private def javaBin: String = new java.io.File(new java.io.File(
+    System.getProperty("java.home"), "bin"), "java").getAbsolutePath
+
+  /** Host-health pretouch probe (SURVEY 7.7's gate, folded into the
+    * bench itself per VERDICT r14 #1): wall seconds to start a JVM that
+    * commits and pre-faults a 2 GB heap. On a healthy host this is
+    * ~0.3–1 s; the documented degraded-host pathology inflates it 10–50×
+    * (kernel fault storms). Recorded in the sidecar so a driver artifact
+    * carries its own host-health evidence; -1 when the probe itself
+    * failed to launch.
+    */
+  private def hostProbeSec(): Double =
+    try {
+      val t0 = System.nanoTime()
+      val p = new java.lang.ProcessBuilder(
+        javaBin, "-Xms2g", "-Xmx2g", "-XX:+AlwaysPreTouch", "-version")
+        .redirectErrorStream(true).start()
+      p.getInputStream.readAllBytes()
+      p.waitFor()
+      (System.nanoTime() - t0) / 1e9
+    } catch { case _: Throwable => -1.0 }
+
+  /** Probe reading below which the host counts as healthy (the SURVEY
+    * 7.7 protocol's < 1.5 s line for the same 2 GB probe).
+    */
+  val HealthyProbeSec = 1.5
 
   /** Child JVMs currently running — the SIGTERM flush hook destroys
     * them so a driver timeout never leaves orphans burning the host
@@ -349,11 +385,11 @@ object Bench {
                              errors: scala.collection.mutable.Map[String, String],
                              repsDetail: scala.collection.mutable.Map[String, Seq[Double]],
                              cpuDetail: scala.collection.mutable.Map[String, Seq[Double]],
-                             selfWarm: Boolean = false)
+                             selfWarm: Boolean = false,
+                             maxReps: Int = 3)
                             : Option[Seq[String]] = {
     try {
-      val javaBin = new java.io.File(new java.io.File(
-        System.getProperty("java.home"), "bin"), "java").getAbsolutePath
+      val javaBin = Bench.javaBin
       // Inherit the parent's own flags (heap pin, --add-opens pairs,
       // -D system properties) so children measure under the exact JVM
       // configuration the driver launched the bench with.
@@ -365,6 +401,7 @@ object Bench {
       cmd.add("-cp"); cmd.add(System.getProperty("java.class.path"))
       cmd.add("graft.Bench"); cmd.add("--chunk"); cmd.add(names.mkString(","))
       if (selfWarm) cmd.add("--selfwarm")
+      if (maxReps <= 1) cmd.add("--reps1")
       val pb = new java.lang.ProcessBuilder(cmd)
       pb.redirectError(java.lang.ProcessBuilder.Redirect.INHERIT)
       val proc = pb.start()
@@ -420,12 +457,18 @@ object Bench {
         // Slice ONLY the medians_sec object (to its closing brace):
         // build_qm.py may append sibling maps (cpu_medians_sec, r14)
         // whose same-named keys would otherwise overwrite wall medians.
-        val from = math.max(0, txt.indexOf("\"medians_sec\""))
-        val to = txt.indexOf("}", from) match { case -1 => txt.length; case i => i }
-        val medsTxt = txt.substring(from, to)
-        Right(""""([A-Za-z0-9_]+)":\s*([0-9][0-9.eE+-]*)""".r
-          .findAllMatchIn(medsTxt)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap - "medians_sec")
+        // A file WITHOUT medians_sec is a skip, not a zero-offset scan
+        // (advisor finding r14: clamping -1 to 0 harvested unrelated
+        // numeric header fields as bogus audit baselines).
+        val from = txt.indexOf("\"medians_sec\"")
+        if (from < 0) Left(s"skipped: medians_sec not found in $path")
+        else {
+          val to = txt.indexOf("}", from) match { case -1 => txt.length; case i => i }
+          val medsTxt = txt.substring(from, to)
+          Right(""""([A-Za-z0-9_]+)":\s*([0-9][0-9.eE+-]*)""".r
+            .findAllMatchIn(medsTxt)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap - "medians_sec")
+        }
       }
     }
   }
@@ -439,7 +482,8 @@ object Bench {
     val chunkIdx = args.indexOf("--chunk")
     if (chunkIdx >= 0) {
       val names = args(chunkIdx + 1).split(",").map(_.trim).filter(_.nonEmpty).toSeq
-      childMain(sfDir, cpus, names, selfWarm = args.contains("--selfwarm"))
+      childMain(sfDir, cpus, names, selfWarm = args.contains("--selfwarm"),
+        maxReps = if (args.contains("--reps1")) 1 else 3)
       return
     }
 
@@ -449,6 +493,12 @@ object Bench {
     val budgetSec: Double = sys.env.get("SPARK_GRAFT_BENCH_BUDGET_SEC")
       .flatMap(_.toDoubleOption).filter(_ > 0).getOrElse(DefaultBudgetSec.toDouble)
     def remainingSec: Double = budgetSec - elapsedSec
+
+    // Host-health evidence, taken before any timed work so the artifact
+    // states what kind of host it was measured on (VERDICT r14 #1).
+    val probeSec = hostProbeSec()
+    System.err.println(f"[bench] host pretouch probe: $probeSec%.2fs " +
+      s"(healthy < $HealthyProbeSec)")
 
     // Optional subset filter (dev iteration / the sf1 sweep); the driver
     // never sets it, so the per-round gate always times the full catalog.
@@ -503,6 +553,11 @@ object Bench {
     // flush hook — iteration must never throw mid-append.
     val fallbackChunks = new java.util.concurrent.CopyOnWriteArrayList[String]()
     val budgetNotes = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    // Queries the budget left UNTIMED (phase-2 hard-bound skips). If any
+    // exist at final emit, the total line is marked partial — a graded
+    // total must never silently cover fewer queries than the catalog
+    // (advisor finding r14).
+    val untimed = new java.util.concurrent.CopyOnWriteArrayList[String]()
     @volatile var auditNote = "pending: run interrupted before the audit phase"
     final case class Audit(graded: Double, quiet: Double,
                            reruns: Seq[Double], calib: Seq[Double],
@@ -542,7 +597,8 @@ object Bench {
       * partial sidecar, stdout came back empty) — lines already pumped
       * BEFORE the kill are the only ones guaranteed captured.
       */
-    def emit(partial: Boolean, provisional: Boolean = false): Unit = {
+    def emit(partial: Boolean, provisional: Boolean = false,
+             lineOut: Boolean = true): Unit = {
       val snapshot = times.readOnlySnapshot().toMap
       val errSnap = errors.readOnlySnapshot().toMap
       // Full error detail goes to stderr; the JSON line carries a
@@ -626,7 +682,8 @@ object Bench {
           else twinNames.flatMap(snapshot.get).sum
         val budget = {
           val notes = budgetNotes.toArray.toSeq.map(v => q(v.toString)).mkString("[", ",", "]")
-          s"""{"budget_sec": ${budgetSec.toLong}, "elapsed_sec": ${sec(elapsedSec, 1)}, "notes": $notes}"""
+          val probe = s"""{"sec": ${sec(probeSec, 2)}, "healthy": ${probeSec >= 0 && probeSec < HealthyProbeSec}}"""
+          s"""{"budget_sec": ${budgetSec.toLong}, "elapsed_sec": ${sec(elapsedSec, 1)}, "host_probe": $probe, "notes": $notes}"""
         }
         s"""{
 "metric": "total",
@@ -686,15 +743,24 @@ object Bench {
         build(1, false, 20, 25))
         .find(_.length <= 1960).getOrElse(build(1, false, 0, 0))
       if (!provisional) chunkLines(1800).foreach(println)
-      println(line)
-      System.out.flush()
+      if (lineOut) { println(line); System.out.flush() }
     }
-    /** Progressive safety net: a fresh parseable (partial) total line +
-      * sidecar after each completed chunk/phase. No-op once the final
-      * emission happened (it never should be called after, but a hook
-      * race must not double-print).
+    /** Progressive safety net: a fresh sidecar after each completed
+      * chunk/phase, plus a parseable (partial) total line on stdout AT
+      * MOST every budget/10 seconds (min 45 s) — VERDICT r14 #7: ~25
+      * partial lines per run was line-budget noise; ≤10 keeps the
+      * last-line contract with a provisional never older than ~90 s.
+      * The sidecar refresh is unconditional (file overwrite, no stdout
+      * cost), so a post-kill reader always sees current state there.
       */
-    def emitProgress(): Unit = emit(partial = true, provisional = true)
+    val provisionalIntervalSec = math.max(45.0, budgetSec / 10)
+    val lastProvisionalNs = new java.util.concurrent.atomic.AtomicLong(benchStart)
+    def emitProgress(): Unit = {
+      val now = System.nanoTime()
+      val due = (now - lastProvisionalNs.get) / 1e9 >= provisionalIntervalSec
+      if (due) lastProvisionalNs.set(now)
+      emit(partial = true, provisional = true, lineOut = due)
+    }
 
     // SIGTERM flush (layer 6): when the driver's wall clock expires it
     // TERMs the process tree; this hook turns whatever was timed into a
@@ -718,20 +784,75 @@ object Bench {
     }
     var usedLocal = false
 
-    // ---- Phase 1: bulk chunks (always run — the driver's number needs
-    // every query; the budget shapes only the phases after) ------------
+    // ---- Phase 1: bulk chunks, BUDGET-PLANNED (VERDICT r14 #1: the
+    // chunked pass used to be unbounded by design, so a degraded host
+    // ate the whole allowance before the funded phases ran — 10 queries
+    // untimed, 23 audit flags unverified). The plan: estimate the
+    // singles + audit phases from the committed quiet medians, reserve
+    // that up front, and fit the bulk pass into the remainder by
+    // degrading ITS OWN protocol first — 3 reps → 1 rep (the audit
+    // layer re-measures any resulting outlier under the full quiet
+    // protocol) → per-chunk in-process (saves the ~25 s/chunk JVM
+    // start) — before ever cannibalizing the reserve. Every query is
+    // always timed in this phase; only rep count and JVM freshness
+    // degrade, and every transition lands in the sidecar notes.
     val (freshNames, regularNames) = catalog.partition(FreshJvmQueries.contains)
-    regularNames.grouped(ChunkSize).foreach { chunk =>
+    def singleEstimate(n: String): Double =
+      ChildOverheadSec + quietMap.get(n).map(_ * 4).getOrElse(35.0)
+    val emitReserve = 15.0
+    // Reserve: every planned phase-2 single plus an audit allowance
+    // (~4 calibrated single-query reruns' worth, scaled with the
+    // budget), both funded BEFORE the bulk pass may spend.
+    val singlesReserve = freshNames.map(singleEstimate).sum
+    val auditReserve = math.min(220.0, math.max(90.0, budgetSec * 0.18))
+    // Never squeeze the bulk below 35% of the budget: with a tiny
+    // budget the reserves would otherwise starve the one phase that
+    // times the bulk of the catalog.
+    val bulkDeadline = math.max(
+      budgetSec - singlesReserve - auditReserve - emitReserve,
+      budgetSec * 0.35)
+    def perQueryEst(n: String, reps: Int): Double =
+      quietMap.get(n).map(v => if (v <= RepThreshold) v else v * reps)
+        .getOrElse(0.8 * reps)
+    def chunkEst(chunk: Seq[String], reps: Int, forked: Boolean): Double =
+      (if (forked) ChildOverheadSec else 3.0) + chunk.map(perQueryEst(_, reps)).sum
+    val allChunks = regularNames.grouped(ChunkSize).toSeq
+    budgetNotes.add(f"plan: bulk_deadline=${bulkDeadline}%.0fs " +
+      f"singles_reserve=${singlesReserve}%.0fs audit_reserve=${auditReserve}%.0fs " +
+      f"bulk_est_3rep=${allChunks.map(chunkEst(_, 3, forkEnabled)).sum}%.0fs " +
+      f"bulk_est_1rep=${allChunks.map(chunkEst(_, 1, forkEnabled)).sum}%.0fs")
+    var bulkMode = "3rep" // current degradation level, downgrades noted once
+    allChunks.zipWithIndex.foreach { case (chunk, i) =>
+      // Re-plan before every chunk: pick the strongest protocol whose
+      // estimate for ALL remaining chunks still fits the bulk window.
+      val rest = allChunks.drop(i)
+      val left = bulkDeadline - elapsedSec
+      val mode =
+        if (!forkEnabled) "inproc"
+        else if (rest.map(chunkEst(_, 3, forked = true)).sum <= left) "3rep"
+        else if (rest.map(chunkEst(_, 1, forked = true)).sum <= left) "1rep"
+        else "inproc"
+      if (mode != bulkMode) {
+        bulkMode = mode
+        budgetNotes.add(f"bulk degraded to $mode at chunk ${i + 1}/${allChunks.size} " +
+          f"(${left}%.0fs left of the ${bulkDeadline}%.0fs bulk window)")
+        System.err.println(s"[bench] BULK protocol degraded to $mode from chunk " +
+          s"${i + 1}/${allChunks.size}")
+      }
+      val reps = if (mode == "3rep") 3 else 1
       val leftover: Seq[String] =
-        if (!forkEnabled) chunk
-        else runChunkForked(sfDir, chunk, times, errors, repsDetail, cpuDetail) match {
+        if (mode == "inproc" && forkEnabled) { fallbackChunks.add(chunk.head); chunk }
+        else if (!forkEnabled) chunk
+        else runChunkForked(sfDir, chunk, times, errors, repsDetail, cpuDetail,
+          maxReps = reps) match {
           case Some(missing) => missing
           case None          => chunk
         }
       if (leftover.nonEmpty) {
-        fallbackChunks.add(leftover.head)
+        if (!(mode == "inproc" && forkEnabled)) fallbackChunks.add(leftover.head)
         usedLocal = true
-        timeInto(localSpark, sfDir, leftover, times, errors, repsDetail, cpuDetail)
+        timeInto(localSpark, sfDir, leftover, times, errors, repsDetail, cpuDetail,
+          maxReps = reps)
       }
       emitProgress()
     }
@@ -744,9 +865,6 @@ object Bench {
     // fresh vs the bulk pass); if even that estimate doesn't fit, they
     // run in-process — timed either way, the driver always gets a full
     // catalog, and the sidecar names the degraded entries.
-    def singleEstimate(n: String): Double =
-      ChildOverheadSec + quietMap.get(n).map(_ * 4).getOrElse(35.0)
-    val emitReserve = 15.0
     var degradePos = 0
     val freshOrdered = freshNames // already sorted (catalog order)
     while (degradePos < freshOrdered.size &&
@@ -815,6 +933,7 @@ object Bench {
           (degraded.take(cut), degraded.drop(cut))
         }
         if (skipped.nonEmpty) {
+          skipped.foreach(untimed.add)
           budgetNotes.add(s"budget_skipped (untimed, wall ${grace.toLong}s past " +
             s"budget): ${skipped.mkString(",")}")
           System.err.println(s"[bench] BUDGET skipping ${skipped.size} remaining " +
@@ -836,10 +955,13 @@ object Bench {
       else quietOrNote match {
         case Left(note) => note
         case Right(quiet) =>
-          val flaggedNames = times.keys.toSeq.sorted.filter { n =>
+          // Most-suspicious first (largest graded/quiet ratio): when the
+          // reserve can't fund every rerun, the entries most likely to
+          // read as regressions get verified before the marginal ones.
+          val flaggedNames = times.keys.toSeq.filter { n =>
             quiet.get(n).exists(qm =>
               times(n) > AuditRatio * qm && times(n) - qm > AuditFloor)
-          }
+          }.sortBy(n => -(times(n) / quiet(n)))
           var budgetSkipped = 0
           flaggedNames.foreach { n =>
             val qm = quiet(n)
@@ -919,7 +1041,10 @@ object Bench {
             (if (budgetSkipped > 0) s"; $budgetSkipped rerun(s) budget-skipped" else "")
       }
 
-    if (emitted.compareAndSet(false, true)) emit(partial = false)
+    // partial = anything planned went untimed: the driver-visible total
+    // then carries "partial":true + n_timed/n_planned instead of silently
+    // reading as a faster full run (advisor finding r14).
+    if (emitted.compareAndSet(false, true)) emit(partial = !untimed.isEmpty)
     if (errors.nonEmpty) sys.exit(1)
   }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineMilli, DotDouble, RollingHashes, RollingMinHash, SortedIntersectCount}
+import graft.functions.{CosineMilli, DotDouble, Mix64, NfcNormalize, RollingHashes, RollingMinHash, SortedIntersectCount}
 import graft.plans.{AsOfJoinStrategy, RangeJoinRewrite}
 
 /** SparkSessionExtensions entry point
@@ -60,6 +60,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("sorted_intersect_count"),
       new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
       (children: Seq[Expression]) => SortedIntersectCount(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (children: Seq[Expression]) => {
+        if (children.size != 1)
+          throw new IllegalArgumentException(
+            s"nfc_normalize(text) takes 1 argument, got ${children.size}")
+        NfcNormalize(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("mix64"),
+      new ExpressionInfo(classOf[Mix64].getName, "mix64"),
+      (children: Seq[Expression]) => {
+        if (children.size != 3)
+          throw new IllegalArgumentException(
+            s"mix64(x, a, b) takes 3 arguments, got ${children.size}")
+        Mix64(children.head, children(1), children(2))
+      }))
     ext.injectFunction((
       FunctionIdentifier("rolling_min_hash"),
       new ExpressionInfo(classOf[RollingMinHash].getName, "rolling_min_hash"),

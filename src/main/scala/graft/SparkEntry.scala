@@ -172,6 +172,7 @@ object SparkEntry {
     "d9b_prefix_guarded" -> LlmOps.d9bPrefixGuarded _,
     "d9_degree_stats"  -> LlmOps.d9DegreeStats _,
     "d10_norm_dedup"   -> LlmOps.d10NormDedup _,
+    "d10b_nfc_dedup"   -> LlmOps.d10bNfcDedup _,
     "d11_band_stats"   -> LlmOps.d11BandStats _,
     "d7_dedup_resolve" -> LlmOps.d7DedupResolve _,
     "d7b_resolve_idx"  -> LlmOps.d7bResolveIdx _,
@@ -181,6 +182,7 @@ object SparkEntry {
     "d13_group_split"  -> LlmOps.d13GroupSplit _,
     "d13b_split_idx"   -> LlmOps.d13bSplitIdx _,
     "q_curation_neardup_idx" -> LlmOps.curationNeardupIdx _,
+    "q_curation_coverage" -> LlmOps.curationCoverageManifest _,
     "t1_text_stats"    -> LlmOps.t1TextStats _,
     "t2_lang_id"       -> LlmOps.t2LangId _,
     "t3_quality_score" -> LlmOps.t3QualityScore _,
@@ -767,6 +769,28 @@ object SparkEntry {
       s"(strpos('0123456789abcdef', substr(md5($c), CAST(i + 1 AS INTEGER), 1)) - 1)::BIGINT * " +
       s"(1::BIGINT << (4 * (14 - CAST(i AS INTEGER)))))) AS BIGINT)"
 
+  /** r15 seeded-family twin: the engine's native mix64 restated as exact
+    * HUGEINT mod-2^64 arithmetic — ((a_h·v + b_h) mod 2^64) // 16, with
+    * the constants read from the SAME LlmOps.MixA/MixB tables the Spark
+    * side binds (a_h < 2^63 keeps the HUGEINT product in range;
+    * Mix64Spec asserts value equality, every banded-family oracle
+    * asserts it end-to-end).
+    */
+  private val duckMixA = LlmOps.MixA.mkString("[", ", ", "]")
+  private val duckMixB = LlmOps.MixB.mkString("[", ", ", "]")
+  private def duckMix(v: String, h: String): String =
+    s"CAST(((CAST($duckMixA[$h + 1] AS HUGEINT) * ($v) + $duckMixB[$h + 1]) " +
+      s"% 18446744073709551616::HUGEINT) // 16 AS BIGINT)"
+
+  /** The full 8-seed MinHash signature over a (string) shingle list `s`:
+    * hash60 once per shingle, then the eight multiply-shift minima —
+    * token-for-token the engine's minhashBandsOf/perRowMinExprs family.
+    */
+  private def duckSeededSig: String =
+    s"list_transform(range(0, ${LlmOps.NumHashes}), h -> " +
+      s"list_min(list_transform(list_transform(s, x -> ${duckHash60("x")}), " +
+      s"v -> ${duckMix("v", "h")})))"
+
   /** Shared by d5_dedup_incremental and d5b_index_ingest: the index path
     * is a pure optimization, so both queries grade against the identical
     * full-recompute twin.
@@ -775,7 +799,7 @@ object SparkEntry {
     s"WITH tokd AS ($duckTok), " +
       s"sh AS (SELECT doc_id, $duckShingles AS s FROM tokd WHERE len(tok) >= 3), " +
       s"shh AS (SELECT doc_id, list_distinct(list_transform(s, x -> ${duckHash60("x")})) AS s FROM sh), " +
-      s"sig AS (SELECT doc_id, list_transform(range(0, ${LlmOps.NumHashes}), h -> list_min(list_transform(s, x -> ${duckHash60("h::VARCHAR || '|' || x")}))) AS g FROM sh), " +
+      s"sig AS (SELECT doc_id, ${duckSeededSig} AS g FROM sh), " +
       s"bands AS (SELECT sig.doc_id, d.source, b, md5(array_to_string(g[b*${LlmOps.RowsPerBand}+1 : b*${LlmOps.RowsPerBand}+${LlmOps.RowsPerBand}], '|')) AS bkey " +
       "FROM sig JOIN documents d ON sig.doc_id = d.doc_id CROSS JOIN (VALUES (0),(1),(2),(3)) AS t(b)), " +
       // Corpus-side skew cap mirrored from capBandBuckets (batch side
@@ -827,7 +851,7 @@ object SparkEntry {
     s"WITH tokd AS ($duckTok), " +
       s"sh AS (SELECT doc_id, $duckShingles AS s FROM tokd WHERE len(tok) >= 3), " +
       s"shh AS (SELECT doc_id, list_distinct(list_transform(s, x -> ${duckHash60("x")})) AS s FROM sh), " +
-      s"sig AS (SELECT doc_id, list_transform(range(0, ${LlmOps.NumHashes}), h -> list_min(list_transform(s, x -> ${duckHash60("h::VARCHAR || '|' || x")}))) AS g FROM sh), " +
+      s"sig AS (SELECT doc_id, ${duckSeededSig} AS g FROM sh), " +
       s"bands AS (SELECT sig.doc_id, d.source, b, md5(array_to_string(g[b*${LlmOps.RowsPerBand}+1 : b*${LlmOps.RowsPerBand}+${LlmOps.RowsPerBand}], '|')) AS bkey " +
       "FROM sig JOIN documents d ON sig.doc_id = d.doc_id CROSS JOIN (VALUES (0),(1),(2),(3)) AS t(b)), " +
       "corp AS (SELECT * FROM bands WHERE source != 'src0'), " +
@@ -869,7 +893,7 @@ object SparkEntry {
   private lazy val duckCcCte =
     s"WITH RECURSIVE tokd AS ($duckTok), " +
       s"sh AS (SELECT doc_id, $duckShingles AS s FROM tokd WHERE len(tok) >= 3), " +
-      s"sig AS (SELECT doc_id, list_transform(range(0, ${LlmOps.NumHashes}), h -> list_min(list_transform(s, x -> ${duckHash60("h::VARCHAR || '|' || x")}))) AS g FROM sh), " +
+      s"sig AS (SELECT doc_id, ${duckSeededSig} AS g FROM sh), " +
       s"bands0 AS (SELECT doc_id, b, md5(array_to_string(g[b*${LlmOps.RowsPerBand}+1 : b*${LlmOps.RowsPerBand}+${LlmOps.RowsPerBand}], '|')) AS bkey FROM sig CROSS JOIN (VALUES (0),(1),(2),(3)) AS t(b)), " +
       s"bands AS (SELECT * FROM bands0 WHERE (b, bkey) IN (SELECT (b, bkey) FROM bands0 GROUP BY b, bkey HAVING count(*) <= ${LlmOps.LshBucketCap})), " +
       "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id), " +
@@ -905,7 +929,11 @@ object SparkEntry {
       "SELECT j.doc_id, j.canonical_id, w.keep_id, CAST(j.doc_id = w.keep_id AS BIGINT) AS is_kept " +
       "FROM j JOIN w USING (canonical_id)"
 
-  private lazy val curationNeardupSql: String =
+  /** The near-dup curation manifest twin, split CTEs-vs-select so the
+    * coverage-gated variant (q_curation_coverage) can extend the same
+    * chain with the t31 coverage CTEs and one more drop rule.
+    */
+  private lazy val curationNeardupCtes: String =
     duckCcCte + ", cc AS (SELECT a AS doc_id, min(b) AS canonical_id FROM reach GROUP BY a), " +
       "c AS (SELECT doc_id, len(tok)::BIGINT AS n, len(list_distinct(tok))::BIGINT AS u, " +
       "len(list_filter(tok, t -> t IN ('the', 'a')))::BIGINT AS stop FROM tokd), " +
@@ -924,14 +952,37 @@ object SparkEntry {
       "CASE WHEN source = 'src0' THEN 100 WHEN source IN ('src1', 'src2', 'src3') THEN 50 ELSE 20 END AS rate_pct " +
       "FROM documents), " +
       "spl AS (SELECT doc_id, CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split " +
-      "FROM (SELECT doc_id, " + duckBucket + " AS bucket FROM documents)) " +
-      "SELECT s.doc_id, s.source, CAST(s.bucket AS BIGINT) AS bucket, spl.split " +
+      "FROM (SELECT doc_id, " + duckBucket + " AS bucket FROM documents))"
+
+  /** The manifest select over [[curationNeardupCtes]]; extra join/where
+    * hooks carry the coverage gate (empty for the base manifest).
+    */
+  private def curationSelect(extraJoin: String, extraWhere: String): String =
+    "SELECT s.doc_id, s.source, CAST(s.bucket AS BIGINT) AS bucket, spl.split " +
       "FROM samp s " +
       "JOIN kept ON s.doc_id = kept.doc_id " +
       "JOIN quality_ok ON s.doc_id = quality_ok.doc_id " +
       "LEFT JOIN cont ON s.doc_id = cont.doc_id " +
-      "JOIN spl ON s.doc_id = spl.doc_id " +
-      s"WHERE s.bucket < s.rate_pct AND s.doc_id >= ${LlmOps.BenchmarkDocs} AND cont.doc_id IS NULL"
+      "JOIN spl ON s.doc_id = spl.doc_id " + extraJoin +
+      s"WHERE s.bucket < s.rate_pct AND s.doc_id >= ${LlmOps.BenchmarkDocs} " +
+      s"AND cont.doc_id IS NULL$extraWhere"
+
+  private lazy val curationNeardupSql: String =
+    curationNeardupCtes + " " + curationSelect("", "")
+
+  /** q_curation_coverage twin: the near-dup manifest chain + the t31
+    * coverage CTEs + the ceiling drop rule — the oracle recomputes the
+    * labels and the rolling hashes in full; the engine's stored label
+    * index and pinned rolled scan are pure optimizations under this
+    * statement.
+    */
+  private lazy val curationCoverageSql: String =
+    curationNeardupCtes + ", " + spanCoverageCtes +
+      ", covbad AS (SELECT pw.doc_id FROM pw LEFT JOIN dw USING (doc_id) " +
+      "WHERE (2000 * coalesce(dw.n_dup_windows, 0) + pw.n_windows) // (2 * pw.n_windows) > " +
+      s"${LlmOps.CoverageCeilingMilli}) " +
+      curationSelect("LEFT JOIN covbad ON s.doc_id = covbad.doc_id ",
+        " AND covbad.doc_id IS NULL")
 
   private val llmOracle: Map[String, String] = Map(
     "d1_dedup_exact" ->
@@ -943,19 +994,26 @@ object SparkEntry {
       ("SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_hash, " +
         "min(doc_id) AS canonical_doc_id, count(*) AS n_copies FROM documents " +
         "GROUP BY 1"),
+    // d10b twin: DuckDB's nfc_normalize is the same UAX #15 canonical
+    // composition the engine's native expression wraps; the rest of the
+    // fold is the d10 pattern minus the ASCII flattening.
+    "d10b_nfc_dedup" ->
+      ("SELECT md5(trim(regexp_replace(lower(nfc_normalize(text)), ' +', ' ', 'g'))) AS norm_hash, " +
+        "min(doc_id) AS canonical_doc_id, count(*) AS n_copies FROM documents " +
+        "GROUP BY 1"),
     // Band-skew monitor twin: identical banding pipeline to d2, reduced
     // to per-bucket occupancy with the same LshBucketCap drop flag.
     "d11_band_stats" ->
       (s"WITH tokd AS ($duckTok), " +
         s"sh AS (SELECT doc_id, $duckShingles AS s FROM tokd WHERE len(tok) >= 3), " +
-        s"sig AS (SELECT doc_id, list_transform(range(0, ${LlmOps.NumHashes}), h -> list_min(list_transform(s, x -> ${duckHash60("h::VARCHAR || '|' || x")}))) AS g FROM sh), " +
+        s"sig AS (SELECT doc_id, ${duckSeededSig} AS g FROM sh), " +
         s"bands0 AS (SELECT doc_id, b, md5(array_to_string(g[b*${LlmOps.RowsPerBand}+1 : b*${LlmOps.RowsPerBand}+${LlmOps.RowsPerBand}], '|')) AS bkey FROM sig CROSS JOIN (VALUES (0),(1),(2),(3)) AS t(b)) " +
         "SELECT b AS band, bkey, CAST(count(*) AS BIGINT) AS n_docs, " +
         s"count(*) > ${LlmOps.LshBucketCap} AS dropped FROM bands0 GROUP BY b, bkey"),
     "d2_dedup_minhash" ->
       (s"WITH tokd AS ($duckTok), " +
         s"sh AS (SELECT doc_id, $duckShingles AS s FROM tokd WHERE len(tok) >= 3), " +
-        s"sig AS (SELECT doc_id, list_transform(range(0, ${LlmOps.NumHashes}), h -> list_min(list_transform(s, x -> ${duckHash60("h::VARCHAR || '|' || x")}))) AS g FROM sh), " +
+        s"sig AS (SELECT doc_id, ${duckSeededSig} AS g FROM sh), " +
         s"bands0 AS (SELECT doc_id, b, md5(array_to_string(g[b*${LlmOps.RowsPerBand}+1 : b*${LlmOps.RowsPerBand}+${LlmOps.RowsPerBand}], '|')) AS bkey FROM sig CROSS JOIN (VALUES (0),(1),(2),(3)) AS t(b)), " +
         // Band-skew ceiling mirrored from capBandBuckets: over-cap
         // buckets are degenerate clusters, not near-dup candidates.
@@ -1110,15 +1168,26 @@ object SparkEntry {
     }
     val terms = pows.zipWithIndex
       .map { case (p, j) => s"CAST(ord(substr(text, i + $j, 1)) AS BIGINT) * $p" }.mkString(" + ")
-    // length(text) < pk mirrors the engine's WinnowPosPack validity
-    // guard: a ≥ 2^20-char doc would corrupt the packed min identically
-    // on both engines, so the bound is part of the checked semantics.
-    s"WITH hs AS (SELECT doc_id, i, ($terms) % $Mod AS hash FROM " +
-      s"(SELECT doc_id, text, unnest(range(1, length(text) - ${w - 2})) AS i FROM documents WHERE length(text) >= $w AND length(text) < $pk)), " +
-      s"sw AS (SELECT doc_id, count(*) OVER win AS nw, " +
+    // r15 pre-chunk replay (the engine's preChunkSegments, token for
+    // token): ≥ 2^20-char docs are cut into ≤ (2^20 − 1)-char segments
+    // overlapping by SpanWindow + WinnowWindow − 1, winnowed per
+    // segment with LOCAL positions (which fit the packed encoding by
+    // construction), mapped back to global positions via the segment
+    // offset. Sub-2^20 docs produce exactly one whole-text segment, so
+    // the common case is byte-identical to the unchunked pipeline.
+    val maxLen = pk - 1
+    val overlap = w + ww - 1
+    val stride = maxLen - overlap
+    s"WITH seg AS (SELECT doc_id, k * $stride AS off, substr(text, CAST(k * $stride + 1 AS BIGINT), $maxLen) AS text FROM " +
+      s"(SELECT doc_id, text, unnest(range(0, CASE WHEN length(text) <= $maxLen THEN 1 " +
+      s"ELSE (length(text) - $maxLen + $stride - 1) // $stride + 1 END)) AS k " +
+      s"FROM documents WHERE length(text) >= $w)), " +
+      s"hs AS (SELECT doc_id, off, i, ($terms) % $Mod AS hash FROM " +
+      s"(SELECT doc_id, off, text, unnest(range(1, length(text) - ${w - 2})) AS i FROM seg WHERE length(text) >= $w)), " +
+      s"sw AS (SELECT doc_id, off, count(*) OVER win AS nw, " +
       s"min(hash * $pk + ($pk - 1 - (i - 1))) OVER win AS sel FROM hs " +
-      s"WINDOW win AS (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND ${ww - 1} FOLLOWING)), " +
-      s"selected AS (SELECT DISTINCT doc_id, $pk - 1 - (sel % $pk) AS pos, sel // $pk AS hash FROM sw WHERE nw = $ww), " +
+      s"WINDOW win AS (PARTITION BY doc_id, off ORDER BY i ROWS BETWEEN CURRENT ROW AND ${ww - 1} FOLLOWING)), " +
+      s"selected AS (SELECT DISTINCT doc_id, off + $pk - 1 - (sel % $pk) AS pos, sel // $pk AS hash FROM sw WHERE nw = $ww), " +
       "pd AS (SELECT doc_id, hash, min(pos) AS pos FROM selected GROUP BY 1, 2), " +
       "cd AS (SELECT hash FROM pd GROUP BY hash HAVING count(*) >= 2), " +
       s"ver AS (SELECT md5(substr(d.text, CAST(pd.pos + 1 AS INTEGER), $w)) AS span_md5 " +
@@ -1186,7 +1255,11 @@ object SparkEntry {
   // pipeline replayed — per-doc window count, distinct-(doc,hash)
   // cross-doc gate, position-counting dup join — so hash-collision
   // behavior is mirrored exactly.
-  private lazy val spanCoverageSql: String = {
+  /** t31's CTE chain (hs/pw/xd/dw), shared with the q_curation_coverage
+    * twin — the rolling-hash replay, per-doc window counts, the ≥2-doc
+    * cross-doc gate, and per-doc duplicated-window counts.
+    */
+  private lazy val spanCoverageCtes: String = {
     import graft.functions.RollingMinHash.{Base, Mod}
     val w = LlmOps.SpanWindow
     val pows = (0 until w).map { j =>
@@ -1194,15 +1267,18 @@ object SparkEntry {
     }
     val terms = pows.zipWithIndex
       .map { case (p, j) => s"CAST(ord(substr(text, i + $j, 1)) AS BIGINT) * $p" }.mkString(" + ")
-    s"WITH hs AS (SELECT doc_id, i, ($terms) % $Mod AS hash FROM " +
+    s"hs AS (SELECT doc_id, i, ($terms) % $Mod AS hash FROM " +
       s"(SELECT doc_id, text, unnest(range(1, length(text) - ${w - 2})) AS i FROM documents WHERE length(text) >= $w)), " +
       "pw AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows FROM hs GROUP BY 1), " +
       "xd AS (SELECT hash FROM (SELECT DISTINCT doc_id, hash FROM hs) GROUP BY hash HAVING count(*) >= 2), " +
-      "dw AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_windows FROM hs JOIN xd USING (hash) GROUP BY 1) " +
+      "dw AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_windows FROM hs JOIN xd USING (hash) GROUP BY 1)"
+  }
+
+  private lazy val spanCoverageSql: String =
+    s"WITH $spanCoverageCtes " +
       "SELECT pw.doc_id, pw.n_windows, CAST(coalesce(dw.n_dup_windows, 0) AS BIGINT) AS n_dup_windows, " +
       "(2000 * coalesce(dw.n_dup_windows, 0) + pw.n_windows) // (2 * pw.n_windows) AS dup_coverage_milli " +
       "FROM pw LEFT JOIN dw USING (doc_id)"
-  }
 
   private val llmOracle2: Map[String, String] = Map(
     "t13_rolling_fp" -> rkSql,
@@ -1316,6 +1392,7 @@ object SparkEntry {
     // Same pipeline with resolution read from the maintained label index
     // — a pure optimization, identical twin.
     "q_curation_neardup_idx" -> curationNeardupSql,
+    "q_curation_coverage" -> curationCoverageSql,
     // BPE-encode twin: the same ranked merge list (count desc, a, b —
     // row_number here, the struct-sort trick on the Spark side) and the
     // same nested fold — DuckDB's list_reduce seeds the accumulator with

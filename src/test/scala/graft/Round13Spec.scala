@@ -129,7 +129,12 @@ class Round13Spec extends SparkTestBase {
       .selectExpr("doc_id", "split(text, ' ') AS toks")
       .where("size(toks) >= 3")
       .selectExpr("doc_id", s"${LlmOps.shingleArrayExpr("toks")} AS sh")
-      .selectExpr("doc_id" +: LlmOps.perRowMinExprs: _*)
+      // The r15 per-row contract takes the PRE-HASHED array (one
+      // hash60 per shingle, eight multiply-shift passes) — the same
+      // shape st14's stream side feeds it.
+      .selectExpr("doc_id",
+        s"transform(array_distinct(sh), x -> ${LlmOps.shingleHash60("x")}) AS sa")
+      .selectExpr("doc_id" +: LlmOps.perRowMinExprs("sa"): _*)
       .selectExpr("doc_id",
         s"posexplode(array(${LlmOps.bandKeyExprs.mkString(", ")})) AS (band, bkey)")
     assert(aggregated.exceptAll(perRow).count() === 0)

@@ -77,17 +77,18 @@ class WinnowPhashSpec extends SparkTestBase {
     assert(out.forall(_.getLong(1) >= 2))
   }
 
-  test("t29 excludes docs past the WinnowPosPack bound (and flags them in the monitor)") {
+  test("t29 covers oversized docs via overlapping pre-chunks (r15; was: excluded)") {
     import spark.implicits._
     val dir = tempDir("t29pk")
-    val shared = (0 until LlmOps.SpanWindow + LlmOps.WinnowWindow - 1)
-      .map(i => ('a' + (i * 7) % 26).toChar).mkString
-    // Doc 3 is a 2^20-char giant whose positions would borrow into the
-    // packed hash bits; it carries the shared span too, but the guard
-    // must keep it out of the winnow pipeline entirely — the pair that
-    // survives is (1, 2) only, counted as n_docs = 2, and the monitor
-    // names exactly doc 3.
-    val giant = ("m" * (LlmOps.WinnowPosPack.toInt - shared.length)) + shared
+    val g = LlmOps.SpanWindow + LlmOps.WinnowWindow - 1
+    val shared = (0 until g).map(i => ('a' + (i * 7) % 26).toChar).mkString
+    // Doc 3 is a 2^20+-char giant whose positions would not fit the
+    // packed encoding in one piece. Before r15 it was excluded (a
+    // book-length corpus silently lost its longest docs from span
+    // dedup); now preChunkSegments covers it, so the shared span —
+    // planted at the giant's TAIL, deep past the packing bound AND past
+    // the first chunk boundary — counts doc 3 too: n_docs = 3.
+    val giant = ("m" * (LlmOps.WinnowPosPack.toInt + 4321 - shared.length)) + shared
     val docs = Seq(
       (1L, "qqqqqqqqqq" + shared + "rrrrrrrrrr"),
       (2L, "zzzz" + shared + "wwwwwwwwwwwwwwwwww"),
@@ -97,11 +98,37 @@ class WinnowPhashSpec extends SparkTestBase {
       .write.parquet(s"$dir/documents.parquet")
     val out = LlmOps.t29WinnowDups(spark, dir).collect()
     assert(out.nonEmpty)
-    assert(out.forall(_.getLong(1) == 2),
-      "the oversize doc must not contribute to any span's doc count")
+    assert(out.exists(_.getLong(1) == 3L),
+      "the pre-chunked oversize doc must contribute to the shared span's doc count")
+    // The monitor still names the doc that took the pre-chunk path.
     val flagged = LlmOps.winnowOversized(Tables.documents(spark, dir))
       .select("doc_id").as[Long].collect().toSeq
     assert(flagged === Seq(3L))
+  }
+
+  test("pre-chunk guarantee holds for a span straddling the first chunk boundary") {
+    import spark.implicits._
+    val dir = tempDir("t29str")
+    val g = LlmOps.SpanWindow + LlmOps.WinnowWindow - 1
+    val shared = (0 until g).map(i => ('a' + (i * 11) % 26).toChar).mkString
+    val maxLen = (LlmOps.WinnowPosPack - 1).toInt
+    val stride = maxLen - g
+    // Plant the shared span at global position stride + 5: it ends past
+    // segment 0's last char (stride + 5 + g − 1 > maxLen − 1), so ONLY
+    // segment 1 (offset = stride) fully contains it — the case the
+    // overlap construction exists for.
+    val p = stride + 5
+    val giant = ("x" * p) + shared + ("y" * 2000)
+    assert(giant.length > maxLen)
+    val docs = Seq(
+      (1L, "aaaaaaaaaa" + shared + "bbbbbbbbbb"),
+      (2L, giant))
+    docs.map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = LlmOps.t29WinnowDups(spark, dir).collect()
+    assert(out.nonEmpty, "boundary-straddling guaranteed span was not detected")
+    assert(out.exists(_.getLong(1) == 2L))
   }
 
   test("t29 detects a winnowed subset of t19's duplicated spans on the corpus") {

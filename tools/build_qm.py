@@ -35,9 +35,15 @@ def main():
                 if c:
                     # median of the per-rep process-CPU deltas (r14:
                     # TimeQuery appends cpu=...; lets a reader separate
-                    # host stall from real work per entry).
-                    vals = sorted(float(x) for x in c.group(1).split(","))
-                    cpus[m.group(1)] = vals[len(vals) // 2]
+                    # host stall from real work per entry). -1.0 is the
+                    # 'platform bean unavailable' sentinel, not a
+                    # measurement — drop it before taking the median
+                    # (advisor finding r14), and omit the entry when no
+                    # valid rep remains.
+                    vals = sorted(float(x) for x in c.group(1).split(",")
+                                  if float(x) >= 0)
+                    if vals:
+                        cpus[m.group(1)] = vals[len(vals) // 2]
     report = {
         "what": what,
         "sf": "/root/testdata/sf0.1",

@@ -75,9 +75,15 @@ def main():
             "sec_30x": round(x3[name][0], 3),
             "rows_1x": base[name][1], "rows_10x": sf1[name][1],
             "rows_30x": x3[name][1],
-            "ratio_10x": round(sf1[name][0] / base[name][0], 2),
-            "ratio_30x": round(x3[name][0] / base[name][0], 2),
-            "step_30x_over_10x": round(x3[name][0] / sf1[name][0], 2),
+            # Zero guard (advisor finding r14): a 0.000 min rep must
+            # yield null ratios, not a ZeroDivisionError mid-merge —
+            # same contract as the QUIET_MEDIANS path.
+            "ratio_10x": (round(sf1[name][0] / base[name][0], 2)
+                          if base[name][0] else None),
+            "ratio_30x": (round(x3[name][0] / base[name][0], 2)
+                          if base[name][0] else None),
+            "step_30x_over_10x": (round(x3[name][0] / sf1[name][0], 2)
+                                  if sf1[name][0] else None),
         }
         refreshed.append(name)
     sc_note = (" r14 refresh: minhash-band family + sim_lsh_sweep + "
