@@ -160,6 +160,12 @@ object Bench {
     "t17_inverted_index", "q_fuzzy_match_name",
     "q_triangles", "q_triangles_idx", "q_triangles_adj", "q_triangles_adj_idx",
     "q_triangles_adj_ingest", "sim_ivf_idx",
+    // r15 diagnosis of the r14 artifact's worst unverified flag: t19
+    // graded 19.8 s in-chunk vs 2.1 s in a fresh JVM with IDENTICAL
+    // ~27 s process CPU — the generator/md5 expression classes shared
+    // with the d*/t29 families recompile on polluted profiles. Same
+    // class as the rest of this set.
+    "t19_dup_spans",
     // r13 sweep data: chunked 18.4 s vs single-JVM 5.8 s (3.2×) — the
     // d12 election after the d* family is the same pollution class.
     "d12_quality_resolve")

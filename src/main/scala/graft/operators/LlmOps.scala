@@ -1782,13 +1782,23 @@ object LlmOps {
     val maxLen = WinnowPosPack - 1
     val overlap = span + window - 1
     val stride = maxLen - overlap
-    docs.select(
-      col("doc_id"),
-      expr(s"explode(transform(sequence(0, case when length(text) <= $maxLen then 0 " +
-        s"else (length(text) - $maxLen + $stride - 1) div $stride end), " +
-        s"k -> struct(k * $stride as off, substring(text, cast(k * $stride + 1 as int), $maxLen) as seg)))").as("c"))
+    // The single-segment common case (every sub-2^20-char doc) takes a
+    // UNION branch with no Generate at all: an unconditional
+    // explode-of-struct would re-materialize every document's text
+    // bytes once even for one segment (and substring(text, 1, maxLen)
+    // would copy them a second time — measured as a +75% t29 map
+    // regression in the first formulation). Only genuinely oversized
+    // docs pay the segment explode.
+    val single = docs.filter(length(col("text")) <= maxLen)
+      .select(col("doc_id"), lit(0L).as("seg_off"), col("text"))
+    val chunked = docs.filter(length(col("text")) > maxLen)
+      .select(
+        col("doc_id"),
+        expr(s"explode(transform(sequence(0, (length(text) - $maxLen + $stride - 1) div $stride), " +
+          s"k -> struct(k * $stride as off, substring(text, cast(k * $stride + 1 as int), $maxLen) as seg)))").as("c"))
       .select(col("doc_id"), col("c.off").cast("long").as("seg_off"),
         col("c.seg").as("text"))
+    single.unionByName(chunked)
   }
 
   /** [[winnowSelect]] over [[preChunkSegments]]: the production form the
@@ -1800,13 +1810,9 @@ object LlmOps {
     * is spent on the common path.
     */
   private[graft] def winnowSelectChunked(docs: DataFrame, span: Int, window: Int): DataFrame =
-    winnowSelect(
-      preChunkSegments(docs, span, window)
-        .select(struct(col("doc_id").as("id"), col("seg_off").as("off")).as("doc_id"),
-          col("text")),
-      span, window)
-      .select(col("doc_id.id").as("doc_id"),
-        (col("doc_id.off") + col("pos")).as("pos"), col("hash"))
+    winnowSelectBy(preChunkSegments(docs, span, window), span, window,
+      Seq("doc_id", "seg_off"))
+      .select(col("doc_id"), (col("seg_off") + col("pos")).as("pos"), col("hash"))
 
   /** The winnowing SELECTION (Schleimer/Wilkerson/Aiken) over a document
     * table: from each doc's rolling span hashes keep, per sliding window
@@ -1820,18 +1826,29 @@ object LlmOps {
     * grows large. The frame-population count gates partial tail windows
     * so both engines enumerate identical window sets.
     */
-  private[graft] def winnowSelect(docs: DataFrame, span: Int, window: Int): DataFrame = {
+  private[graft] def winnowSelect(docs: DataFrame, span: Int, window: Int): DataFrame =
+    winnowSelectBy(docs, span, window, Seq("doc_id"))
+
+  /** [[winnowSelect]] generalized to a composite partition key — the
+    * pre-chunk path partitions per (doc_id, seg_off). Plain long
+    * columns, deliberately NOT a struct key: the window's sort compares
+    * its partition key per row pair, and a struct comparison there
+    * measured as +60% t29 CPU over long comparisons (first r15
+    * formulation).
+    */
+  private[graft] def winnowSelectBy(docs: DataFrame, span: Int, window: Int,
+                                    parts: Seq[String]): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy("pos").rowsBetween(0, window - 1)
+      .partitionBy(parts.map(col): _*).orderBy("pos").rowsBetween(0, window - 1)
     docs
-      .select(col("doc_id"), expr(s"rolling_hashes(text, $span)"))
+      .select(parts.map(col) :+ expr(s"rolling_hashes(text, $span)"): _*)
       .withColumn("nw", count(lit(1)).over(w))
       .withColumn("sel",
         min(expr(s"hash * $WinnowPosPack + ($WinnowPosPack - 1 - pos)")).over(w))
       .filter(col("nw") === window)
-      .select(col("doc_id"),
-        expr(s"$WinnowPosPack - 1 - (sel % $WinnowPosPack)").as("pos"),
-        expr(s"sel div $WinnowPosPack").as("hash"))
+      .select(parts.map(col) :+
+        expr(s"$WinnowPosPack - 1 - (sel % $WinnowPosPack)").as("pos") :+
+        expr(s"sel div $WinnowPosPack").as("hash"): _*)
       .distinct()
   }
 
