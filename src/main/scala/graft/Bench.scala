@@ -125,15 +125,23 @@ object Bench {
 
   /** Default wall budget (seconds) for the WHOLE bench run — chosen
     * conservatively under the driver's observed patience (r13's ~29 min
-    * protocol timed out; r12's ~13 min run did not). Override with
+    * protocol timed out; r12's ~13 min run did not). 840, not 900: the
+    * driver wraps `timeout 900 sbt ...` around the WHOLE invocation and
+    * Bench's clock starts after ~25 s of sbt startup, so an 840 s
+    * internal budget lands the final emit near 865 s wall — inside the
+    * driver's 900 (r15: the first budget-planned run finished its plan
+    * but ate the margin and still drew rc=124). Override with
     * SPARK_GRAFT_BENCH_BUDGET_SEC.
     */
-  val DefaultBudgetSec = 900
+  val DefaultBudgetSec = 840
 
   /** Estimated fixed wall cost of one child JVM (start + session +
     * family warm-ups), used ONLY for budget planning — never graded.
+    * 40 s is MEASURED (r15: eight sweep chunks on this host read
+    * 39–57 s of non-rep wall each); the old 25 s estimate made the
+    * planner promise singles it could not fund.
     */
-  val ChildOverheadSec = 25.0
+  val ChildOverheadSec = 40.0
 
   /** Queries graded in SINGLE-query fresh JVMs with a self-warm-up by
     * default (r12 verdict #1): the composed index-consumer / streaming /
@@ -254,7 +262,8 @@ object Bench {
                        errors: scala.collection.mutable.Map[String, String],
                        repsDetail: scala.collection.mutable.Map[String, Seq[Double]],
                        cpuDetail: scala.collection.mutable.Map[String, Seq[Double]],
-                       maxReps: Int = 3)
+                       maxReps: Int = 3,
+                       quietOf: String => Option[Double] = _ => None)
                       : Unit = {
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
@@ -273,10 +282,20 @@ object Bench {
         }
         val r1 = rep()
         // maxReps == 1 is the budget-planner's degraded bulk mode (r15):
-        // one warm rep per query — the audit layer catches and re-measures
-        // any resulting outlier under the full quiet protocol.
-        val rs = if (r1._1 <= RepThreshold || maxReps <= 1) Seq(r1)
-                 else Seq(r1, rep(), rep())
+        // one warm rep per query — EXCEPT when that one rep already
+        // reads as an audit flag against its own quiet floor, in which
+        // case the query escalates to the normal median-of-3 IN SITU
+        // (still warm, still this JVM). A transient hiccup then never
+        // reaches the audit phase at all; only persistent inflations
+        // do. v5 validation data: 30 of 195 one-rep entries flagged,
+        // almost all sub-second transients the audit could not afford
+        // to re-verify one JVM at a time.
+        val oneRepFlagged = maxReps <= 1 && quietOf(name).exists(q =>
+          r1._1 > AuditRatio * q && r1._1 - q > AuditFloor)
+        val rs =
+          if (r1._1 <= RepThreshold) Seq(r1)
+          else if (maxReps > 1 || oneRepFlagged) Seq(r1, rep(), rep())
+          else Seq(r1)
         repsDetail(name) = rs.map(_._1)
         cpuDetail(name) = rs.map(_._2)
         // A median is recorded only once ALL reps succeeded — a query
@@ -310,6 +329,14 @@ object Bench {
     */
   private def childMain(sfDir: String, cpus: String, names: Seq[String],
                         selfWarm: Boolean, maxReps: Int): Unit = {
+    // The 1-rep escalation rule needs the quiet floors in the CHILD:
+    // load them the same way the parent's audit does (best-effort — a
+    // missing file just means no escalation, never an error).
+    val quiet: Map[String, Double] =
+      if (maxReps > 1) Map.empty
+      else loadQuietMedians(
+        sys.env.getOrElse("SPARK_GRAFT_QUIET_MEDIANS", "QUIET_MEDIANS.json"), sfDir)
+        .getOrElse(Map.empty)
     val spark = Sessions.local(cpus)
     runWarmups(spark, sfDir, names)
     // Self-warm-up (FreshJvmQueries / audit reruns): run each named query
@@ -327,7 +354,7 @@ object Bench {
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val reps = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     val cpu = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
-    timeInto(spark, sfDir, names, times, errors, reps, cpu, maxReps)
+    timeInto(spark, sfDir, names, times, errors, reps, cpu, maxReps, quiet.get)
     times.foreach { case (k, v) =>
       val cs = cpu.getOrElse(k, Nil).map(c => f"$c%.4f").mkString(",")
       println(f"BENCHQ $k $v%.4f ${reps(k).map(r => f"$r%.4f").mkString(",")} $cs")
@@ -806,10 +833,28 @@ object Bench {
     def singleEstimate(n: String): Double =
       ChildOverheadSec + quietMap.get(n).map(_ * 4).getOrElse(35.0)
     val emitReserve = 15.0
-    // Reserve: every planned phase-2 single plus an audit allowance
-    // (~4 calibrated single-query reruns' worth, scaled with the
-    // budget), both funded BEFORE the bulk pass may spend.
-    val singlesReserve = freshNames.map(singleEstimate).sum
+    // Round-robin grouping of the fresh-JVM singles (adjacent family
+    // members land in different groups); defined up here because the
+    // RESERVE must price the grouping the phase can actually afford.
+    def groupsOf(gs: Int): Seq[Seq[String]] =
+      if (freshNames.isEmpty) Seq.empty
+      else {
+        val n = math.ceil(freshNames.size.toDouble / gs).toInt
+        freshNames.zipWithIndex.groupBy(_._2 % n).toSeq.sortBy(_._1)
+          .map(_._2.map(_._1))
+      }
+    def groupEst(g: Seq[String]): Double =
+      ChildOverheadSec + 0.35 * g.size +
+        g.map(n => quietMap.get(n).map(_ * 4).getOrElse(35.0)).sum
+    // Reserve: the CHEAPEST acceptable singles protocol (3-per-JVM —
+    // the phase itself upgrades to pairs/singles when the bulk pass
+    // leaves more than the reserve) plus an audit allowance (a few
+    // calibrated grouped reruns' worth, scaled with the budget), both
+    // funded BEFORE the bulk pass may spend. Reserving the one-per-JVM
+    // cost here (r15 first attempt) starved the bulk window into the
+    // in-process mode whose pollution the audit then could not afford
+    // to clean up — reserve minimal, spend opportunistically.
+    val singlesReserve = groupsOf(3).map(groupEst).sum
     val auditReserve = math.min(220.0, math.max(90.0, budgetSec * 0.18))
     // Never squeeze the bulk below 35% of the budget: with a tiny
     // budget the reserves would otherwise starve the one phase that
@@ -820,45 +865,75 @@ object Bench {
     def perQueryEst(n: String, reps: Int): Double =
       quietMap.get(n).map(v => if (v <= RepThreshold) v else v * reps)
         .getOrElse(0.8 * reps)
+    // Per-query overhead term (0.35 s): clearCache + GC + scheduling
+    // between queries — measured as the gap between sweep-chunk wall and
+    // rep sums (39–57 s for 25-query chunks vs the 40 s JVM constant).
+    // Without it, wide chunks look cheaper than they run.
     def chunkEst(chunk: Seq[String], reps: Int, forked: Boolean): Double =
-      (if (forked) ChildOverheadSec else 3.0) + chunk.map(perQueryEst(_, reps)).sum
-    val allChunks = regularNames.grouped(ChunkSize).toSeq
+      (if (forked) ChildOverheadSec else 3.0) + 0.35 * chunk.size +
+        chunk.map(perQueryEst(_, reps)).sum
+    // Plans are accepted only at ≤ 85% of their window: the estimates
+    // are floors (quiet medians on an oscillating host), and the r15
+    // validation run showed a plan accepted at 99% of its window dies
+    // on the first few-second overrun.
+    val planMargin = 0.85
+    // Bulk protocol ladder, strongest first. The wider-chunk rungs exist
+    // because JVM start is the dominant fixed cost (measured ~40 s): at
+    // 8×25-query chunks the 1-rep forked pass costs ~490 s, but 3 chunks
+    // of 75 cost ~290 s — still fresh-JVM-bounded aging (1 rep each,
+    // audit-checked) and far better measurement than one aged in-process
+    // session timing the whole catalog (the r15 first validation run's
+    // failure mode: in-process bulk → pollution flags → unfunded audit).
+    val bulkPlans: Seq[(String, Int, Int)] = Seq(
+      ("3rep", ChunkSize, 3), ("1rep", ChunkSize, 1),
+      ("1rep-c50", 50, 1), ("1rep-c75", 75, 1))
+    def bulkEstOf(cs: Int, reps: Int): Double =
+      regularNames.grouped(cs).map(c => chunkEst(c, reps, forkEnabled)).sum
+    val chosenBulk: Option[(String, Int, Int)] =
+      if (!forkEnabled) None
+      else bulkPlans.find { case (_, cs, reps) =>
+        bulkEstOf(cs, reps) <= (bulkDeadline - elapsedSec) * planMargin }
     budgetNotes.add(f"plan: bulk_deadline=${bulkDeadline}%.0fs " +
       f"singles_reserve=${singlesReserve}%.0fs audit_reserve=${auditReserve}%.0fs " +
-      f"bulk_est_3rep=${allChunks.map(chunkEst(_, 3, forkEnabled)).sum}%.0fs " +
-      f"bulk_est_1rep=${allChunks.map(chunkEst(_, 1, forkEnabled)).sum}%.0fs")
-    var bulkMode = "3rep" // current degradation level, downgrades noted once
+      f"bulk_est_3rep=${bulkEstOf(ChunkSize, 3)}%.0fs " +
+      f"bulk_est_1rep=${bulkEstOf(ChunkSize, 1)}%.0fs " +
+      f"bulk_est_1rep_c75=${bulkEstOf(75, 1)}%.0fs " +
+      s"bulk_mode=${chosenBulk.map(_._1).getOrElse("inproc")}")
+    if (chosenBulk.map(_._1) != Some("3rep"))
+      System.err.println(s"[bench] BULK protocol: " +
+        s"${chosenBulk.map(_._1).getOrElse("inproc")} (budget plan)")
+    val (bulkChunkSize, bulkReps) = chosenBulk match {
+      case Some((_, cs, reps)) => (cs, reps)
+      case None                => (ChunkSize, 1)
+    }
+    val allChunks = regularNames.grouped(bulkChunkSize).toSeq
+    var bulkInproc = chosenBulk.isEmpty
     allChunks.zipWithIndex.foreach { case (chunk, i) =>
-      // Re-plan before every chunk: pick the strongest protocol whose
-      // estimate for ALL remaining chunks still fits the bulk window.
-      val rest = allChunks.drop(i)
-      val left = bulkDeadline - elapsedSec
-      val mode =
-        if (!forkEnabled) "inproc"
-        else if (rest.map(chunkEst(_, 3, forked = true)).sum <= left) "3rep"
-        else if (rest.map(chunkEst(_, 1, forked = true)).sum <= left) "1rep"
-        else "inproc"
-      if (mode != bulkMode) {
-        bulkMode = mode
-        budgetNotes.add(f"bulk degraded to $mode at chunk ${i + 1}/${allChunks.size} " +
-          f"(${left}%.0fs left of the ${bulkDeadline}%.0fs bulk window)")
-        System.err.println(s"[bench] BULK protocol degraded to $mode from chunk " +
-          s"${i + 1}/${allChunks.size}")
+      // Mid-run re-check: if the host slowed and the remaining chunks no
+      // longer fit the window even at 1 rep, the REST degrade in-process.
+      if (!bulkInproc && forkEnabled) {
+        val left = bulkDeadline - elapsedSec
+        if (allChunks.drop(i).map(chunkEst(_, 1, forked = true)).sum > left &&
+            allChunks.drop(i).map(chunkEst(_, 1, forked = false)).sum <= left) {
+          bulkInproc = true
+          budgetNotes.add(f"bulk degraded to inproc at chunk ${i + 1}/${allChunks.size} " +
+            f"(${left}%.0fs left of the ${bulkDeadline}%.0fs bulk window)")
+          System.err.println(s"[bench] BULK degraded to inproc from chunk " +
+            s"${i + 1}/${allChunks.size}")
+        }
       }
-      val reps = if (mode == "3rep") 3 else 1
       val leftover: Seq[String] =
-        if (mode == "inproc" && forkEnabled) { fallbackChunks.add(chunk.head); chunk }
-        else if (!forkEnabled) chunk
+        if (bulkInproc || !forkEnabled) chunk
         else runChunkForked(sfDir, chunk, times, errors, repsDetail, cpuDetail,
-          maxReps = reps) match {
+          maxReps = bulkReps) match {
           case Some(missing) => missing
           case None          => chunk
         }
       if (leftover.nonEmpty) {
-        if (!(mode == "inproc" && forkEnabled)) fallbackChunks.add(leftover.head)
+        fallbackChunks.add(leftover.head)
         usedLocal = true
         timeInto(localSpark, sfDir, leftover, times, errors, repsDetail, cpuDetail,
-          maxReps = reps)
+          maxReps = if (bulkInproc) 1 else bulkReps, quietOf = quietMap.get)
       }
       emitProgress()
     }
@@ -871,28 +946,53 @@ object Bench {
     // fresh vs the bulk pass); if even that estimate doesn't fit, they
     // run in-process — timed either way, the driver always gets a full
     // catalog, and the sidecar names the degraded entries.
-    var degradePos = 0
     val freshOrdered = freshNames // already sorted (catalog order)
-    while (degradePos < freshOrdered.size &&
-           (!forkEnabled ||
-            remainingSec > singleEstimate(freshOrdered(degradePos)) + emitReserve)) {
-      val n = freshOrdered(degradePos)
-      val leftover: Seq[String] =
-        if (!forkEnabled) Seq(n)
-        else runChunkForked(sfDir, Seq(n), times, errors, repsDetail, cpuDetail,
-          selfWarm = true) match {
-          case Some(missing) => missing
-          case None          => Seq(n)
-        }
-      if (leftover.nonEmpty) {
-        fallbackChunks.add(leftover.head)
-        usedLocal = true
-        timeInto(localSpark, sfDir, leftover, times, errors, repsDetail, cpuDetail)
+    // r15 grouped mode: the pure one-query-per-JVM protocol costs
+    // ~ChildOverheadSec × |singles| of pure JVM start — at the measured
+    // 40 s and 12+ singles that alone is half the budget. Pick the
+    // smallest group size in {1, 2, 3} whose TOTAL estimate fits what
+    // remains after the audit + emit reserves (groupsOf/groupEst are
+    // defined with the plan, above); each member still self-warms —
+    // a bounded adjacency trade for ~40 s/query saved. The audit layer
+    // re-measures any residual pollution in calibrated fresh JVMs, so
+    // a grouping artifact can never silently grade.
+    val groupSize: Option[Int] =
+      if (!forkEnabled) None
+      else Seq(1, 2, 3).find { gs =>
+        groupsOf(gs).map(groupEst).sum <=
+          (remainingSec - auditReserve - emitReserve) * planMargin
       }
-      emitProgress()
-      degradePos += 1
+    val ranNames = scala.collection.mutable.HashSet[String]()
+    groupSize match {
+      case Some(gs) =>
+        if (gs > 1) {
+          budgetNotes.add(s"singles grouped $gs-per-JVM (round-robin across " +
+            s"families) to fit the reserve plan")
+          System.err.println(s"[bench] SINGLES grouped $gs-per-JVM to fit the budget")
+        }
+        val groups = groupsOf(gs)
+        var gi = 0
+        while (gi < groups.size &&
+               remainingSec > groupEst(groups(gi)) + emitReserve) {
+          val g = groups(gi)
+          val leftover: Seq[String] =
+            runChunkForked(sfDir, g, times, errors, repsDetail, cpuDetail,
+              selfWarm = true) match {
+              case Some(missing) => missing
+              case None          => g
+            }
+          if (leftover.nonEmpty) {
+            fallbackChunks.add(leftover.head)
+            usedLocal = true
+            timeInto(localSpark, sfDir, leftover, times, errors, repsDetail, cpuDetail)
+          }
+          ranNames ++= g
+          emitProgress()
+          gi += 1
+        }
+      case None => ()
     }
-    val degraded = freshOrdered.drop(degradePos)
+    val degraded = freshOrdered.filterNot(ranNames)
     if (degraded.nonEmpty) {
       val sharedEstimate = ChildOverheadSec +
         degraded.map(n => quietMap.get(n).map(_ * 4).getOrElse(35.0)).sum
@@ -968,75 +1068,95 @@ object Bench {
             quiet.get(n).exists(qm =>
               times(n) > AuditRatio * qm && times(n) - qm > AuditFloor)
           }.sortBy(n => -(times(n) / quiet(n)))
-          var budgetSkipped = 0
-          flaggedNames.foreach { n =>
-            val qm = quiet(n)
-            val rerunEstimate = ChildOverheadSec + qm * 4 * AuditAttempts + 5
-            if (remainingSec < rerunEstimate + emitReserve) {
-              budgetSkipped += 1
-              auditEntries(n) = Audit(times(n), qm, Nil, Nil, times(n), flagged = true)
-              System.err.println(f"[bench] AUDIT $n graded ${times(n)}%.2fs vs quiet " +
-                f"$qm%.2fs — rerun SKIPPED (wall budget: ${remainingSec}%.0fs left)")
-            } else {
-              System.err.println(f"[bench] AUDIT $n graded ${times(n)}%.2fs vs quiet " +
-                f"$qm%.2fs — re-running in a fresh JVM")
-              // Rerun protocol (r12 verdict: r12's reruns came back WORSE
-              // than the graded numbers): the chunk is [calibration,
-              // target] with --selfwarm, so the target gets the exact
-              // QUIET protocol (untimed warm-up, warm-rep median), and
-              // the calibration query's reading certifies the host was
-              // idle — an inflated calibration marks the rerun as
-              // load-contaminated and it is retried, never graded.
-              val calibQuiet = quiet.get(CalibrationQuery)
-              val reruns = scala.collection.mutable.ArrayBuffer[Double]()
-              val calibs = scala.collection.mutable.ArrayBuffer[Double]()
-              var attempts = 0
-              while (attempts < AuditAttempts &&
-                     (reruns.isEmpty || reruns.min > AuditRatio * qm) &&
-                     remainingSec > ChildOverheadSec + qm * 4 + emitReserve) {
+          // Rerun protocol (r12 verdict: r12's reruns came back WORSE
+          // than the graded numbers): every rerun chunk leads with the
+          // calibration query and runs --selfwarm, so each target gets
+          // the exact QUIET protocol and the calibration reading
+          // certifies the host was idle — an inflated calibration marks
+          // the whole chunk load-contaminated and it is retried, never
+          // graded. r15: flags are verified in GROUPS of up to
+          // AuditGroupSize per child JVM — the r15 validation run
+          // flagged 26 entries out of an in-process bulk, and at ~50 s
+          // per single-flag JVM no reserve could fund that; grouped,
+          // the amortized cost per flag is ~15 s.
+          val AuditGroupSize = 3
+          val calibQuiet = quiet.get(CalibrationQuery)
+          val rerunsBy = scala.collection.mutable.Map[String, scala.collection.mutable.ArrayBuffer[Double]]()
+          val calibsBy = scala.collection.mutable.Map[String, scala.collection.mutable.ArrayBuffer[Double]]()
+          val attempted = scala.collection.mutable.HashSet[String]()
+          def bestOf(n: String): Double =
+            (times(n) +: rerunsBy.get(n).map(_.toSeq).getOrElse(Nil)).min
+          def flaggedAt(n: String, v: Double): Boolean =
+            v > AuditRatio * quiet(n) && v - quiet(n) > AuditFloor
+          var pass = 0
+          var pending = flaggedNames
+          var funded = true
+          while (pass < AuditAttempts && pending.nonEmpty && funded) {
+            // Sub-second flags batch cheaply (a whole dozen re-measure
+            // for one JVM start); heavyweights stay in groups of 3.
+            val (small, large) = pending.partition(n => quiet(n) < 1.0)
+            val passGroups = small.grouped(12).toSeq ++ large.grouped(AuditGroupSize).toSeq
+            passGroups.foreach { g =>
+              val est = ChildOverheadSec +
+                (CalibrationQuery +: g).map(n => quiet.getOrElse(n, 5.0) * 4).sum
+              if (!funded || remainingSec < est + emitReserve) {
+                funded = false
+              } else {
+                System.err.println(s"[bench] AUDIT pass ${pass + 1}: re-running " +
+                  s"${g.mkString(",")} in a fresh JVM (calibration-led)")
                 val t2 = scala.collection.mutable.LinkedHashMap[String, Double]()
                 val e2 = scala.collection.mutable.LinkedHashMap[String, String]()
                 val r2 = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
                 val c2 = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
-                val chunk = if (n == CalibrationQuery) Seq(n) else Seq(CalibrationQuery, n)
+                val chunk = CalibrationQuery +: g.filterNot(_ == CalibrationQuery)
                 runChunkForked(sfDir, chunk, t2, e2, r2, c2, selfWarm = true)
+                g.foreach(attempted += _)
                 val calib = t2.get(CalibrationQuery)
-                calib.foreach(calibs += _)
                 val hostLoaded = (for (c <- calib; cq <- calibQuiet)
                   yield c > AuditRatio * cq && c - cq > AuditFloor).getOrElse(false)
-                if (hostLoaded)
-                  System.err.println(f"[bench] AUDIT rerun of $n discarded — calibration " +
-                    f"$CalibrationQuery read ${calib.get}%.2fs vs quiet ${calibQuiet.get}%.2fs " +
-                    "(host loaded during rerun)")
-                else
-                  t2.get(n).foreach { v =>
-                    reruns += v
+                g.foreach { n =>
+                  calib.foreach(c =>
+                    calibsBy.getOrElseUpdate(n, scala.collection.mutable.ArrayBuffer()) += c)
+                  if (hostLoaded) ()
+                  else t2.get(n).foreach { v =>
+                    rerunsBy.getOrElseUpdate(n, scala.collection.mutable.ArrayBuffer()) += v
                     repsDetail(n) = r2.getOrElse(n, Seq(v))
                     c2.get(n).foreach(cpuDetail(n) = _)
                   }
-                e2.get(n).foreach(msg => System.err.println(
-                  s"[bench] AUDIT rerun of $n failed ($msg) — keeping graded value"))
-                attempts += 1
+                  e2.get(n).foreach(msg => System.err.println(
+                    s"[bench] AUDIT rerun of $n failed ($msg) — keeping graded value"))
+                }
+                if (hostLoaded)
+                  System.err.println(f"[bench] AUDIT chunk discarded — calibration " +
+                    f"$CalibrationQuery read ${calib.get}%.2fs vs quiet " +
+                    f"${calibQuiet.get}%.2fs (host loaded during rerun)")
+                emitProgress()
               }
-              // Grade the MINIMUM observation: each value is a median of
-              // warm reps, so the smallest is the least load-contaminated
-              // honest measurement (the sweep_quiet override rule).
-              val used = (times(n) +: reruns.toSeq).min
-              val still = used > AuditRatio * qm && used - qm > AuditFloor
-              auditEntries(n) = Audit(times(n), qm, reruns.toSeq, calibs.toSeq, used, still)
-              times(n) = used
-              if (still) {
-                // A flag whose reruns were ALL calibration-discarded is
-                // host-load evidence, not a regression — say so on the
-                // same channel the flag rides (the stderr line; the
-                // sidecar's calibration array tells the same story).
-                val loadNote = if (reruns.isEmpty && calibs.nonEmpty)
-                  " (every rerun calibration-discarded: host loaded, not a regression)"
-                else ""
-                System.err.println(f"[bench] AUDIT $n STILL ${used}%.2fs after " +
-                  s"${reruns.size} accepted fresh-JVM rerun(s)$loadNote")
-              }
-              emitProgress()
+            }
+            pending = pending.filter(n => flaggedAt(n, bestOf(n)))
+            pass += 1
+          }
+          var budgetSkipped = 0
+          flaggedNames.foreach { n =>
+            val qm = quiet(n)
+            val used = bestOf(n)
+            val still = flaggedAt(n, used)
+            val rs = rerunsBy.get(n).map(_.toSeq).getOrElse(Nil)
+            val cs = calibsBy.get(n).map(_.toSeq).getOrElse(Nil)
+            auditEntries(n) = Audit(times(n), qm, rs, cs, used, still)
+            times(n) = used
+            if (!attempted.contains(n)) {
+              budgetSkipped += 1
+              System.err.println(f"[bench] AUDIT $n graded ${used}%.2fs vs quiet " +
+                f"$qm%.2fs — rerun SKIPPED (wall budget)")
+            } else if (still) {
+              // A flag whose reruns were ALL calibration-discarded is
+              // host-load evidence, not a regression.
+              val loadNote = if (rs.isEmpty && cs.nonEmpty)
+                " (every rerun calibration-discarded: host loaded, not a regression)"
+              else ""
+              System.err.println(f"[bench] AUDIT $n STILL ${used}%.2fs after " +
+                s"${rs.size} accepted fresh-JVM rerun(s)$loadNote")
             }
           }
           if (budgetSkipped > 0)
