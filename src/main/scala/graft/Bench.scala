@@ -265,6 +265,12 @@ object Bench {
                        maxReps: Int = 3,
                        quietOf: String => Option[Double] = _ => None)
                       : Unit = {
+    // In-situ escalations are BOUNDED per call: unlimited escalations on
+    // a drifting host re-inflate the 1-rep pass back to 3-rep cost and
+    // blow the planned window (v6 validation: rc=124 from exactly this).
+    // Past the cap, residual flags go to the audit phase, which batch-
+    // verifies them (12 sub-second flags per JVM).
+    var escalationsLeft = 4
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       try {
@@ -290,8 +296,10 @@ object Bench {
         // do. v5 validation data: 30 of 195 one-rep entries flagged,
         // almost all sub-second transients the audit could not afford
         // to re-verify one JVM at a time.
-        val oneRepFlagged = maxReps <= 1 && quietOf(name).exists(q =>
-          r1._1 > AuditRatio * q && r1._1 - q > AuditFloor)
+        val oneRepFlagged = maxReps <= 1 && escalationsLeft > 0 &&
+          quietOf(name).exists(q =>
+            r1._1 > AuditRatio * q && r1._1 - q > AuditFloor)
+        if (oneRepFlagged) escalationsLeft -= 1
         val rs =
           if (r1._1 <= RepThreshold) Seq(r1)
           else if (maxReps > 1 || oneRepFlagged) Seq(r1, rep(), rep())
