@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineMilli, DotDouble, Mix64, NfcNormalize, RollingHashes, RollingMinHash, SortedIntersectCount}
+import graft.functions.{CosineMilli, DotDouble, Mix64, NfcNormalize, RollingHashes, RollingMinHash, SimpleLower, SortedIntersectCount}
 import graft.plans.{AsOfJoinStrategy, RangeJoinRewrite}
 
 /** SparkSessionExtensions entry point
@@ -68,6 +68,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           throw new IllegalArgumentException(
             s"nfc_normalize(text) takes 1 argument, got ${children.size}")
         NfcNormalize(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("simple_lower"),
+      new ExpressionInfo(classOf[SimpleLower].getName, "simple_lower"),
+      (children: Seq[Expression]) => {
+        if (children.size != 1)
+          throw new IllegalArgumentException(
+            s"simple_lower(text) takes 1 argument, got ${children.size}")
+        SimpleLower(children.head)
       }))
     ext.injectFunction((
       FunctionIdentifier("mix64"),

@@ -29,10 +29,13 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * oracle).
   *
   * With constants a_k odd and both a_k, b_k < 2^63 (HUGEINT product
-  * headroom on the oracle side), x → (a_k·x + b_k) mod 2^64 is a
-  * bijection on 64-bit values, so distinct shingle hashes stay distinct
-  * under every seed — MinHash over the mixed values is min-wise over
-  * the same underlying sets.
+  * headroom on the oracle side), the PRE-SHIFT map x → (a_k·x + b_k)
+  * mod 2^64 is a bijection on 64-bit values; the `>>> 4` then discards
+  * the low 4 bits, so two distinct shingle hashes CAN collide after the
+  * shift — at a ~2^-60 per-pair rate, which is harmless for MinHash's
+  * min-wise use (a collision merely ties two candidates the verify
+  * step separates anyway). (ADVICE r15: the pre-r16 wording claimed
+  * post-shift distinctness, which the shift makes false as stated.)
   */
 case class Mix64(first: Expression, second: Expression, third: Expression)
     extends TernaryExpression {

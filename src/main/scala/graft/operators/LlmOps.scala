@@ -110,8 +110,9 @@ object LlmOps {
   val RowsPerBand = 2
 
   /** Multiply-shift seed constants: a_k odd and < 2^63 (the odd bound
-    * makes x → a_k·x + b_k a bijection mod 2^64 — distinct shingle
-    * hashes stay distinct under every seed; the 2^63 bound keeps the
+    * makes the pre-shift map x → a_k·x + b_k a bijection mod 2^64 —
+    * the Mix64 `>>> 4` can still collide distinct inputs at ~2^-60,
+    * acceptable for min-wise use; the 2^63 bound keeps the
     * oracle's HUGEINT product a_k·x + b_k < 2^123, inside HUGEINT
     * range). Derived deterministically from the golden-ratio and
     * Moremur mixing constants: a_k = (0x9E3779B97F4A7C15·(2k+1) mod
@@ -361,14 +362,20 @@ object LlmOps {
         min("doc_id").as("canonical_doc_id"),
         count("*").as("n_copies"))
 
-  /** The canonical pre-dedup text normalization, shared verbatim with
-    * the DuckDB twin: lowercase → non-alphanumerics to spaces →
+  /** The canonical pre-dedup text normalization, mirrored step-for-step
+    * by the DuckDB twin: lowercase → non-alphanumerics to spaces →
     * whitespace collapse → trim. Catches the case/punctuation/spacing
     * near-clones byte-exact d1 misses (the first normalization pass
-    * every curation pipeline runs before hashing).
+    * every curation pipeline runs before hashing). The lowercase step
+    * is [[graft.functions.SimpleLower]], not the built-in `lower()`
+    * (full mapping): full-lowering U+0130 'İ' emits 'i' + combining
+    * dot, which the `[^a-z0-9 ]` pass then turns into a stray space —
+    * splitting words ("İx" → "i x") where DuckDB's simple-mapping
+    * `lower()` gives "ix". With simple_lower both engines flatten
+    * identically (same divergence class ADVICE r15 flagged on d10b).
     */
   private[graft] val normExpr =
-    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' '), ' +', ' '))"
+    "trim(regexp_replace(regexp_replace(simple_lower(text), '[^a-z0-9 ]', ' '), ' +', ' '))"
 
   /** D10: normalization-aware exact dedup — [[d1DedupExact]] over
     * [[normExpr]]'d text. Same 100 TB shape as d1 (one shuffle on a
@@ -392,12 +399,21 @@ object LlmOps {
     * class here, while byte-exact hashing (d1) and ASCII-flattening
     * (d10) each split or mangle them. DuckDB's `nfc_normalize` mirrors
     * the step exactly (same UAX #15 algorithm), so the fold is
-    * oracle-checked end-to-end. The fixture corpus is ASCII — the spec
-    * proves the composed/decomposed coalescence on planted fixtures;
+    * oracle-checked end-to-end. The lowercase step is
+    * [[graft.functions.SimpleLower]] (per-code-point simple mapping),
+    * NOT Spark's `lower()` (full mapping): DuckDB's utf8proc `lower()`
+    * simple-maps (U+0130 'İ' → 'i', Σ → σ always) where Java's full
+    * mapping emits 'i' + combining dot and final-sigma ς, so with
+    * built-in `lower()` the two engines' folds diverge on real
+    * non-ASCII corpora (ADVICE r15, medium — the ASCII fixture corpus
+    * could never catch it). With simple_lower the engines agree by
+    * construction; NfcNormalizeSpec pins the U+0130/Σ class. The
+    * fixture corpus is ASCII — the spec proves composed/decomposed
+    * coalescence and the simple-mapping class on planted fixtures;
     * the gate proves engine parity of the whole fold.
     */
   private[graft] val nfcNormExpr =
-    "trim(regexp_replace(lower(nfc_normalize(text)), ' +', ' '))"
+    "trim(regexp_replace(simple_lower(nfc_normalize(text)), ' +', ' '))"
 
   /** D10B: NFC-aware exact dedup — [[d1DedupExact]] over [[nfcNormExpr]]'d
     * text. Same 100 TB shape as d1/d10 (codegen'd map-side normalization,
@@ -1731,11 +1747,13 @@ object LlmOps {
     * The validity bound is ENFORCED, not assumed (advisor finding): a
     * ≥ 2^20-char document would borrow into the hash bits and silently
     * corrupt the packed min — and because the DuckDB twin shares the
-    * identical packing, the oracle could never catch it. [[t29WinnowDups]]
-    * (and its index-ingest variant) filter such documents out on BOTH
-    * engines, and [[winnowOversized]] exposes the excluded set so the cap
-    * is monitorable, never silent (SURVEY.md §5 discipline). Book-length
-    * corpora widen the shift — one constant, both engines.
+    * identical packing, the oracle could never catch it. Since r15 the
+    * winnow family no longer EXCLUDES such documents:
+    * [[preChunkSegments]] cuts them into overlapping sub-2^20-char
+    * segments (each packed with LOCAL positions that always fit, then
+    * rebased) on BOTH engines, and [[winnowOversized]] exposes the
+    * pre-chunked set so the path is monitorable, never silent
+    * (SURVEY.md §5 discipline).
     */
   private[graft] val WinnowPosPack = 1L << 20
 

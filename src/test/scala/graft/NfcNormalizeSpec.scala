@@ -26,6 +26,37 @@ class NfcNormalizeSpec extends SparkTestBase {
         java.text.Normalizer.Form.NFC))
   }
 
+  // ADVICE r15 (medium): the d10b fold lowercases with simple_lower
+  // (per-code-point simple mapping — what DuckDB's utf8proc lower()
+  // applies), NOT Spark's full-mapping lower(). These fixtures pin the
+  // exact full-vs-simple divergence class: values asserted here equal
+  // DuckDB's lower() output (verified against duckdb: 'İ'→'i' one code
+  // point, 'ΟΣ'→'οσ' with non-final σ), while Spark's lower() yields
+  // 'i'+U+0307 and final-sigma 'ος' — so the built-in would fail this.
+  test("simple_lower matches utf8proc's simple mapping where full mapping diverges") {
+    val rows = Seq("İstanbul", "ΟΣ", "MiXeD ascii", "ÉCOLE")
+      .toDF("s").selectExpr("simple_lower(s) AS l").collect()
+    val istanbul = rows(0).getString(0)
+    assert(istanbul === "istanbul")                      // not "i̇stanbul"
+    assert(istanbul.codePointCount(0, istanbul.length) === 8)
+    assert(rows(1).getString(0) === "οσ")      // σ, never final ς
+    assert(rows(2).getString(0) === "mixed ascii")       // ASCII fast path
+    assert(rows(3).getString(0) === "école")
+    // Full d10b fold agreement on the same inputs: one dedup class for
+    // the case variants that differ only in the divergent code point.
+    val n = spark.sql(
+      "SELECT count(DISTINCT trim(regexp_replace(simple_lower(nfc_normalize(s)), ' +', ' '))) c " +
+      "FROM VALUES ('İstanbul'), ('istanbul'), ('Istanbul') AS t(s)").collect()
+    assert(n.head.getLong(0) === 1L)
+  }
+
+  test("simple_lower null propagation and empty string") {
+    val r = spark.sql(
+      "SELECT simple_lower(CAST(NULL AS STRING)) AS n, simple_lower('') AS e").collect()
+    assert(r.head.isNullAt(0))
+    assert(r.head.getString(1) === "")
+  }
+
   test("nfc_normalize null propagation") {
     val r = spark.sql("SELECT nfc_normalize(CAST(NULL AS STRING)) AS n").collect()
     assert(r.head.isNullAt(0))
