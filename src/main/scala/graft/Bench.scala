@@ -107,6 +107,17 @@ object Bench {
   /** Self-audit trigger: graded > AuditRatio × quiet median… */
   val AuditRatio = 2.0
 
+  /** In-situ escalation trigger for the 1-rep bulk modes (r16 — was
+    * AuditRatio): a single warm rep is the query's FIRST execution in
+    * its chunk JVM, and the cold-codegen cost reads as a systematic
+    * 1.3–2.0× inflation the 2.0× audit never catches (the r16 before-
+    * run's sim_ivf_recall_idx reps: 2.34 → 2.10 → 1.21 vs quiet 1.07 —
+    * pure first-rep effect). 1.5× catches that class; the escalation
+    * stays capped per chunk, so a genuinely degraded host costs a
+    * bounded number of extra reps, never the window.
+    */
+  val InSituRatio = 1.5
+
   /** …AND graded − quiet > AuditFloor seconds (sub-second jitter on tiny
     * queries is not worth a 20 s fresh-JVM rerun and cannot move the
     * grade).
@@ -176,7 +187,25 @@ object Bench {
     "t19_dup_spans",
     // r13 sweep data: chunked 18.4 s vs single-JVM 5.8 s (3.2×) — the
     // d12 election after the d* family is the same pollution class.
-    "d12_quality_resolve")
+    "d12_quality_resolve",
+    // r16 (VERDICT r15 #1): the five worst unverified r15 audit flags —
+    // q_curation_pipeline graded 25.8 s vs 1.60 s quiet (16×),
+    // t11_decontaminate 8.0 vs 0.53 (15×), q_kmeans 6.0 vs 1.17,
+    // q_semdedup 5.6 vs 1.29, sim_pq_topk 3.3 vs 0.74 — all composed /
+    // persist-heavy queries matching the t19 codegen-pollution class,
+    // none of which the audit could rerun in the degraded r15 window.
+    // Graded under the quiet protocol from the start, the artifact can
+    // tell pollution from regression by construction.
+    "q_curation_pipeline", "t11_decontaminate", "q_kmeans", "q_semdedup",
+    "sim_pq_topk")
+
+  /** Machine-readable audit-incompleteness tag for the parsed total line
+    * (VERDICT r15 #4): a run whose audit reserve was (partly) skipped
+    * must not parse identically to a fully audited one. Empty when every
+    * flagged entry got its rerun.
+    */
+  private[graft] def auditSkippedTag(n: Int): String =
+    if (n > 0) s""","audit_skipped":$n""" else ""
 
   /** Calibration query prepended to every audit rerun chunk: cheap,
     * quiet-median-stable, exercises scan+join+shuffle. If ITS rerun
@@ -269,8 +298,11 @@ object Bench {
     // a drifting host re-inflate the 1-rep pass back to 3-rep cost and
     // blow the planned window (v6 validation: rc=124 from exactly this).
     // Past the cap, residual flags go to the audit phase, which batch-
-    // verifies them (12 sub-second flags per JVM).
-    var escalationsLeft = 4
+    // verifies them (12 sub-second flags per JVM). 8, not 4 (r16): the
+    // trigger tightened to InSituRatio to catch the cold-first-rep
+    // class, which fires on a few more entries per chunk; worst case is
+    // 16 extra reps of ~1–3 s queries per chunk, inside the plan margin.
+    var escalationsLeft = 8
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       try {
@@ -298,7 +330,7 @@ object Bench {
         // to re-verify one JVM at a time.
         val oneRepFlagged = maxReps <= 1 && escalationsLeft > 0 &&
           quietOf(name).exists(q =>
-            r1._1 > AuditRatio * q && r1._1 - q > AuditFloor)
+            r1._1 > InSituRatio * q && r1._1 - q > AuditFloor)
         if (oneRepFlagged) escalationsLeft -= 1
         val rs =
           if (r1._1 <= RepThreshold) Seq(r1)
@@ -306,9 +338,20 @@ object Bench {
           else Seq(r1)
         repsDetail(name) = rs.map(_._1)
         cpuDetail(name) = rs.map(_._2)
-        // A median is recorded only once ALL reps succeeded — a query
+        // A value is recorded only once ALL reps succeeded — a query
         // that fails on rep 2 reports an error, never a partial timing.
-        times(name) = rs.map(_._1).sorted.apply(rs.size / 2)
+        // Escalated 1-rep entries grade the MIN of their reps (r16): the
+        // flagged first rep is a COLD execution (codegen compile +
+        // first-touch inside its chunk JVM), so the median of {cold,
+        // warm, warm} still carries half the cold penalty; the minimum
+        // is the audit phase's "minimum surviving observation" rule
+        // applied in situ, and a minimum over honest reps can only
+        // overstate the query's warm cost, never understate the work.
+        // 3-rep bulk modes keep the median (their reps are uniformly
+        // warm; the median kills host-load phantoms better there).
+        times(name) =
+          if (oneRepFlagged) rs.map(_._1).min
+          else rs.map(_._1).sorted.apply(rs.size / 2)
       } catch { case e: Throwable =>
         errors(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
       } finally {
@@ -600,6 +643,15 @@ object Bench {
     // (advisor finding r14).
     val untimed = new java.util.concurrent.CopyOnWriteArrayList[String]()
     @volatile var auditNote = "pending: run interrupted before the audit phase"
+    // Audit flags whose fresh-JVM rerun was never attempted (budget) —
+    // surfaced in the PARSED total line, not only the sidecar: a run
+    // with unverified flags must not parse identically to a fully
+    // audited one (VERDICT r15 #4).
+    @volatile var auditSkippedCount = 0
+    // The ACTUAL bulk protocol the plan chose (advisor r15: the sidecar
+    // claimed median-of-3 unconditionally while budget-planned runs may
+    // grade the bulk at 1 rep) — interpolated into the protocol string.
+    @volatile var bulkModeDesc = "bulk mode pending (plan not yet chosen)"
     final case class Audit(graded: Double, quiet: Double,
                            reruns: Seq[Double], calib: Seq[Double],
                            used: Double, flagged: Boolean)
@@ -652,9 +704,9 @@ object Bench {
           .map { case (k, v) => s"${q(k)}:${q(v.take(maxMsg))}" }
           .mkString(""","errors":{""", ",", "}")
       val total = snapshot.values.sum
-      val partialTag = if (partial)
+      val partialTag = (if (partial)
         s""","partial":true,"n_timed":${snapshot.size},"n_planned":${catalog.size}"""
-        else ""
+        else "") + auditSkippedTag(auditSkippedCount)
       def build(decimals: Int, counts: Boolean, maxMsg: Int,
                 topK: Int = Int.MaxValue): String = {
         // When even whole-second full listings blow the budget (the query
@@ -676,11 +728,15 @@ object Bench {
       // plus errors/reps/cpu/audit/budget. The driver ignores it; judges
       // and humans read it.
       val protocol =
-        (if (forkEnabled) s"fresh JVM per <=$ChunkSize-query chunk (sweep protocol in-bench); " +
-          "pollution-prone composed queries (fresh_jvm_queries) each in a " +
-          "self-warmed single-query JVM — the quiet-median protocol itself; "
+        (if (forkEnabled) "fresh JVM per bulk chunk (sweep protocol in-bench); " +
+          "pollution-prone composed queries (fresh_jvm_queries) in " +
+          "self-warmed fresh JVMs — the quiet-median protocol itself; "
          else "single JVM (SPARK_GRAFT_BENCH_FORK=0); ") +
-        s"median-of-3 for queries with first rep > ${RepThreshold}s; " +
+        s"bulk pass: $bulkModeDesc; " +
+        s"1-rep bulk modes escalate to min-of-3 in situ on a >${InSituRatio}x " +
+        "quiet outlier (cold-first-rep corrective, capped per chunk); " +
+        "3-rep modes take median-of-3 for " +
+        s"queries with first rep > ${RepThreshold}s, " +
         "single rep below; graded medians self-audited against " +
         "QUIET_MEDIANS.json with calibration-gated single-query fresh-JVM " +
         s"reruns for >${AuditRatio}x outliers; all phases after the chunked " +
@@ -854,15 +910,19 @@ object Bench {
     def groupEst(g: Seq[String]): Double =
       ChildOverheadSec + 0.35 * g.size +
         g.map(n => quietMap.get(n).map(_ * 4).getOrElse(35.0)).sum
-    // Reserve: the CHEAPEST acceptable singles protocol (3-per-JVM —
-    // the phase itself upgrades to pairs/singles when the bulk pass
-    // leaves more than the reserve) plus an audit allowance (a few
+    // Reserve: the CHEAPEST acceptable singles protocol (6-per-JVM —
+    // the phase itself upgrades to singles/pairs/triples when the bulk
+    // pass leaves more than the reserve) plus an audit allowance (a few
     // calibrated grouped reruns' worth, scaled with the budget), both
     // funded BEFORE the bulk pass may spend. Reserving the one-per-JVM
     // cost here (r15 first attempt) starved the bulk window into the
     // in-process mode whose pollution the audit then could not afford
-    // to clean up — reserve minimal, spend opportunistically.
-    val singlesReserve = groupsOf(3).map(groupEst).sum
+    // to clean up — reserve minimal, spend opportunistically. r16: the
+    // basis widened 3→6 when FreshJvmQueries grew to 17 non-twin
+    // entries (VERDICT r15 #1) — a 3-per-JVM reserve (~370 s) would
+    // have pushed the bulk plan itself into in-process mode, recreating
+    // the exact pollution the singles exist to avoid.
+    val singlesReserve = groupsOf(6).map(groupEst).sum
     val auditReserve = math.min(220.0, math.max(90.0, budgetSec * 0.18))
     // Never squeeze the bulk below 35% of the budget: with a tiny
     // budget the reserves would otherwise starve the one phase that
@@ -914,6 +974,12 @@ object Bench {
       case Some((_, cs, reps)) => (cs, reps)
       case None                => (ChunkSize, 1)
     }
+    bulkModeDesc = chosenBulk match {
+      case Some((mode, cs, reps)) =>
+        s"$mode (forked, <=$cs queries/JVM, $reps rep(s))"
+      case None =>
+        if (forkEnabled) "inproc (1 rep, budget-degraded)" else "inproc (1 rep)"
+    }
     val allChunks = regularNames.grouped(bulkChunkSize).toSeq
     var bulkInproc = chosenBulk.isEmpty
     allChunks.zipWithIndex.foreach { case (chunk, i) =>
@@ -946,6 +1012,27 @@ object Bench {
       emitProgress()
     }
 
+    // Host-inflation factor, MEASURED from the bulk pass (VERDICT r15
+    // #2: the r15 plan was accepted at 85% of its window against
+    // quiet-floor estimates, then a ~2× host turned 840 s of plan into
+    // 1247 s of wall — the estimates must track the host the run is
+    // actually on). Median graded/quiet over bulk entries with a
+    // non-trivial quiet floor; every later phase's funding check prices
+    // its work at estimate × inflation, so a degraded host shrinks the
+    // singles grouping and audit scope INSIDE the budget instead of
+    // silently overrunning it.
+    val inflation: Double = {
+      val ratios = times.readOnlySnapshot().toSeq.collect {
+        case (n, v) if quietMap.get(n).exists(_ >= 0.3) => v / quietMap(n)
+      }.sorted
+      if (ratios.isEmpty) 1.0 else math.max(1.0, ratios(ratios.size / 2))
+    }
+    budgetNotes.add(f"host inflation after bulk: ${inflation}%.2fx " +
+      "(median graded/quiet, floors >= 0.3s)")
+    if (inflation > 1.3)
+      System.err.println(f"[bench] HOST inflation ${inflation}%.2fx — later " +
+        "phases priced accordingly")
+
     // ---- Phase 2: fresh-JVM singles, funded from the remaining budget.
     // Estimated wall for one single: child overhead + self-warm + up to
     // 3 reps ≈ overhead + 4×quiet (60 s when the quiet median is
@@ -966,8 +1053,8 @@ object Bench {
     // a grouping artifact can never silently grade.
     val groupSize: Option[Int] =
       if (!forkEnabled) None
-      else Seq(1, 2, 3).find { gs =>
-        groupsOf(gs).map(groupEst).sum <=
+      else Seq(1, 2, 3, 4, 6).find { gs =>
+        groupsOf(gs).map(groupEst).sum * inflation <=
           (remainingSec - auditReserve - emitReserve) * planMargin
       }
     val ranNames = scala.collection.mutable.HashSet[String]()
@@ -980,8 +1067,13 @@ object Bench {
         }
         val groups = groupsOf(gs)
         var gi = 0
+        // The audit reserve rides in the funding check (advisor r15:
+        // gating on groupEst + emitReserve alone let a slow host's
+        // singles phase eat the audit fund the plan claimed was
+        // ring-fenced, leaving every flag rerun-SKIPPED).
         while (gi < groups.size &&
-               remainingSec > groupEst(groups(gi)) + emitReserve) {
+               remainingSec > groupEst(groups(gi)) * inflation +
+                 auditReserve + emitReserve) {
           val g = groups(gi)
           val leftover: Seq[String] =
             runChunkForked(sfDir, g, times, errors, repsDetail, cpuDetail,
@@ -1002,8 +1094,12 @@ object Bench {
     }
     val degraded = freshOrdered.filterNot(ranNames)
     if (degraded.nonEmpty) {
-      val sharedEstimate = ChildOverheadSec +
-        degraded.map(n => quietMap.get(n).map(_ * 4).getOrElse(35.0)).sum
+      val sharedEstimate = (ChildOverheadSec +
+        degraded.map(n => quietMap.get(n).map(_ * 4).getOrElse(35.0)).sum) * inflation
+      // Deliberately NOT gated on auditReserve: these are the
+      // pollution-class queries themselves — timing them in-process to
+      // protect the audit fund would manufacture the very flags the
+      // audit exists to clean. One shared fresh JVM is the better spend.
       if (forkEnabled && remainingSec > sharedEstimate + emitReserve) {
         budgetNotes.add(s"budget_degraded: shared self-warmed chunk for ${degraded.mkString(",")}")
         System.err.println(s"[bench] BUDGET degrading ${degraded.size} fresh-JVM " +
@@ -1105,8 +1201,8 @@ object Bench {
             val (small, large) = pending.partition(n => quiet(n) < 1.0)
             val passGroups = small.grouped(12).toSeq ++ large.grouped(AuditGroupSize).toSeq
             passGroups.foreach { g =>
-              val est = ChildOverheadSec +
-                (CalibrationQuery +: g).map(n => quiet.getOrElse(n, 5.0) * 4).sum
+              val est = (ChildOverheadSec +
+                (CalibrationQuery +: g).map(n => quiet.getOrElse(n, 5.0) * 4).sum) * inflation
               if (!funded || remainingSec < est + emitReserve) {
                 funded = false
               } else {
@@ -1167,6 +1263,7 @@ object Bench {
                 s"${rs.size} accepted fresh-JVM rerun(s)$loadNote")
             }
           }
+          auditSkippedCount = budgetSkipped
           if (budgetSkipped > 0)
             budgetNotes.add(s"audit: $budgetSkipped rerun(s) skipped for wall budget")
           s"${flaggedNames.size} flagged of ${times.size} graded " +

@@ -41,4 +41,25 @@ class BenchCatalogSpec extends AnyFunSuite {
     assert(!Bench.FreshJvmQueries.contains(Bench.CalibrationQuery),
       "the calibration reference must grade under the plain protocol")
   }
+
+  test("the r15 unverified-flag class grades fresh-JVM from the start") {
+    // VERDICT r15 #1: the five worst audit flags the degraded r15 window
+    // could not re-verify — removing any of them from the set silently
+    // reopens the in-chunk pollution ambiguity.
+    val required = Set("q_curation_pipeline", "t11_decontaminate",
+      "q_kmeans", "q_semdedup", "sim_pq_topk")
+    val missing = required -- Bench.FreshJvmQueries
+    assert(missing.isEmpty, s"pollution-class entries missing: $missing")
+  }
+
+  test("audit_skipped surfaces in the parsed total line when reruns were skipped") {
+    // VERDICT r15 #4: a run with unverified audit flags must not parse
+    // identically to a fully audited one.
+    assert(Bench.auditSkippedTag(0) === "")
+    assert(Bench.auditSkippedTag(47) === ""","audit_skipped":47""")
+    // The tag splices into a JSON object — must start with a comma and
+    // form a valid key:value pair.
+    val line = s"""{"metric":"total","value":1.0${Bench.auditSkippedTag(3)}}"""
+    assert(line.contains(""""audit_skipped":3"""))
+  }
 }
