@@ -366,6 +366,16 @@ object Multimodal {
     val energy = (0 until FpWinSamples)
       .map(j => s"cast(conv(hex(substring(media, 25 + 2 * (win * $FpWinSamples + $j), 2)), 16, 10) as bigint)")
       .mkString("(", " + ", ")")
+    // lag() DELIBERATELY kept over recomputing window w−1's energy in
+    // the same projection (r16 experiment, guide §2.4): the direct-prev
+    // form removes this Exchange+Sort+Window and lets the aggregate
+    // partial-combine map-side, but it doubles the conv/hex sample
+    // decode per exploded row, and the interleaved same-session A/B at
+    // sf0.1 measured it a consistent 4–10% LOSS on m7/m8 (the removed
+    // shuffle carries only 32 narrow rows per doc; the doubled decode
+    // CPU scales with exactly the same row count, so the trade does not
+    // invert at scale either). Negative result recorded in
+    // OPTIMIZATION_r16.md.
     val w = Window.partitionBy("doc_id").orderBy("win")
     au
       .withColumn("data_size", expr("cast(conv(hex(substring(media, 9, 4)), 16, 10) as bigint)"))

@@ -179,15 +179,25 @@ object Streaming {
 
   /** Stateful streaming creates one state store per shuffle partition;
     * the harness corpus needs nowhere near the session's CPU-count
-    * partitions, and each store costs real per-batch overhead. Scoped
-    * override around the (synchronous) stream execution, restored in a
-    * finally — this is local-harness sizing; a production run sizes it
-    * to executors × cores before starting the query.
+    * partitions, and each store costs real per-batch overhead (commit +
+    * snapshot per store per micro-batch — a stream-stream join holds
+    * FOUR stores per partition). Scoped override around the
+    * (synchronous) stream execution, restored in a finally — this is
+    * local-harness sizing; a production run sizes it to executors ×
+    * cores through the same `spark.graft.stream.partitions` conf before
+    * starting the query. Default 4 (r16, measured at sf0.1 on the
+    * replicated st4 pipeline, interleaved same-session: 2 parts 2.09 s,
+    * 4 parts 2.24 s, 8 parts 2.69 s, 16 parts 4.39 s, 32 parts 8.20 s —
+    * store-commit overhead scales with the partition count while the
+    * fixture's state fits anywhere; 4 keeps headroom for the 10×
+    * corpus, where 2 tasks would serialize real join work).
     */
   private def withStreamPartitions[T](spark: SparkSession, n: Int)(f: => T): T = {
     val key = "spark.sql.shuffle.partitions"
+    val parts = spark.conf.getOption("spark.graft.stream.partitions")
+      .flatMap(_.toIntOption).filter(_ > 0).getOrElse(n)
     val prev = spark.conf.get(key)
-    spark.conf.set(key, n.toString)
+    spark.conf.set(key, parts.toString)
     try f finally spark.conf.set(key, prev)
   }
 
@@ -196,7 +206,7 @@ object Streaming {
     */
   private def runToTable(spark: SparkSession, agged: DataFrame): DataFrame = {
     val name = s"graft_stream_${runId.incrementAndGet()}"
-    withStreamPartitions(spark, 8) {
+    withStreamPartitions(spark, 4) {
       val q = agged.writeStream
         .format("memory")
         .queryName(name)
@@ -273,7 +283,7 @@ object Streaming {
                               mode: String = "complete",
                               trigger: Trigger = Trigger.AvailableNow())
                              (writeBatch: DataFrame => Unit): Unit =
-    withStreamPartitions(spark, 8) {
+    withStreamPartitions(spark, 4) {
       val q = agged.writeStream
         .outputMode(mode)
         .option("checkpointLocation", scratchDir("graft_ckpt"))
