@@ -380,7 +380,112 @@ object R16Scratch {
       .filter(col("n_docs") >= 2)
   }
 
+  def d7cA(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.LlmOps.d7cResolveIngest(spark, dir)
+
+  /** d7c with ONE PersistScope-pinned batch shingle table shared by the
+    * batch->corpus band probe, the batch verify sets, and the
+    * batch-internal d2 pipeline (shipped form recomputes it ~3x).
+    */
+  def d7cB(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.LlmOps
+    val newSource = "src0"
+    val stored = spark.table(
+      s"${LlmOps.ensureLabelIndex(spark, dir, Some(newSource))}_labels")
+    val bandPrefix = LlmOps.ensureCorpusIndex(spark, dir, excludeSource = newSource)
+    val batchDocs = Tables.documentsSpread(spark, dir)
+      .filter(col("source") === newSource)
+    val batchShingles = PersistScope.persisted(batchDocs
+      .select(col("doc_id"), expr("split(text, ' ')").as("toks"))
+      .select(col("doc_id"), col("toks"), posexplode(col("toks")).as(Seq("pos", "tok")))
+      .filter(col("pos") <= size(col("toks")) - 3)
+      .select(col("doc_id"),
+        concat_ws(" ", col("tok"),
+          element_at(col("toks"), col("pos") + 2),
+          element_at(col("toks"), col("pos") + 3)).as("shingle")))
+    val newBands = LlmOps.minhashBandsOf(batchShingles)
+      .select(col("doc_id").as("new_doc"), col("band").as("band_n"), col("bkey").as("bkey_n"))
+    val corpusBands = spark.table(s"${bandPrefix}_bands")
+      .select(col("doc_id").as("existing_doc"), col("band"), col("bkey"))
+    val candidates = newBands
+      .join(corpusBands, col("band_n") === col("band") && col("bkey_n") === col("bkey"))
+      .select("new_doc", "existing_doc")
+      .distinct()
+    val batchSets = PersistScope.persisted(batchShingles
+      .groupBy("doc_id")
+      .agg(sort_array(collect_set(expr(
+        "cast(conv(substring(md5(shingle), 1, 15), 16, 10) as bigint)"))).as("sa"))
+      .withColumnRenamed("doc_id", "new_doc"))
+    val batchCorpus = candidates
+      .join(batchSets, "new_doc")
+      .join(spark.table(s"${bandPrefix}_shingles").toDF("existing_doc", "sb"), "existing_doc")
+      .withColumn("i", expr("sorted_intersect_count(sa, sb)"))
+      .select(col("new_doc"), col("existing_doc"),
+        expr(LlmOps.milli("i", "size(sa) + size(sb) - i")).as("jaccard_milli"))
+      .filter(col("jaccard_milli") >= LlmOps.ResolveThreshold)
+      .select(col("new_doc").as("doc_a"), col("existing_doc").as("doc_b"))
+    val batchInternal = LlmOps.d2DedupMinhashOf(batchShingles, keepZeroOverlap = false)
+      .filter(col("jaccard_milli") >= LlmOps.ResolveThreshold)
+      .select(col("doc_a"), col("doc_b"))
+    val contracted = batchCorpus
+      .join(stored.toDF("doc_b", "rep"), "doc_b")
+      .select(col("doc_a"), col("rep").as("doc_b"))
+      .unionByName(batchInternal)
+    val (resolved, converged) = LlmOps.connectedComponents(contracted, LlmOps.MaxResolveRounds)
+    val _ = converged
+    val corpusNew = stored
+      .join(resolved.toDF("canonical_id", "merged"), Seq("canonical_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("merged"), col("canonical_id")).as("canonical_id"))
+    val batchNew = Tables.documents(spark, dir)
+      .filter(col("source") === newSource)
+      .select(col("doc_id"), col("doc_id").as("self"))
+      .join(resolved.toDF("doc_id", "merged"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("merged"), col("self")).as("canonical_id"))
+    corpusNew.unionByName(batchNew)
+  }
+
+  def q21A(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Tpch.q21(spark, dir)
+
+  /** q21 with the EXISTS / NOT EXISTS pair folded into per-order
+    * aggregates: EXISTS other-supplier == count(distinct supp) >= 2 over
+    * ALL lines; NOT EXISTS other-late-supplier == count(distinct supp)
+    * == 1 over LATE lines (l1 itself is late). One lineitem aggregate
+    * replaces two semi/anti lineitem scans; output identical.
+    */
+  def q21B(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerAll(spark, dir)
+    spark.sql(
+      """WITH late AS (
+        |  SELECT l_orderkey, l_suppkey
+        |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |  WHERE o_orderstatus = 'F'
+        |    AND l_shipdate > o_orderdate + interval 60 days),
+        |ostats AS (
+        |  SELECT l_orderkey, count(DISTINCT l_suppkey) AS nsupp
+        |  FROM lineitem GROUP BY l_orderkey),
+        |lstats AS (
+        |  SELECT l_orderkey, count(DISTINCT l_suppkey) AS nlate
+        |  FROM late GROUP BY l_orderkey)
+        |SELECT s_name, count(*) AS numwait
+        |FROM late
+        |JOIN ostats USING (l_orderkey)
+        |JOIN lstats USING (l_orderkey)
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name IN ('NATION_4', 'NATION_5')
+        |  AND nsupp >= 2 AND nlate = 1
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 20""".stripMargin)
+  }
+
   val variants: Map[String, (SparkSession, String) => DataFrame] = stVariants ++ Map(
+    "q21A" -> q21A _,
+    "q21B" -> q21B _,
+    "d7cA" -> d7cA _,
+    "d7cB" -> d7cB _,
     "t19A" -> t19A _,
     "t19B" -> t19B _,
     "stProbe" -> stProbe _,
