@@ -59,10 +59,14 @@ object Delta {
     * (changes), ~1% new keys appended (mod 101, shifted id range).
     */
   private[operators] def perturbedOrders(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val old = Tables.orders(spark, dir).select(
+    // Pinned (r16): `old` feeds the dim seed, BOTH branches of the
+    // perturbed snapshot, and (in scd2) the max-version lookup — the r16
+    // scan audit counted 14 uncached orders scans in q_scd2_merge from
+    // exactly this fan-out.
+    val old = graft.PersistScope.persisted(Tables.orders(spark, dir).select(
       col("o_orderkey"),
       col("o_orderstatus").as("status"),
-      expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+      expr("cast(round(o_totalprice * 100) as bigint)").as("cents")))
     val next = old
       .filter(col("o_orderkey") % 97 =!= 0)
       .select(
@@ -110,8 +114,11 @@ object Delta {
                 compareCols: Seq[String], t1: Long): DataFrame = {
     val history = dim.filter(col("valid_to_ms") =!= -1L)
     val open = dim.filter(col("valid_to_ms") === -1L)
-    val diff = snapshotDiff(
-      open.select((keyCols ++ compareCols).map(col): _*), next, keyCols, compareCols)
+    // Pinned (r16): the classification feeds both the open-row split and
+    // the successor build; unpinned, the md5 diff (and the full-outer
+    // beneath it) ran twice.
+    val diff = graft.PersistScope.persisted(snapshotDiff(
+      open.select((keyCols ++ compareCols).map(col): _*), next, keyCols, compareCols))
     // Every open row classifies as unchanged / changed / removed
     // ('added' keys have no open row, so the inner join drops nothing).
     val classified = open.join(diff, keyCols)

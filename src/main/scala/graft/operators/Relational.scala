@@ -1265,9 +1265,14 @@ object Relational {
   def qFunnelSteps(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
     def firstOf(tpe: String) = ev.filter(col("event_type") === tpe)
-    val s1 = firstOf("signup").groupBy("user_id").agg(min("ts").as("t1"))
-    val s2 = firstOf("view").join(s1, "user_id").filter(col("ts") > col("t1"))
-      .groupBy("user_id").agg(min("ts").as("t2"))
+    // s1/s2 pinned (r16): each feeds the next step AND the final join —
+    // unpinned, their scan+aggregate subtrees ran twice apiece (6 events
+    // scans in the r16 scan audit, 3 needed).
+    val s1 = graft.PersistScope.persisted(
+      firstOf("signup").groupBy("user_id").agg(min("ts").as("t1")))
+    val s2 = graft.PersistScope.persisted(
+      firstOf("view").join(s1, "user_id").filter(col("ts") > col("t1"))
+        .groupBy("user_id").agg(min("ts").as("t2")))
     val s3 = firstOf("purchase").join(s2, "user_id").filter(col("ts") > col("t2"))
       .groupBy("user_id").agg(min("ts").as("t3"))
     s1.join(s2, Seq("user_id"), "left").join(s3, Seq("user_id"), "left")

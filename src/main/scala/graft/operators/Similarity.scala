@@ -314,9 +314,11 @@ object Similarity {
     * corpus is touched once.
     */
   def d8EmbedNeardup(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = simLshPairs(spark, dir)
+    // Pinned (r16): both directions of the symmetrization read `pairs`,
+    // and unpinned the whole LSH pipeline beneath it ran twice.
+    val pairs = graft.PersistScope.persisted(simLshPairs(spark, dir)
       .filter(col("cos_milli") >= EmbedDedupThreshold)
-      .select(col("vec_a"), col("vec_b"))
+      .select(col("vec_a"), col("vec_b")))
     val sym = pairs.select(col("vec_a").as("doc_id"), col("vec_b").as("nb"))
       .unionAll(pairs.select(col("vec_b").as("doc_id"), col("vec_a").as("nb")))
     val neigh = sym.groupBy("doc_id")
