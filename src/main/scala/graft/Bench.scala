@@ -340,17 +340,18 @@ object Bench {
         cpuDetail(name) = rs.map(_._2)
         // A value is recorded only once ALL reps succeeded — a query
         // that fails on rep 2 reports an error, never a partial timing.
-        // Escalated 1-rep entries grade the MIN of their reps (r16): the
-        // flagged first rep is a COLD execution (codegen compile +
-        // first-touch inside its chunk JVM), so the median of {cold,
-        // warm, warm} still carries half the cold penalty; the minimum
-        // is the audit phase's "minimum surviving observation" rule
-        // applied in situ, and a minimum over honest reps can only
-        // overstate the query's warm cost, never understate the work.
+        // Escalated 1-rep entries DROP the flagged first rep (a COLD
+        // execution — codegen compile + first-touch inside its chunk
+        // JVM) and grade the 2-sample median (= mean) of the two warm
+        // reps that follow (r17, ADVICE r16: the r16 rule graded the
+        // MIN of all 3 reps, a selective estimator swap that biased
+        // exactly the suspicious entries low relative to the
+        // median-of-3 quiet floors; the warm-rep mean is the comparable
+        // statistic — same warm protocol, same central tendency).
         // 3-rep bulk modes keep the median (their reps are uniformly
         // warm; the median kills host-load phantoms better there).
         times(name) =
-          if (oneRepFlagged) rs.map(_._1).min
+          if (oneRepFlagged) { val w = rs.tail.map(_._1); w.sum / w.size }
           else rs.map(_._1).sorted.apply(rs.size / 2)
       } catch { case e: Throwable =>
         errors(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
@@ -1184,6 +1185,23 @@ object Bench {
           // per single-flag JVM no reserve could fund that; grouped,
           // the amortized cost per flag is ~15 s.
           val AuditGroupSize = 3
+          // r17 (VERDICT r16 #2): the r16 driver run left 10 flags
+          // unverified (audit_skipped:10) INCLUDING an 18.0 s grade over
+          // a 3.08 s floor — the one class of flag that cannot be left
+          // standing, because it reads as a 6x regression when a fresh
+          // 32-core JVM reproduces the floor (measured this round:
+          // d7c 3.2 s, q_incremental_rollup 0.9 s, t19 1.05 s). A flag
+          // whose graded-quiet gap exceeds MandatoryGapSec or whose
+          // ratio exceeds MandatoryRatio is MANDATORY: its rerun group
+          // runs first and bypasses the ordinary funding gate, stopping
+          // only at the emit-reserve hard floor so the final JSON line
+          // always lands. Ordinary (sub-second-gap) flags keep the old
+          // gate and are the only ones audit_skipped can count.
+          val MandatoryGapSec = 3.0
+          val MandatoryRatio = 3.0
+          def mustRerun(n: String): Boolean =
+            times(n) - quiet(n) > MandatoryGapSec ||
+              times(n) > MandatoryRatio * quiet(n)
           val calibQuiet = quiet.get(CalibrationQuery)
           val rerunsBy = scala.collection.mutable.Map[String, scala.collection.mutable.ArrayBuffer[Double]]()
           val calibsBy = scala.collection.mutable.Map[String, scala.collection.mutable.ArrayBuffer[Double]]()
@@ -1195,15 +1213,24 @@ object Bench {
           var pass = 0
           var pending = flaggedNames
           var funded = true
-          while (pass < AuditAttempts && pending.nonEmpty && funded) {
-            // Sub-second flags batch cheaply (a whole dozen re-measure
-            // for one JVM start); heavyweights stay in groups of 3.
-            val (small, large) = pending.partition(n => quiet(n) < 1.0)
-            val passGroups = small.grouped(12).toSeq ++ large.grouped(AuditGroupSize).toSeq
+          while (pass < AuditAttempts && pending.nonEmpty &&
+                 (funded || pending.exists(mustRerun))) {
+            // Mandatory flags (large graded-quiet gap) rerun FIRST —
+            // the r16 failure mode was exactly the reverse order: the
+            // dozen-per-JVM sub-second batches drained the reserve
+            // before the 18 s flag's group was priced. Sub-second flags
+            // batch cheaply (a whole dozen re-measure for one JVM
+            // start); heavyweights stay in groups of 3.
+            val (must, rest) = pending.partition(mustRerun)
+            val (small, large) = rest.partition(n => quiet(n) < 1.0)
+            val passGroups = must.grouped(AuditGroupSize).toSeq ++
+              small.grouped(12).toSeq ++ large.grouped(AuditGroupSize).toSeq
             passGroups.foreach { g =>
               val est = (ChildOverheadSec +
                 (CalibrationQuery +: g).map(n => quiet.getOrElse(n, 5.0) * 4).sum) * inflation
-              if (!funded || remainingSec < est + emitReserve) {
+              val mandatory = g.exists(mustRerun)
+              if ((!funded || remainingSec < est + emitReserve) &&
+                  !(mandatory && remainingSec > emitReserve)) {
                 funded = false
               } else {
                 System.err.println(s"[bench] AUDIT pass ${pass + 1}: re-running " +

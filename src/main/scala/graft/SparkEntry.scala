@@ -1037,7 +1037,16 @@ object SparkEntry {
         // Shingle ROWS (not per-doc lists) so the same df-ceiling rule as
         // Spark applies: drop shingles with df > n_docs/D4DfDropDiv
         // before sizes and intersections (boilerplate/skew ceiling).
-        s"shl AS (SELECT doc_id, source, len_bucket, unnest($duckShingles) AS shingle FROM tokd WHERE len(tok) >= 3), " +
+        // The shingle is hashed to the SAME 60-bit int64 the Spark side
+        // shuffles (r17, ADVICE r16): d4's df counts, df-drop ceiling,
+        // and block intersections are GLOBAL aggregates, so at corpus
+        // scale a hash collision merges df counts / adds intersections —
+        // both engines must therefore see identical collisions, which
+        // sharing the duckHash60 transformation guarantees by
+        // construction (the d5-family verify-set precedent), instead of
+        // resting on a corpus-wide injectivity assumption.
+        s"shl0 AS (SELECT doc_id, source, len_bucket, unnest($duckShingles) AS sh_s FROM tokd WHERE len(tok) >= 3), " +
+        s"shl AS (SELECT doc_id, source, len_bucket, ${duckHash60("sh_s")} AS shingle FROM shl0), " +
         "dfs AS (SELECT shingle, count(*) AS df FROM shl GROUP BY 1), " +
         "nd AS (SELECT count(*) AS n_docs FROM documents), " +
         s"kept AS (SELECT shl.* FROM shl JOIN dfs USING (shingle) CROSS JOIN nd WHERE df * ${LlmOps.D4DfDropDiv} <= n_docs), " +

@@ -311,11 +311,16 @@ object LlmOps {
     * codegen'd `sorted_intersect_count` merge instead of interpreted
     * per-pair string `array_intersect` (~175 µs/pair, the construct the
     * repo measured and removed from d4 in round 3 — VERDICT r11 #3
-    * flagged the same cost left in d5/d5b/st14). Set semantics are
-    * preserved: distinct shingles → distinct hashes at any plausible
-    * scale (60-bit space vs per-doc set sizes), and both engines hash
-    * identically, so the oracle twins share the transformation rather
-    * than assuming it.
+    * flagged the same cost left in d5/d5b/st14). Equality contract
+    * (r17, ADVICE r16): every consumer whose AGGREGATES run over the
+    * hash — the per-doc verify sets here, but also d4's GLOBAL df
+    * counts and block intersections — must hash in BOTH engines, so
+    * the oracle twins share the transformation (duckHash60) and see
+    * identical collisions by construction. The old "injectivity at any
+    * plausible scale" wording was accurate only for per-doc sets; a
+    * global 100 TB shingle universe (~1e11-1e12 distinct) WILL collide
+    * in a 2^60 space, and the shared-transformation rule is what keeps
+    * spark/oracle equality exact anyway.
     */
   private[graft] def shingleHash60(c: String): String =
     s"cast(conv(substring(md5($c), 1, 15), 16, 10) as bigint)"
@@ -645,7 +650,10 @@ object LlmOps {
     // block self-join) then shuffles an 8-byte long instead of a ~20-byte
     // string and compares longs instead of strings — measured r16
     // interleaved same-session A/B at sf0.1: 3.06 → 2.49 s median
-    // (−19%), identical output (injectivity argument at shingleHash60).
+    // (−19%). The DuckDB twin hashes with the identical duckHash60
+    // (r17, ADVICE r16), so the df counts / ceiling / intersections see
+    // the same collisions in both engines and output equality holds by
+    // construction, not by an injectivity assumption.
     // Guide §2.3 "narrower types / shuffle fewer bytes".
     val raw = PersistScope.persisted(
       shingleRows(spark, dir)
@@ -1747,22 +1755,55 @@ object LlmOps {
     * map-combinable hash-count gate + one per-doc count — no joins wider
     * than the qualifying-hash probe; no all-pairs anywhere.
     */
-  def t31SpanCoverage(spark: SparkSession, dir: String): DataFrame = {
-    val rolled = PersistScope.persisted(
-      Tables.documentsSpread(spark, dir)
-        .filter(length(col("text")) >= SpanWindow)
-        .select(col("doc_id"), expr(s"rolling_hashes(text, $SpanWindow)")))
-    val perDoc = rolled.groupBy("doc_id").agg(count(lit(1)).as("n_windows"))
-    val crossDoc = rolled.select("doc_id", "hash").distinct()
-      .groupBy("hash").agg(count(lit(1)).as("nd"))
-      .filter(col("nd") >= 2).select("hash")
-    val dupWin = rolled.join(crossDoc, "hash")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_dup_windows"))
-    perDoc.join(dupWin, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_windows"),
-        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
-        expr(milli("coalesce(n_dup_windows, 0)", "n_windows"))
-          .as("dup_coverage_milli"))
+  def t31SpanCoverage(spark: SparkSession, dir: String): DataFrame =
+    spanCoverageOf(spark, dir, pinPostAgg = false)
+
+  /** The t31 pipeline with the pin placed either on the raw per-position
+    * rolled table (`pinPostAgg = false` — the standalone t31 shape) or on
+    * the (doc, hash, position-count) AGGREGATE (`true` — one row per
+    * distinct (doc, hash); n_windows = Σk and the cross-doc gate's
+    * distinct comes free, so output is identical by algebra). Which pin
+    * wins depends on the consumer, both measured r17 interleaved at
+    * sf0.1: STANDALONE the post-agg pin pays an extra exchange inside
+    * the pin build for nothing (0.56 → 0.74 s, −32%), but COMPOSED into
+    * q_curation_coverage — where the pin shares executor memory with the
+    * d12b index pins — halving the cached bytes wins 3.54 → 3.02 s
+    * (−15%, VERDICT r16 #4). Guide §5 (caching competes with execution
+    * memory): pin the smaller table when the query holds several pins,
+    * the cheaper-to-build one when it holds one.
+    */
+  private[graft] def spanCoverageOf(spark: SparkSession, dir: String,
+                                    pinPostAgg: Boolean): DataFrame = {
+    val rolledRaw = Tables.documentsSpread(spark, dir)
+      .filter(length(col("text")) >= SpanWindow)
+      .select(col("doc_id"), expr(s"rolling_hashes(text, $SpanWindow)"))
+    if (pinPostAgg) {
+      val agg = PersistScope.persisted(
+        rolledRaw.groupBy("doc_id", "hash").agg(count(lit(1)).as("k")))
+      val perDoc = agg.groupBy("doc_id").agg(sum("k").as("n_windows"))
+      val crossDoc = agg.groupBy("hash")
+        .agg(count(lit(1)).as("nd")).filter(col("nd") >= 2).select("hash")
+      val dupWin = agg.join(crossDoc, "hash")
+        .groupBy("doc_id").agg(sum("k").as("n_dup_windows"))
+      perDoc.join(dupWin, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_windows"),
+          coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+          expr(milli("coalesce(n_dup_windows, 0)", "n_windows"))
+            .as("dup_coverage_milli"))
+    } else {
+      val rolled = PersistScope.persisted(rolledRaw)
+      val perDoc = rolled.groupBy("doc_id").agg(count(lit(1)).as("n_windows"))
+      val crossDoc = rolled.select("doc_id", "hash").distinct()
+        .groupBy("hash").agg(count(lit(1)).as("nd"))
+        .filter(col("nd") >= 2).select("hash")
+      val dupWin = rolled.join(crossDoc, "hash")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_dup_windows"))
+      perDoc.join(dupWin, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_windows"),
+          coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+          expr(milli("coalesce(n_dup_windows, 0)", "n_windows"))
+            .as("dup_coverage_milli"))
+    }
   }
 
   /** Winnowing window: every [[WinnowWindow]] consecutive span hashes
@@ -2271,11 +2312,14 @@ object LlmOps {
     *    the graded production form, same discipline as
     *    [[curationNeardupIdx]]): CC labels computed once per corpus
     *    snapshot, never re-derived per manifest run;
-    *  - coverage from [[t31SpanCoverage]], whose rolled scan is pinned
-    *    (PersistScope) so the generator runs once inside the composed
-    *    plan; docs too short to hold one window have no coverage row and
-    *    are KEPT (no duplication evidence) — the anti-join encodes that
-    *    directly.
+    *  - coverage from [[spanCoverageOf]] with the POST-AGGREGATE pin
+    *    (r17, VERDICT r16 #4): one cached row per distinct (doc, hash)
+    *    instead of the 12M-row per-position rolled table, so the
+    *    generator still runs once inside the composed plan but the pin
+    *    holds roughly half the bytes next to the d12b index pins
+    *    (measured −15%, see spanCoverageOf); docs too short to hold one
+    *    window have no coverage row and are KEPT (no duplication
+    *    evidence) — the anti-join encodes that directly.
     *
     * Scale shape: the over-ceiling set is per-doc keys (tiny next to the
     * corpus) → broadcast-able anti join; everything else is the already
@@ -2284,7 +2328,10 @@ object LlmOps {
     * optimizations under the same oracle.
     */
   def curationCoverageManifest(spark: SparkSession, dir: String): DataFrame = {
-    val coverageBad = t31SpanCoverage(spark, dir)
+    // pinPostAgg: inside this composition the coverage pin shares
+    // executor memory with the d12b index pins, and the halved cached
+    // bytes win the r17 A/B (3.54 -> 3.02 s) — see spanCoverageOf.
+    val coverageBad = spanCoverageOf(spark, dir, pinPostAgg = true)
       .filter(col("dup_coverage_milli") > CoverageCeilingMilli)
       .select("doc_id")
     curationNeardupFrom(spark, dir, d12bQualityIdx(spark, dir))

@@ -174,7 +174,7 @@ object Streaming {
       .withColumn("i", expr("sorted_intersect_count(sa, sb)"))
       .select(col("new_doc"), col("existing_doc"), col("band").cast("long").as("band"),
         expr(LlmOps.milli("i", "size(sa) + size(sb) - i")).as("jaccard_milli"))
-    runAppendToParquet(spark, alerts)
+    runAppendToParquet(spark, streamParts(spark, dir, "documents.parquet"), alerts)
   }
 
   /** Stateful streaming creates one state store per shuffle partition;
@@ -182,15 +182,13 @@ object Streaming {
     * partitions, and each store costs real per-batch overhead (commit +
     * snapshot per store per micro-batch — a stream-stream join holds
     * FOUR stores per partition). Scoped override around the
-    * (synchronous) stream execution, restored in a finally — this is
-    * local-harness sizing; a production run sizes it to executors ×
-    * cores through the same `spark.graft.stream.partitions` conf before
-    * starting the query. Default 4 (r16, measured at sf0.1 on the
-    * replicated st4 pipeline, interleaved same-session: 2 parts 2.09 s,
-    * 4 parts 2.24 s, 8 parts 2.69 s, 16 parts 4.39 s, 32 parts 8.20 s —
-    * store-commit overhead scales with the partition count while the
-    * fixture's state fits anywhere; 4 keeps headroom for the 10×
-    * corpus, where 2 tasks would serialize real join work).
+    * (synchronous) stream execution, restored in a finally.
+    * `spark.graft.stream.partitions` still wins when set (a production
+    * run sizes it to executors × cores / state volume before starting
+    * the query); when UNSET the default now DERIVES from the source's
+    * input bytes instead of the r16 constant 4 (r17, VERDICT r16 #5:
+    * "at 100 TB an unset conf silently serializes every stream-stream
+    * join into 4 state stores"). See [[derivedStreamPartitions]].
     */
   private def withStreamPartitions[T](spark: SparkSession, n: Int)(f: => T): T = {
     val key = "spark.sql.shuffle.partitions"
@@ -201,12 +199,58 @@ object Streaming {
     try f finally spark.conf.set(key, prev)
   }
 
+  /** Input bytes a streaming source will read from `path` (file or
+    * directory) — the sizing signal for [[derivedStreamPartitions]].
+    * Best-effort: 0 on a missing path (the derived count then floors).
+    */
+  private def pathBytes(p: String): Long = {
+    val path = java.nio.file.Paths.get(p)
+    try {
+      if (java.nio.file.Files.isDirectory(path))
+        scala.util.Using.resource(java.nio.file.Files.walk(path)) { st =>
+          st.filter(java.nio.file.Files.isRegularFile(_))
+            .mapToLong(java.nio.file.Files.size(_)).sum()
+        }
+      else if (java.nio.file.Files.exists(path)) java.nio.file.Files.size(path)
+      else 0L
+    } catch { case _: Throwable => 0L }
+  }
+
+  /** Scale-adaptive state-store partition count when
+    * `spark.graft.stream.partitions` is unset (r17, VERDICT r16 #5):
+    * sized to the source's INPUT BYTES — one state partition per
+    * [[StreamBytesPerPartition]] of input, floored at 2 and capped at
+    * the session's defaultParallelism — rather than a constant tuned for
+    * either local mode or the cluster (guide §2: partitions sized to
+    * bytes, not cores). The floor is 4, the r16/r17 measured local
+    * optimum: the r17 full-family interleaved A/B at sf0.1 (10 queries
+    * × 2-vs-4, 3 warm reps) read 2 partitions as a LOSS for the
+    * aggregation family (st1 0.87→0.97 s, st3 1.29→1.53, st8
+    * 1.03→1.21) and only a wash for the stream-stream joins (st7
+    * 2.04→1.92, st10 2.05→1.98), so the byte rule only ever scales the
+    * default UP from the measured floor; at 100 TB it yields thousands
+    * of partitions, capped by the session's actual parallelism — no
+    * silent serialization into 4 state stores.
+    */
+  private[graft] val StreamBytesPerPartition: Long = 16L << 20
+
+  private[graft] def derivedStreamPartitions(spark: SparkSession, srcBytes: Long): Int = {
+    val byData = (srcBytes + StreamBytesPerPartition - 1) / StreamBytesPerPartition
+    val cap = math.max(4L, spark.sparkContext.defaultParallelism.toLong)
+    math.max(4L, math.min(byData, cap)).toInt
+  }
+
+  /** The derived default for a query streaming `table` under `dir`. */
+  private def streamParts(spark: SparkSession, dir: String,
+                          table: String = "events.parquet"): Int =
+    derivedStreamPartitions(spark, pathBytes(s"$dir/$table"))
+
   /** Run `agged` (a streaming aggregation) to completion with
     * AvailableNow into a memory sink; return the final table.
     */
-  private def runToTable(spark: SparkSession, agged: DataFrame): DataFrame = {
+  private def runToTable(spark: SparkSession, parts: Int, agged: DataFrame): DataFrame = {
     val name = s"graft_stream_${runId.incrementAndGet()}"
-    withStreamPartitions(spark, 4) {
+    withStreamPartitions(spark, parts) {
       val q = agged.writeStream
         .format("memory")
         .queryName(name)
@@ -241,7 +285,8 @@ object Streaming {
     */
   private[graft] def stSetupProbe(spark: SparkSession, dir: String): Long = {
     val n = new java.util.concurrent.atomic.AtomicLong(0L)
-    runForeachBatch(spark, eventsStream(spark, dir).select("event_id"),
+    runForeachBatch(spark, streamParts(spark, dir),
+      eventsStream(spark, dir).select("event_id"),
       mode = "append") { batch => n.addAndGet(batch.count()) }
     n.get()
   }
@@ -255,7 +300,7 @@ object Streaming {
     */
   def tumblingToParquet(spark: SparkSession, dir: String, outDir: String): DataFrame = {
     val agged = tumblingAgg(spark, dir)
-    runForeachBatch(spark, agged) { batch =>
+    runForeachBatch(spark, streamParts(spark, dir), agged) { batch =>
       batch.write.mode("overwrite").parquet(outDir)
     }
     // Explicit schema: a zero-data run leaves outDir absent or
@@ -279,11 +324,11 @@ object Streaming {
       .agg(count("*").as("n_events"))
       .select(col("window.start").as("window_start"), col("event_type"), col("n_events"))
 
-  private def runForeachBatch(spark: SparkSession, agged: DataFrame,
+  private def runForeachBatch(spark: SparkSession, parts: Int, agged: DataFrame,
                               mode: String = "complete",
                               trigger: Trigger = Trigger.AvailableNow())
                              (writeBatch: DataFrame => Unit): Unit =
-    withStreamPartitions(spark, 4) {
+    withStreamPartitions(spark, parts) {
       val q = agged.writeStream
         .outputMode(mode)
         .option("checkpointLocation", scratchDir("graft_ckpt"))
@@ -301,10 +346,10 @@ object Streaming {
     * driver bottleneck left at 100×). The explicit schema on the re-read
     * makes the zero-batch case return an empty frame instead of throwing.
     */
-  private def runAppendToParquet(spark: SparkSession, streamed: DataFrame,
+  private def runAppendToParquet(spark: SparkSession, parts: Int, streamed: DataFrame,
                                  trigger: Trigger = Trigger.AvailableNow()): DataFrame = {
     val outDir = scratchDir("graft_stream_out")
-    runForeachBatch(spark, streamed, "append", trigger) { batch =>
+    runForeachBatch(spark, parts, streamed, "append", trigger) { batch =>
       batch.write.mode("append").parquet(outDir)
     }
     spark.read.schema(streamed.schema).parquet(outDir)
@@ -323,7 +368,7 @@ object Streaming {
     */
   def upsertToPartitions(spark: SparkSession, dir: String, outDir: String): DataFrame = {
     val agged = tumblingAgg(spark, dir)
-    runForeachBatch(spark, agged) { batch =>
+    runForeachBatch(spark, streamParts(spark, dir), agged) { batch =>
       // Two actions per batch (emptiness probe + write): pin the batch
       // so the micro-batch aggregation runs once, not twice (reviewer
       // finding; the standard persist-around-foreachBatch pattern).
@@ -352,7 +397,7 @@ object Streaming {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count("*").as("n_events"),
         sum(expr("cast(round(value * 1000) as bigint)")).as("total_value_milli"))
-    runToTable(spark, agged)
+    runToTable(spark, streamParts(spark, dir), agged)
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value_milli"))
   }
@@ -363,7 +408,7 @@ object Streaming {
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
       .agg(count("*").as("n_events"))
-    runToTable(spark, agged)
+    runToTable(spark, streamParts(spark, dir), agged)
       .select(col("window.start").as("window_start"), col("event_type"), col("n_events"))
   }
 
@@ -392,7 +437,7 @@ object Streaming {
     // Inner stream-stream join supports append output; matches are
     // data-sized, so they go executor-side to parquet, never through the
     // driver (see runAppendToParquet).
-    runAppendToParquet(spark, joined)
+    runAppendToParquet(spark, streamParts(spark, dir), joined)
       .select(col("signup_id"), col("purchase_id"),
         col("s_user").as("user_id"), col("s_ts"), col("p_ts"))
   }
@@ -432,7 +477,7 @@ object Streaming {
         col("p_ts") >= col("s_ts") &&
         col("p_ts") <= col("s_ts") + expr("INTERVAL 7 DAYS"),
       "leftOuter")
-    runAppendToParquet(spark, joined)
+    runAppendToParquet(spark, streamParts(spark, dir), joined)
       .select(col("signup_id"), col("s_user").as("user_id"), col("s_ts"),
         coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"),
         coalesce(unix_millis(col("p_ts")), lit(-1L)).as("p_ms"))
@@ -472,7 +517,7 @@ object Streaming {
         col("p_ts") >= col("s_ts") &&
         col("p_ts") <= col("s_ts") + expr("INTERVAL 7 DAYS"),
       "fullOuter")
-    runAppendToParquet(spark, joined)
+    runAppendToParquet(spark, streamParts(spark, dir), joined)
       .select(
         coalesce(col("signup_id"), lit(-1L)).as("signup_id"),
         coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"),
@@ -505,7 +550,7 @@ object Streaming {
     // Surviving keys are data-sized (one per distinct key), so they take
     // the executor-side parquet path like st4/st7, not the driver memory
     // sink (that stays reserved for the bounded complete-mode aggregates).
-    runAppendToParquet(spark, deduped).select("event_type", "user_id", "minute")
+    runAppendToParquet(spark, streamParts(spark, dir), deduped).select("event_type", "user_id", "minute")
   }
 
   /** ST8: the streaming upsert sink as an oracle-checked query — run
@@ -553,7 +598,7 @@ object Streaming {
       .join(broadcast(dim), "user_id")
       .groupBy(window(col("ts"), "1 hour"), col("segment"), col("event_type"))
       .agg(count("*").as("n_events"))
-    runToTable(spark, agged)
+    runToTable(spark, streamParts(spark, dir), agged)
       .select(col("window.start").as("window_start"), col("segment"),
         col("event_type"), col("n_events"))
   }
@@ -568,7 +613,7 @@ object Streaming {
       .withWatermark("ts", "10 minutes")
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
       .agg(count("*").as("n_events"))
-    runToTable(spark, agged)
+    runToTable(spark, streamParts(spark, dir), agged)
       .select(
         col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
@@ -601,7 +646,7 @@ object Streaming {
 
   def st11Milestones(spark: SparkSession, dir: String): DataFrame =
     withRocksDb(spark) {
-      runAppendToParquet(spark, milestonesOf(spark, eventsStream(spark, dir)))
+      runAppendToParquet(spark, streamParts(spark, dir), milestonesOf(spark, eventsStream(spark, dir)))
     }
 
   /** transformWithState refuses the default heap-backed state store;
@@ -641,7 +686,7 @@ object Streaming {
         .groupByKey(_.user_id)
         .transformWithState(new Milestones.InactivityProcessor,
           TimeMode.EventTime(), OutputMode.Append())
-      runAppendToParquet(spark, out.toDF())
+      runAppendToParquet(spark, streamParts(spark, dir), out.toDF())
     }
 
   /** ST13: TTL-expiring per-user counters — see
@@ -661,7 +706,7 @@ object Streaming {
       // Trigger.Once is deprecated in favor of AvailableNow, but
       // AvailableNow is exactly what CANNOT terminate here (see the
       // processor scaladoc) — the deprecation is wrong for this shape.
-      runAppendToParquet(spark, out.toDF(),
+      runAppendToParquet(spark, streamParts(spark, dir), out.toDF(),
         (Trigger.Once(): @annotation.nowarn("cat=deprecation")))
     }
 }

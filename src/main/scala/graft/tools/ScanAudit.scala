@@ -22,6 +22,14 @@ object ScanAudit {
       .foreach { case (name, fn) =>
         try {
           val plan = fn(spark, dir).queryExecution.executedPlan
+          // Distinct cache objects (by identity), collected FIRST so each
+          // cached build's subtree is walked exactly once however many
+          // InMemoryTableScans reference it (r17, ADVICE r16: the old
+          // walk re-walked relation.cachedPlan per reference, so a cache
+          // scanned N times reported its build scans N×).
+          val seenCaches = java.util.Collections.newSetFromMap(
+            new java.util.IdentityHashMap[
+              org.apache.spark.sql.execution.columnar.InMemoryRelation, java.lang.Boolean]())
           def walk(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] =
             p.collect {
               case s: org.apache.spark.sql.execution.FileSourceScanExec =>
@@ -31,12 +39,13 @@ object ScanAudit {
                 Seq(s"gen:${g.boundGenerator.getClass.getSimpleName}")
               case _: org.apache.spark.sql.execution.window.WindowExec => Seq("win")
               case im: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
-                // one build per cache, counted once
-                walk(im.relation.cachedPlan).map("cached/" + _)
+                // one build per distinct cache object, counted once
+                if (seenCaches.add(im.relation))
+                  walk(im.relation.cachedPlan).map("cached/" + _)
+                else Seq.empty
               case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
                 walk(a.executedPlan)
             }.flatten
-          // dedupe the cached builds (one per distinct cache object)
           val counts = walk(plan).groupBy(identity)
             .map { case (k, vs) => s"$k=${vs.size}" }.toSeq.sorted
           println(s"SCANAUDIT $name ${counts.mkString(",")}")

@@ -187,4 +187,17 @@ class LlmOpsSpec extends SparkTestBase {
     assert(fp(0L) === fp(1L))
     assert(fp(0L)._1 !== fp(2L)._1) // near-dup has different exact hash
   }
+
+  test("t31 coverage: raw-rolled pin and post-aggregate pin are row-identical") {
+    // r17 (VERDICT r16 #4): q_curation_coverage pins the (doc, hash,
+    // position-count) aggregate while standalone t31 pins the raw rolled
+    // table — a pure pin-placement choice, so the two shapes must agree
+    // row-for-row on every column (n_windows = Σk by algebra).
+    val a = LlmOps.spanCoverageOf(spark, Sf, pinPostAgg = false)
+    val b = LlmOps.spanCoverageOf(spark, Sf, pinPostAgg = true)
+    assert(a.count() > 0)
+    assert(a.exceptAll(b).count() === 0)
+    assert(b.exceptAll(a).count() === 0)
+    PersistScope.releaseAll()
+  }
 }

@@ -75,4 +75,20 @@ class StreamingSpec extends SparkTestBase {
         col("user_id"), col("n_events"))
     assertSameRows(Streaming.sessionCounts(spark, Sf), batch)
   }
+
+  test("derived stream partitions scale with input bytes, floored and capped") {
+    val target = Streaming.StreamBytesPerPartition
+    val cap = math.max(4, spark.sparkContext.defaultParallelism)
+    // Fixture-sized inputs sit at the measured local-optimum floor (4).
+    assert(Streaming.derivedStreamPartitions(spark, 0L) === 4)
+    assert(Streaming.derivedStreamPartitions(spark, 2L << 20) === 4)
+    // Past the floor the count follows the byte rule (ceil bytes/target),
+    // capped at the session's parallelism: an unset conf can never
+    // produce more state stores than the session has cores to commit.
+    assert(Streaming.derivedStreamPartitions(spark, 6 * target)
+      === math.min(6, cap))
+    assert(Streaming.derivedStreamPartitions(spark, 6 * target + 1)
+      === math.min(7, cap))
+    assert(Streaming.derivedStreamPartitions(spark, 100000L * target) === cap)
+  }
 }
